@@ -1,0 +1,144 @@
+"""End-to-end gene prediction pipeline (easy-predict).
+
+Single-process, device-batched equivalent of the reference's workflow
+chain (data/easypredict.sh: createdb → predictexons → reduceredundancy →
+unitesetstofasta; data/predictexons.sh: extractorfs → translatenucs →
+search → resultspercontig → collectoptimalset). Stage boundaries are
+in-memory numpy tables instead of mmap'd DB files; contig/target/fragment
+keys are assigned in input order (reference createdb with --shuffle 0).
+"""
+
+import numpy as np
+
+from ..data.submat import encode_aa
+from ..io.seqdb import SeqDB, DBTYPE_AA, DBTYPE_NUCL
+from ..ops.chain import collect_optimal_sets, make_potential_exon, PLUS
+from ..ops.orf import OrfExtractor
+from ..params import Params
+from ..search.driver import SearchDriver
+from .output import PredictionWriter
+from .reduce import reduce_redundancy
+
+
+def format_seq_id(seq_id):
+    """Util::fastSeqIdToBuffer (Util.cpp:222-251)."""
+    s = np.float32(seq_id)
+    if s == np.float32(1.0):
+        return "1.000"
+    out = "0."
+    if s < np.float32(0.10):
+        out += "0"
+    if s < np.float32(0.01):
+        out += "0"
+    return out + str(int(s * np.float32(1000)))
+
+
+def format_evalue(e):
+    """%.3E, identical to printf (Matcher.cpp:288)."""
+    return "%.3E" % e
+
+
+class EasyPredict:
+    """Runs the full pipeline and writes the four output files."""
+
+    def __init__(self, params=None):
+        self.params = params or Params()
+
+    def run(self, contigs_path, targets_path, out_prefix):
+        p = self.params
+        contigs = SeqDB.from_fasta(contigs_path, DBTYPE_NUCL)
+        targets = SeqDB.from_fasta(targets_path, DBTYPE_AA)
+        preds_per_contig = self.predict_exons(contigs, targets)
+        writer = PredictionWriter(out_prefix, p)
+        target_accs = [targets.accession(i) for i in range(len(targets))]
+        for ci in range(len(contigs)):
+            preds = preds_per_contig.get(ci, [])
+            if not preds:
+                continue
+            reps, _rows = reduce_redundancy(preds, p.overlap_allowed)
+            contig = contigs.seq(ci)
+            contig_acc = contigs.accession(ci)
+            self._write_contig(writer, reps, ci, contig_acc, target_accs,
+                               contig, len(contig), p)
+        writer.close()
+        return out_prefix
+
+    def predict_exons(self, contigs, targets):
+        """contig_idx -> list[Prediction] (collectoptimalset emission order)."""
+        p = self.params
+        extractor = OrfExtractor(p)
+        # --- extractorfs + translatenucs ---
+        orf_locs = []          # global fragment records, key = index
+        orf_aa = []
+        orf_contig = []
+        for ci in range(len(contigs)):
+            locs, frags = extractor.extract_contig(contigs.seq_bytes(ci), ci)
+            for loc, frag in zip(locs, frags):
+                orf_locs.append(loc)
+                aa = extractor.translate_fragment(frag)
+                orf_aa.append(aa)
+                orf_contig.append(ci)
+        if p.reverse_fragments:
+            orf_aa = [aa[::-1] for aa in orf_aa]
+
+        # --- search (batched SW on device) ---
+        driver = SearchDriver(p, targets)
+        hits = driver.search(orf_aa)
+        tot_aas = targets.total_residues()
+
+        # --- resultspercontig + collectoptimalset ---
+        orf_contig = np.asarray(orf_contig, dtype=np.int64)
+        preds_per_contig = {}
+        if len(hits) == 0:
+            return preds_per_contig
+        hit_contig = orf_contig[hits["orf_idx"]]
+        order = np.lexsort((hits["orf_idx"], hits["target_idx"], hit_contig))
+        hits = hits[order]
+        hit_contig = hit_contig[order]
+        for ci in np.unique(hit_contig):
+            sel = hits[hit_contig == ci]
+            groups = []
+            for tk in np.unique(sel["target_idx"]):
+                tsel = sel[sel["target_idx"] == tk]
+                plus_exons, minus_exons = [], []
+                for h in tsel:
+                    loc = orf_locs[h["orf_idx"]]
+                    exon = make_potential_exon(
+                        orf_key=int(h["orf_idx"]),
+                        target_key=int(tk),
+                        bit_score=int(h["bit_score"]),
+                        seq_id_text=format_seq_id(h["seq_id"]),
+                        evalue_text=format_evalue(h["evalue"]),
+                        orf_prot_start=int(h["q_start"]),
+                        orf_prot_end=int(h["q_end"]),
+                        target_match_start=int(h["t_start"]),
+                        target_match_end=int(h["t_end"]),
+                        target_len=int(h["t_len"]),
+                        contig_start_before_trim=loc.from_pos,
+                        contig_end_before_trim=loc.to_pos)
+                    (plus_exons if exon.strand == PLUS else minus_exons).append(exon)
+                groups.append((int(tk), plus_exons, minus_exons))
+            preds = collect_optimal_sets(groups, tot_aas, p)
+            if preds:
+                preds_per_contig[int(ci)] = preds
+        return preds_per_contig
+
+    def _write_contig(self, writer, reps, contig_key, contig_acc, target_accs,
+                      contig, contig_len, p):
+        """Streaming (targetKey, lowCoord)-grouped emission, plus before
+        minus per group (unitesetstofasta.cpp:449-567)."""
+        i = 0
+        while i < len(reps):
+            j = i
+            group_key = (reps[i].target_key, reps[i].low_contig_coord)
+            while j < len(reps) and \
+                    (reps[j].target_key, reps[j].low_contig_coord) == group_key:
+                j += 1
+            group = reps[i:j]
+            t_acc = (str(group_key[0]) if p.write_target_key
+                     else target_accs[group_key[0]])
+            for pred in [g for g in group if g.strand == PLUS] + \
+                        [g for g in group if g.strand != PLUS]:
+                writer.write_prediction(pred, contig_key, contig_acc, t_acc,
+                                        contig, contig_len)
+            i = j

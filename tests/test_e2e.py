@@ -1,0 +1,33 @@
+"""End-to-end parity: easy-predict outputs must be byte-identical to the
+reference MetaEuk binary's outputs on the committed fixture.
+
+Goldens in tests/golden/ were produced by the reference binary
+(soedinglab/metaeuk, built from /root/reference) with:
+  metaeuk createdb contigs.fna contigsDB --shuffle 0
+  metaeuk createdb proteins.faa targetsDB --shuffle 0
+  metaeuk easy-predict contigsDB targetsDB out tmp --threads 1
+"""
+
+import pathlib
+
+import pytest
+
+from metaeuk_tpu.params import Params
+from metaeuk_tpu.pipeline.predict import EasyPredict
+
+DATA = pathlib.Path(__file__).parent / "data"
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="module")
+def outputs(tmp_path_factory):
+    out = tmp_path_factory.mktemp("e2e") / "preds"
+    EasyPredict(Params()).run(DATA / "contigs.fna", DATA / "proteins.faa", str(out))
+    return out
+
+
+@pytest.mark.parametrize("suffix", ["fas", "codon.fas", "headersMap.tsv", "gff"])
+def test_easypredict_byte_parity(outputs, suffix):
+    mine = pathlib.Path(f"{outputs}.{suffix}").read_bytes()
+    golden = (GOLDEN / f"easypredict.{suffix}").read_bytes()
+    assert mine == golden
