@@ -1,11 +1,12 @@
-import os
+"""Test environment: a virtual 8-device CPU mesh.
 
-# Tests run on a virtual 8-device CPU mesh (sharding tests need the mesh;
-# everything else is faster on CPU than paying TPU compile latency).
-# The harness pre-sets JAX_PLATFORMS=axon, so force-override here — this
-# must happen before jax is imported.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+The image imports jax at interpreter startup (an `axon` .pth hook), so
+environment variables set here are too late — switch the platform through
+jax.config instead, before any backend is initialized. Sharding tests get
+8 virtual CPU devices; everything else avoids TPU compile latency.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
