@@ -14,10 +14,12 @@ path (data/workflow/blastp.sh:22-33); the k-mer prefilter plugs in as an
 alternative generator with the same contract.
 """
 
+import jax
 import numpy as np
 
 from ..data.submat import composition_bias_rounded, encode_aa
 from ..ops.sw_jax import sw_align_batch
+from ..ops.sw_pallas import sw_pallas_align_batch
 from .evalue import EvalueComputation
 
 HIT_DTYPE = np.dtype([
@@ -126,7 +128,10 @@ class SearchDriver:
             q_enc[k, :len(qe)] = qe
             q_bias[k, :len(qe)] = orf_bias[oi[k]]
             t_enc[k, :len(te)] = te
-        score, q_start, q_end, t_start, t_end = sw_align_batch(
+        # Pallas kernel on TPU; XLA column scan elsewhere (CPU tests)
+        align = (sw_align_batch if jax.default_backend() == "cpu"
+                 else sw_pallas_align_batch)
+        score, q_start, q_end, t_start, t_end = align(
             q_enc, q_bias, q_len, t_enc, t_len)
         out = np.zeros(B, dtype=HIT_DTYPE)
         out["orf_idx"] = oi
