@@ -1,0 +1,148 @@
+"""metaeuk-tpu command-line interface.
+
+Mirrors the reference binary's user-facing commands (src/metaeuk.cpp:21-96):
+easy-predict, predictexons(+reduceredundancy+unitesetstofasta fused),
+taxtocontig — with the reference's flag names (src/commons/
+LocalParameters.h:75-158) wherever the concept carries over.
+"""
+
+import argparse
+import dataclasses
+import sys
+
+from .params import Params
+
+
+def _add_predict_flags(p):
+    p.add_argument("--metaeuk-eval", type=float, default=0.001,
+                   help="max combined E-value of an optimal exon set")
+    p.add_argument("--metaeuk-tcov", type=float, default=0.5,
+                   help="min target coverage of an optimal exon set")
+    p.add_argument("--min-intron", type=int, default=15)
+    p.add_argument("--max-intron", type=int, default=10000)
+    p.add_argument("--min-exon-aa", type=int, default=11)
+    p.add_argument("--max-overlap", type=int, default=10)
+    p.add_argument("--max-exon-sets", type=int, default=1)
+    p.add_argument("--set-gap-open", type=int, default=-1)
+    p.add_argument("--set-gap-extend", type=int, default=-1)
+    p.add_argument("--reverse-fragments", action="store_true")
+    p.add_argument("--overlap", type=int, default=0,
+                   help="allow same-strand overlaps (1) or not (0)")
+    p.add_argument("--target-key", action="store_true",
+                   help="write target keys instead of accessions")
+    p.add_argument("--write-frag-coords", action="store_true")
+    p.add_argument("--len-scan-for-start", type=int, default=0)
+    p.add_argument("--translation-table", type=int, default=1)
+    p.add_argument("-e", "--evalue", type=float, default=100.0,
+                   help="search E-value threshold")
+    p.add_argument("--max-seqs", type=int, default=300)
+    p.add_argument("--prefilter-mode", choices=["exhaustive", "ungapped"],
+                   default="exhaustive")
+    p.add_argument("--min-ungapped-score", type=int, default=15)
+    p.add_argument("--comp-bias-corr", type=int, default=1)
+
+
+def _params_from_args(args):
+    return Params(
+        metaeuk_evalue_thr=args.metaeuk_eval,
+        metaeuk_tcov_thr=args.metaeuk_tcov,
+        min_intron_length=args.min_intron,
+        max_intron_length=args.max_intron,
+        min_exon_aa_length=args.min_exon_aa,
+        max_aa_overlap=args.max_overlap,
+        max_exon_sets=args.max_exon_sets,
+        set_gap_open_penalty=args.set_gap_open,
+        set_gap_extend_penalty=args.set_gap_extend,
+        reverse_fragments=args.reverse_fragments,
+        overlap_allowed=args.overlap,
+        write_target_key=args.target_key,
+        write_frag_coords=args.write_frag_coords,
+        len_scan_for_start=args.len_scan_for_start,
+        translation_table=args.translation_table,
+        search_evalue_thr=args.evalue,
+        max_res_list_len=args.max_seqs,
+        prefilter_mode=args.prefilter_mode,
+        min_diag_score=args.min_ungapped_score,
+        comp_bias_correction=bool(args.comp_bias_corr),
+        aln_len_thr=args.min_exon_aa,
+    )
+
+
+def cmd_easy_predict(args):
+    from .pipeline.predict import EasyPredict
+    EasyPredict(_params_from_args(args)).run(
+        args.contigs, args.targets, args.out_prefix)
+    print(f"wrote {args.out_prefix}.fas / .codon.fas / .headersMap.tsv / .gff")
+    return 0
+
+
+def cmd_taxtocontig(args):
+    from .io.seqdb import SeqDB, DBTYPE_AA
+    from .tax.ncbi import NcbiTaxonomy
+    from .tax.workflow import TaxToContig
+
+    params = Params(majority_thr=args.majority, vote_mode=args.vote_mode,
+                    search_evalue_thr=args.evalue)
+    targets = SeqDB.from_fasta(args.targets, DBTYPE_AA)
+    tax = NcbiTaxonomy.from_dumps(args.names_dmp, args.nodes_dmp,
+                                  args.merged_dmp)
+    taxids = [0] * len(targets)
+    acc_to_idx = {targets.accession(i): i for i in range(len(targets))}
+    with open(args.mapping) as f:
+        for line in f:
+            acc, taxid = line.split()[:2]
+            if acc in acc_to_idx:
+                taxids[acc_to_idx[acc]] = int(taxid)
+    TaxToContig(params, targets, taxids, tax).run(
+        args.preds_fasta, args.headers_map, args.out_base, mode=args.lca_mode)
+    print(f"wrote {args.out_base}_tax_per_pred.tsv / _tax_per_contig.tsv")
+    return 0
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="metaeuk-tpu",
+        description="TPU-native gene discovery (MetaEuk capabilities)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    ep = sub.add_parser("easy-predict",
+                        help="contigs + protein targets -> gene predictions")
+    ep.add_argument("contigs")
+    ep.add_argument("targets")
+    ep.add_argument("out_prefix")
+    ep.add_argument("tmp", nargs="?", help="ignored (single-process pipeline)")
+    _add_predict_flags(ep)
+    ep.set_defaults(fn=cmd_easy_predict)
+
+    tc = sub.add_parser("taxtocontig",
+                        help="assign taxonomy to predictions and contigs")
+    tc.add_argument("preds_fasta")
+    tc.add_argument("headers_map")
+    tc.add_argument("targets", help="taxonomy-annotated target FASTA")
+    tc.add_argument("mapping", help="TSV: target accession -> taxid")
+    tc.add_argument("names_dmp")
+    tc.add_argument("nodes_dmp")
+    tc.add_argument("out_base")
+    tc.add_argument("--merged-dmp", default=None)
+    tc.add_argument("--majority", type=float, default=0.5)
+    tc.add_argument("--vote-mode", type=int, default=1)
+    tc.add_argument("--lca-mode", choices=["top-hit", "approx-2blca", "lca"],
+                    default="approx-2blca")
+    tc.add_argument("-e", "--evalue", type=float, default=1.0)
+    tc.set_defaults(fn=cmd_taxtocontig)
+
+    bn = sub.add_parser("bench", help="run the SW throughput benchmark")
+    bn.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,6 +62,14 @@ class Params:
     tax_lineage: int = 0
     vote_mode: int = 1                    # aggregatetax default (weighted)
 
+    # --- prefilter ---
+    # "exhaustive": align every fragment x target (reference
+    #   --exhaustive-search / fake_pref, data/workflow/blastp.sh:22-33)
+    # "ungapped": brute-force gapless diagonal filter (reference
+    #   --prefilter-mode 1 / GPU mode, prefiltering/ungappedprefilter.cpp)
+    prefilter_mode: str = "exhaustive"
+    min_diag_score: int = 15              # --min-ungapped-score
+
     # --- execution ---
     threads: int = 0                      # 0 = auto
     batch_pairs: int = 16384              # device batch of SW pairs

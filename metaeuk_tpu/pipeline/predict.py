@@ -81,9 +81,15 @@ class EasyPredict:
         if p.reverse_fragments:
             orf_aa = [aa[::-1] for aa in orf_aa]
 
-        # --- search (batched SW on device) ---
+        # --- search (prefilter + batched SW on device) ---
         driver = SearchDriver(p, targets)
-        hits = driver.search(orf_aa)
+        if p.prefilter_mode == "ungapped":
+            from ..search.prefilter import UngappedPrefilter
+            pref = UngappedPrefilter(p, targets, p.min_diag_score)
+            pairs = pref.candidate_pairs(orf_aa)
+            hits = driver.search(orf_aa, pair_generator=pairs)
+        else:
+            hits = driver.search(orf_aa)
         tot_aas = targets.total_residues()
 
         # --- resultspercontig + collectoptimalset ---
