@@ -54,8 +54,13 @@ def scan_for_start_before_first_exon(pred, contig, scan_len):
     else:
         coord_begin = pred.high_contig_coord + 1
         pos_after_stop = pred.exons[0].contig_end_before_trim
-        if (pos_after_stop - pred.high_contig_coord) < scan_len_legal:
-            scan_len_legal = pos_after_stop - pred.high_contig_coord
+        # bug-compatible: the reference compares (int - unsigned) which wraps
+        # for the (always) negative difference, so the clamp never fires
+        # (unitesetstofasta.cpp:74: (posAfterStopCodon - pred.highContigCoord)
+        # promotes to size_t); keep the dead branch for exotic inputs only
+        diff = pos_after_stop - pred.high_contig_coord
+        if 0 <= diff < scan_len_legal:
+            scan_len_legal = diff
             if scan_len_legal % 3 != 0:
                 raise AssertionError("scanLenLegal mod 3 != 0")
     segment = bytes(contig[coord_begin:coord_begin + scan_len_legal])

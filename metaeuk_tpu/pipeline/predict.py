@@ -51,15 +51,29 @@ class EasyPredict:
         preds_per_contig = self.predict_exons(contigs, targets)
         writer = PredictionWriter(out_prefix, p)
         target_accs = [targets.accession(i) for i in range(len(targets))]
+        # emulate the reference's DB memory layout (seq + '\n' + '\0' per
+        # entry, entries adjacent): --len-scan-for-start can read past the
+        # contig end (unitesetstofasta.cpp:83 with the dead clamp at :74),
+        # and byte parity requires reading the same adjacent bytes
+        chunks = []
+        starts = []
+        pos = 0
+        for ci in range(len(contigs)):
+            starts.append(pos)
+            s = contigs.seq_bytes(ci)
+            chunks.append(s + b"\n\x00")
+            pos += len(s) + 2
+        db_buffer = np.frombuffer(b"".join(chunks), dtype=np.uint8)
         for ci in range(len(contigs)):
             preds = preds_per_contig.get(ci, [])
             if not preds:
                 continue
             reps, _rows = reduce_redundancy(preds, p.overlap_allowed)
-            contig = contigs.seq(ci)
+            contig_len = int(contigs.lengths[ci])
+            contig = db_buffer[starts[ci]:]
             contig_acc = contigs.accession(ci)
             self._write_contig(writer, reps, ci, contig_acc, target_accs,
-                               contig, len(contig), p)
+                               contig, contig_len, p)
         writer.close()
         return out_prefix
 
