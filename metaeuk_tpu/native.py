@@ -1,0 +1,103 @@
+"""ctypes bindings for the native C++ host layer (native/host_ops.cpp).
+
+Builds libmetaeuk_host.so on demand with g++ (cached next to the source);
+all entry points fall back to the Python implementations when the native
+library is unavailable, and the tests cross-check both paths.
+"""
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "host_ops.cpp"
+_SO = _SRC.parent / "libmetaeuk_host.so"
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_SO)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.orf_scan_strand.restype = ctypes.c_int64
+        lib.orf_scan_strand.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, u8p, i64p]
+        lib.chain_dp.restype = None
+        lib.chain_dp.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            i64p, i64p, i64p, i64p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def orf_scan_strand(seq_upper, stop_codons, min_len, max_len, max_gaps):
+    """Native strand scan; returns (from, to, inc_start, inc_end, close)
+    or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq_upper, dtype=np.uint8)
+    n = len(seq)
+    cap = n // 3 + 8
+    out_from = np.empty(cap, np.int64)
+    out_to = np.empty(cap, np.int64)
+    out_flags = np.empty(cap, np.uint8)
+    out_close = np.empty(cap, np.int64)
+    stops = np.frombuffer("".join(stop_codons).encode(), dtype=np.uint8).copy()
+    cnt = lib.orf_scan_strand(seq, n, stops, len(stop_codons),
+                              min_len, max_len, max_gaps,
+                              out_from, out_to, out_flags, out_close)
+    return (out_from[:cnt], out_to[:cnt],
+            (out_flags[:cnt] & 1).astype(bool),
+            (out_flags[:cnt] & 2).astype(bool), out_close[:cnt])
+
+
+def chain_dp(contig_start, contig_end, t_start, t_end, bit_score, aa_len,
+             target_len, params):
+    """Native chaining DP; returns (prev_id, path_score, best_last,
+    best_score) or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(contig_start)
+    arrs = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (contig_start, contig_end, t_start, t_end,
+                      bit_score, aa_len)]
+    prev_id = np.empty(n, np.int64)
+    path_score = np.empty(n, np.int64)
+    num_exons = np.empty(n, np.int64)
+    path_aa_len = np.empty(n, np.int64)
+    best_last = ctypes.c_int64()
+    best_score = ctypes.c_int64()
+    lib.chain_dp(n, *arrs, int(target_len),
+                 params.min_intron_length, params.max_intron_length,
+                 params.max_aa_overlap, params.set_gap_open_penalty,
+                 params.set_gap_extend_penalty, params.metaeuk_tcov_thr,
+                 prev_id, path_score, num_exons, path_aa_len,
+                 ctypes.byref(best_last), ctypes.byref(best_score))
+    return prev_id, path_score, int(best_last.value), int(best_score.value)

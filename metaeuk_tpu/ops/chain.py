@@ -133,12 +133,38 @@ def find_optimal_set(candidates, params):
         return 0, []
 
     target_len = candidates[0].target_len
+    p = params
+
+    # native O(n^2) DP when available (native/host_ops.cpp chain_dp)
+    from .. import native
+    nat = native.chain_dp(
+        np.array([e.contig_start for e in candidates]),
+        np.array([e.contig_end for e in candidates]),
+        np.array([e.target_match_start for e in candidates]),
+        np.array([e.target_match_end for e in candidates]),
+        np.array([e.bit_score for e in candidates]),
+        np.array([e.aa_len for e in candidates]),
+        target_len, p)
+    if nat is not None:
+        prev_id, _path_score, best_last, best_score = nat
+        if best_score == 0:
+            return 0, []
+        optimal = []
+        curr = best_last
+        while prev_id[curr] != curr:
+            optimal.append(candidates[curr])
+            candidates[curr].is_used = True
+            curr = int(prev_id[curr])
+        optimal.append(candidates[curr])
+        candidates[curr].is_used = True
+        optimal.reverse()
+        return int(best_score), optimal
+
     prev_id = np.arange(n, dtype=np.int64)
     path_score = np.array([e.bit_score for e in candidates], dtype=np.int64)
     num_exons = np.ones(n, dtype=np.int64)
     path_aa_len = np.array([e.aa_len for e in candidates], dtype=np.int64)
 
-    p = params
     best_score = 0
     best_last = 0
     for curr in range(n):

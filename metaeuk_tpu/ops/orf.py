@@ -62,9 +62,16 @@ def _gapn_mask(seq_upper):
     return bad[:-2] | bad[1:-1] | bad[2:]
 
 
-def _find_forward(seq_upper, min_len, max_len, max_gaps, stop_codon_codes):
+def _find_forward(seq_upper, min_len, max_len, max_gaps, stop_codon_codes,
+                  stop_codon_strs=None):
     """All fragments on one scanned strand; returns arrays
     (from, to, inc_start, inc_end, close_pos) in frame-interleaved scan order."""
+    if stop_codon_strs is not None:
+        from .. import native
+        nat = native.orf_scan_strand(seq_upper, stop_codon_strs,
+                                     min_len, max_len, max_gaps)
+        if nat is not None:
+            return nat
     L = len(seq_upper)
     stops = _stop_mask(seq_upper, stop_codon_codes)
     gapn = _gapn_mask(seq_upper)
@@ -141,7 +148,8 @@ class OrfExtractor:
             frames = p.forward_frames if strand == STRAND_PLUS else p.reverse_frames
             frs, tos, inc_s, inc_e, _ = _find_forward(
                 scan_upper, p.orf_min_length, p.orf_max_length,
-                p.orf_max_gaps, self.stop_codes)
+                p.orf_max_gaps, self.stop_codes,
+                stop_codon_strs=self.gencode.stop_codons)
             for i in range(len(frs)):
                 if (frs[i] % 3) + 1 not in frames:
                     continue

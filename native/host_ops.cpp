@@ -1,0 +1,185 @@
+// metaeuk_tpu native host layer.
+//
+// C++ implementations of the host-side hot loops that surround the TPU
+// compute path — the role the reference implements natively in
+// lib/mmseqs/src (OpenMP C++): six-frame fragment scanning
+// (Orf::findForward, commons/Orf.cpp:228-348) and the per-group exon
+// chaining dynamic program (findoptimalsetbydp,
+// src/exonpredictor/collectoptimalset.cpp:108-222).
+//
+// Exposed through a plain C ABI and loaded with ctypes
+// (metaeuk_tpu/native.py); the Python/numpy implementations remain as
+// fallback and oracle.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Six-frame stop-to-stop fragment scan (one strand).
+//
+// seq: uppercase ASCII (already U->T normalized), length n.
+// stop_codons: packed 3-byte codons, n_stops entries.
+// outputs (caller-allocated, capacity >= n/3 + 4):
+//   out_from, out_to, out_flags (bit0 incomplete start, bit1 incomplete end),
+//   out_close (scan-order key).
+// returns number of fragments emitted.
+int64_t orf_scan_strand(const uint8_t* seq, int64_t n,
+                        const uint8_t* stop_codons, int64_t n_stops,
+                        int64_t min_len, int64_t max_len, int64_t max_gaps,
+                        int64_t* out_from, int64_t* out_to,
+                        uint8_t* out_flags, int64_t* out_close) {
+    if (n < 3) return 0;
+    int64_t count = 0;
+    // per-position codon classification
+    std::vector<uint8_t> is_stop(n - 2, 0);
+    std::vector<uint8_t> is_gapn(n - 2, 0);
+    std::vector<uint8_t> bad(n, 0);
+    static uint8_t revcomp_ok[256];
+    static bool init_done = false;
+    if (!init_done) {
+        const char* pairs = "TVGH..CD..M.KN...YSAABW.R";
+        memset(revcomp_ok, 0, sizeof(revcomp_ok));
+        for (int i = 0; i < 25; i++) {
+            if (pairs[i] != '.') {
+                revcomp_ok['A' + i] = 1;
+                revcomp_ok['a' + i] = 1;
+            }
+        }
+        init_done = true;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = seq[i];
+        bad[i] = (c == 'N') || !revcomp_ok[c];
+    }
+    for (int64_t i = 0; i + 2 < n; i++) {
+        uint32_t tri = (uint32_t(seq[i]) << 16) | (uint32_t(seq[i + 1]) << 8)
+                       | seq[i + 2];
+        for (int64_t s = 0; s < n_stops; s++) {
+            const uint8_t* c = stop_codons + 3 * s;
+            uint32_t code = (uint32_t(c[0]) << 16) | (uint32_t(c[1]) << 8) | c[2];
+            if (tri == code) { is_stop[i] = 1; break; }
+        }
+        is_gapn[i] = bad[i] | bad[i + 1] | bad[i + 2];
+    }
+    for (int f = 0; f < 3; f++) {
+        int64_t run_start = -1;     // codon position of run start
+        int64_t run_len = 0, run_gaps = 0;
+        bool first_run = true;
+        int64_t last_pos = -1;
+        for (int64_t p = f; p + 2 < n; p += 3) {
+            last_pos = p;
+            if (is_stop[p]) {
+                if (run_len > 0 && run_gaps <= max_gaps &&
+                    run_len >= min_len && run_len <= max_len) {
+                    out_from[count] = run_start;
+                    out_to[count] = p - 1;
+                    out_flags[count] = first_run ? 1 : 0;  // !stop bit unset
+                    out_close[count] = p;
+                    count++;
+                }
+                run_start = -1; run_len = 0; run_gaps = 0; first_run = false;
+            } else {
+                if (run_start < 0) run_start = p;
+                run_len++;
+                if (is_gapn[p]) run_gaps++;
+            }
+        }
+        // close at the last complete codon (isLast, no stop)
+        if (run_len > 0 && run_gaps <= max_gaps &&
+            run_len >= min_len && run_len <= max_len) {
+            out_from[count] = run_start;
+            out_to[count] = last_pos + 2;
+            out_flags[count] = uint8_t((first_run ? 1 : 0) | 2);
+            out_close[count] = last_pos;
+            count++;
+        }
+    }
+    // stable sort by close position (scan emission order)
+    std::vector<int64_t> order(count);
+    for (int64_t i = 0; i < count; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return out_close[a] < out_close[b];
+    });
+    std::vector<int64_t> tf(count), tt(count), tc(count);
+    std::vector<uint8_t> tg(count);
+    for (int64_t i = 0; i < count; i++) {
+        tf[i] = out_from[order[i]]; tt[i] = out_to[order[i]];
+        tg[i] = out_flags[order[i]]; tc[i] = out_close[order[i]];
+    }
+    memcpy(out_from, tf.data(), count * sizeof(int64_t));
+    memcpy(out_to, tt.data(), count * sizeof(int64_t));
+    memcpy(out_flags, tg.data(), count * sizeof(uint8_t));
+    memcpy(out_close, tc.data(), count * sizeof(int64_t));
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// Exon chaining DP over one sorted candidate list
+// (findoptimalsetbydp inner loops, collectoptimalset.cpp:162-200).
+//
+// Candidates must already be sorted by (contigStart, contigEnd) with used
+// exons removed. Outputs prev_id/path_score per candidate plus the best
+// path end; the traceback stays in the caller.
+void chain_dp(int64_t n,
+              const int64_t* contig_start, const int64_t* contig_end,
+              const int64_t* t_start, const int64_t* t_end,
+              const int64_t* bit_score, const int64_t* aa_len,
+              int64_t target_len,
+              int64_t min_intron, int64_t max_intron, int64_t max_overlap,
+              int64_t gap_open, int64_t gap_extend, double tcov_thr,
+              int64_t* prev_id, int64_t* path_score, int64_t* num_exons,
+              int64_t* path_aa_len,
+              int64_t* best_last_out, int64_t* best_score_out) {
+    int64_t best_score = 0, best_last = 0;
+    for (int64_t i = 0; i < n; i++) {
+        prev_id[i] = i;
+        path_score[i] = bit_score[i];
+        num_exons[i] = 1;
+        path_aa_len[i] = aa_len[i];
+    }
+    for (int64_t curr = 0; curr < n; curr++) {
+        for (int64_t prev = 0; prev < curr; prev++) {
+            // isPairCompatible (collectoptimalset.cpp:36-82)
+            if (contig_end[curr] < contig_end[prev]) continue;
+            int64_t diff_contig = contig_start[curr] - contig_end[prev] - 1;
+            if (diff_contig < 0) continue;
+            if (diff_contig < min_intron || diff_contig > max_intron) continue;
+            int64_t diff_aas = t_start[curr] - t_end[prev] - 1;
+            int64_t aa_overlap = 0;
+            if (diff_aas < 0) {
+                aa_overlap = -diff_aas;
+                if (aa_overlap > max_overlap) continue;
+            }
+            if (t_start[curr] < t_start[prev]) continue;
+            // getPenaltyForProtCoords (:84-106)
+            int64_t cost;
+            if (diff_aas < 0) cost = gap_open + gap_extend * (-diff_aas - 1);
+            else if (diff_aas <= 1) cost = 0;
+            else cost = gap_open + gap_extend * (diff_aas - 1);
+            int64_t k = num_exons[prev] + 1;
+            int64_t bonus = (int64_t)std::log2((double)k);
+            int64_t cand = path_score[prev] + cost + bit_score[curr] + bonus;
+            if (cand > path_score[curr]) {
+                prev_id[curr] = prev;
+                path_score[curr] = cand;
+                num_exons[curr] = k;
+                path_aa_len[curr] = path_aa_len[prev] + aa_len[curr] - aa_overlap;
+            }
+        }
+        if ((double)path_aa_len[curr] / (double)target_len >= tcov_thr) {
+            if (path_score[curr] > best_score) {
+                best_last = curr;
+                best_score = path_score[curr];
+            }
+        }
+    }
+    *best_last_out = best_last;
+    *best_score_out = best_score;
+}
+
+}  // extern "C"
