@@ -76,6 +76,86 @@ def cmd_easy_predict(args):
     return 0
 
 
+def cmd_predictexons(args):
+    """contigs + targets -> DP-format predictions DB (MMseqs-compatible)."""
+    from .io.seqdb import SeqDB, DBTYPE_AA, DBTYPE_NUCL
+    from .io import mmseqsdb
+    from .pipeline.dpformat import predictions_payload
+    from .pipeline.predict import EasyPredict
+
+    p = _params_from_args(args)
+    contigs = (mmseqsdb.read_seqdb(args.contigs)
+               if pathlib_exists(f"{args.contigs}.dbtype")
+               else SeqDB.from_fasta(args.contigs, DBTYPE_NUCL))
+    targets = (mmseqsdb.read_seqdb(args.targets)
+               if pathlib_exists(f"{args.targets}.dbtype")
+               else SeqDB.from_fasta(args.targets, DBTYPE_AA))
+    preds = EasyPredict(p).predict_exons(contigs, targets)
+    mmseqsdb.write_db(args.out_db,
+                      ((ci, predictions_payload(preds.get(ci, [])))
+                       for ci in range(len(contigs))))
+    print(f"wrote {args.out_db} (DP-format predictions DB)")
+    return 0
+
+
+def cmd_reduceredundancy(args):
+    """DP-format predictions DB -> representative DB + cluster-map DB."""
+    from .io import mmseqsdb
+    from .ops.chain import PotentialExon, Prediction
+    from .pipeline.dpformat import cluster_rows_payload, predictions_payload
+    from .pipeline.reduce import reduce_redundancy
+
+    params_overlap = args.overlap
+    red, clust = [], []
+    for key, payload in mmseqsdb.read_db(args.in_db):
+        preds = _parse_dp_payload(payload)
+        reps, rows = reduce_redundancy(preds, params_overlap)
+        red.append((key, predictions_payload(reps)))
+        clust.append((key, cluster_rows_payload(rows)))
+    mmseqsdb.write_db(args.out_db, red)
+    mmseqsdb.write_db(args.clust_db, clust)
+    print(f"wrote {args.out_db} + {args.clust_db}")
+    return 0
+
+
+def _parse_dp_payload(payload):
+    """Parse 19-col DP-format lines back into Prediction objects
+    (Prediction::setByDPRes + addExon, PredictionParser.h:250-297)."""
+    from .ops.chain import PotentialExon, Prediction
+    preds = []
+    curr = None
+    curr_sig = None
+    for line in payload.decode().splitlines():
+        c = line.split("\t")
+        sig = (int(c[0]), int(c[1]), int(c[5]))  # target, strand, lowCoord
+        exon = PotentialExon(
+            exon_key=int(c[7]), target_key=int(c[0]), strand=int(c[1]),
+            bit_score=int(c[8]), seq_id_text=c[9], evalue_text=c[10],
+            target_match_start=int(c[11]), target_match_end=int(c[12]),
+            target_len=int(c[13]), contig_start=int(c[14]),
+            contig_end=int(c[15]), nucleotide_len=int(c[16]),
+            contig_start_before_trim=int(c[17]),
+            contig_end_before_trim=int(c[18]))
+        if sig != curr_sig:
+            curr = Prediction(
+                target_key=int(c[0]), strand=int(c[1]),
+                total_bitscore=int(c[2]), combined_evalue=float(c[3]),
+                combined_evalue_text=c[3], exons=[exon])
+            # setByDPRes takes the coords from the columns directly
+            curr.low_contig_coord = int(c[5])
+            curr.high_contig_coord = int(c[6])
+            preds.append(curr)
+            curr_sig = sig
+        else:
+            curr.exons.append(exon)
+    return preds
+
+
+def pathlib_exists(p):
+    import os
+    return os.path.exists(p)
+
+
 def cmd_taxtocontig(args):
     from .io.seqdb import SeqDB, DBTYPE_AA
     from .tax.ncbi import NcbiTaxonomy
@@ -119,6 +199,23 @@ def main(argv=None):
     ep.add_argument("tmp", nargs="?", help="ignored (single-process pipeline)")
     _add_predict_flags(ep)
     ep.set_defaults(fn=cmd_easy_predict)
+
+    pe = sub.add_parser("predictexons",
+                        help="contigs + targets -> DP-format predictions DB")
+    pe.add_argument("contigs", help="FASTA or MMseqs DB")
+    pe.add_argument("targets", help="FASTA or MMseqs DB")
+    pe.add_argument("out_db")
+    pe.add_argument("tmp", nargs="?")
+    _add_predict_flags(pe)
+    pe.set_defaults(fn=cmd_predictexons)
+
+    rr = sub.add_parser("reduceredundancy",
+                        help="DP predictions DB -> representatives + clusters")
+    rr.add_argument("in_db")
+    rr.add_argument("out_db")
+    rr.add_argument("clust_db")
+    rr.add_argument("--overlap", type=int, default=0)
+    rr.set_defaults(fn=cmd_reduceredundancy)
 
     tc = sub.add_parser("taxtocontig",
                         help="assign taxonomy to predictions and contigs")

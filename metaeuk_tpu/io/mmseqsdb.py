@@ -1,0 +1,78 @@
+"""MMseqs2 DB triple (data, .index, .dbtype) import/export shim.
+
+Interop with the reference ecosystem (DBReader/DBWriter,
+lib/mmseqs/src/commons/DBReader.h:56-120): index lines are
+"key<TAB>offset<TAB>length", data entries are NUL-terminated (length
+includes the trailing NUL). Used for stage-level parity testing and for
+consuming/producing reference-compatible artifacts.
+"""
+
+import os
+import struct
+
+DBTYPE_AA = 0
+DBTYPE_NUCL = 1
+DBTYPE_HMM_PROFILE = 2
+DBTYPE_ALIGNMENT_RES = 5
+DBTYPE_PREFILTER_RES = 7
+DBTYPE_GENERIC = 12
+
+
+def read_dbtype(path):
+    with open(f"{path}.dbtype", "rb") as f:
+        return struct.unpack("<i", f.read(4))[0] & 0xFFFF
+
+
+def read_db(path):
+    """Returns list of (key, payload_bytes) in index order; payload excludes
+    the trailing NUL."""
+    entries = []
+    with open(f"{path}.index") as f:
+        index = [tuple(int(x) for x in line.split("\t")) for line in f]
+    with open(path, "rb") as f:
+        data = f.read()
+    for key, offset, length in index:
+        payload = data[offset:offset + length]
+        if payload.endswith(b"\x00"):
+            payload = payload[:-1]
+        entries.append((key, payload))
+    return entries
+
+
+def write_db(path, entries, dbtype=DBTYPE_GENERIC):
+    """entries: iterable of (key, payload_bytes); appends the NUL terminator
+    and writes index/dbtype like DBWriter."""
+    with open(path, "wb") as data_f, open(f"{path}.index", "w") as idx_f:
+        offset = 0
+        for key, payload in entries:
+            blob = bytes(payload) + b"\x00"
+            data_f.write(blob)
+            idx_f.write(f"{key}\t{offset}\t{len(blob)}\n")
+            offset += len(blob)
+    with open(f"{path}.dbtype", "wb") as f:
+        f.write(struct.pack("<i", dbtype))
+
+
+def read_seqdb(path):
+    """Read a sequence DB (+_h headers) into a SeqDB."""
+    from .seqdb import SeqDB
+    import numpy as np
+    seq_entries = read_db(path)
+    try:
+        hdr_entries = read_db(f"{path}_h")
+        headers = [h.decode("utf-8", "replace").rstrip("\n") for _, h in hdr_entries]
+    except FileNotFoundError:
+        headers = [str(k) for k, _ in seq_entries]
+    seqs = [payload.rstrip(b"\n") for _, payload in seq_entries]
+    keys = [k for k, _ in seq_entries]
+    dbtype = read_dbtype(path)
+    return SeqDB.from_sequences(seqs, headers, dbtype=dbtype, keys=keys)
+
+
+def write_seqdb(path, seqdb, dbtype=None):
+    """Write a SeqDB as a reference-compatible sequence DB with headers."""
+    dbtype = seqdb.dbtype if dbtype is None else dbtype
+    write_db(path, ((int(k), seqdb.seq_bytes(i) + b"\n")
+                    for i, k in enumerate(seqdb.keys)), dbtype)
+    write_db(f"{path}_h", ((int(k), seqdb.headers[i].encode() + b"\n")
+                           for i, k in enumerate(seqdb.keys)), DBTYPE_GENERIC)

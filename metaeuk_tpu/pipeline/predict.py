@@ -123,11 +123,17 @@ class EasyPredict:
                 plus_exons, minus_exons = [], []
                 for h in tsel:
                     loc = orf_locs[h["orf_idx"]]
+                    # the reference re-parses and re-serializes the seqId text
+                    # between search and resultspercontig (strtod -> float ->
+                    # fastSeqIdToBuffer), which is lossy for values like
+                    # 0.511 -> 0.510; replicate that one round trip
+                    seq_id_text = format_seq_id(
+                        np.float32(float(format_seq_id(h["seq_id"]))))
                     exon = make_potential_exon(
                         orf_key=int(h["orf_idx"]),
                         target_key=int(tk),
                         bit_score=int(h["bit_score"]),
-                        seq_id_text=format_seq_id(h["seq_id"]),
+                        seq_id_text=seq_id_text,
                         evalue_text=format_evalue(h["evalue"]),
                         orf_prot_start=int(h["q_start"]),
                         orf_prot_end=int(h["q_end"]),
