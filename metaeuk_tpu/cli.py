@@ -71,7 +71,7 @@ def _params_from_args(args):
 def cmd_easy_predict(args):
     from .pipeline.predict import EasyPredict
     EasyPredict(_params_from_args(args)).run(
-        args.contigs, args.targets, args.out_prefix)
+        args.contigs, args.targets, args.out_prefix, tmp_dir=args.tmp)
     print(f"wrote {args.out_prefix}.fas / .codon.fas / .headersMap.tsv / .gff")
     return 0
 
@@ -196,7 +196,8 @@ def main(argv=None):
     ep.add_argument("contigs")
     ep.add_argument("targets")
     ep.add_argument("out_prefix")
-    ep.add_argument("tmp", nargs="?", help="ignored (single-process pipeline)")
+    ep.add_argument("tmp", nargs="?", default=None,
+                    help="checkpoint dir (stage artifacts, resumable)")
     _add_predict_flags(ep)
     ep.set_defaults(fn=cmd_easy_predict)
 

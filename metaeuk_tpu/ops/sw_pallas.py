@@ -150,10 +150,11 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
     return best[0], q_end[0], t_end[0]
 
 
-def pad_batch(q_enc, q_bias, q_len, t_enc, t_len):
-    """Pad the batch dim to a multiple of TB with zero-length pairs."""
+def pad_batch(q_enc, q_bias, q_len, t_enc, t_len, multiple=TB):
+    """Pad the batch dim to a multiple (TB, or TB*n_devices) with
+    zero-length pairs."""
     B = q_enc.shape[0]
-    Bp = ((B + TB - 1) // TB) * TB
+    Bp = ((B + multiple - 1) // multiple) * multiple
     if Bp == B:
         return q_enc, q_bias, q_len, t_enc, t_len, B
     pad = Bp - B
@@ -191,13 +192,37 @@ def _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret):
     return score, q_start, q_end, t_start, t_end
 
 
+def _sharded_align(n_dev):
+    """shard_map of _align_full over a 1D fragment-batch mesh: pure data
+    parallelism over pairs (every pair's DP is independent)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("pairs",))
+
+    def fn(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt):
+        local = jax.shard_map(
+            lambda *a: _align_full(*a, Lq, Lt, False),
+            mesh=mesh,
+            in_specs=(P("pairs"),) * 5,
+            out_specs=(P("pairs"),) * 5,
+            check_vma=False)
+        return local(q_enc, q_bias, q_len, t_enc, t_len)
+
+    return fn
+
+
 def sw_pallas_align_batch(q_enc, q_bias, q_len, t_enc, t_len, interpret=False):
     """Full batched alignment via the Pallas kernel (ends + reverse-prefix
-    starts); drop-in for sw_jax.sw_align_batch."""
+    starts); drop-in for sw_jax.sw_align_batch. Uses all available devices
+    data-parallel over the pair batch."""
+    n_dev = len(jax.devices()) if not interpret else 1
     q_enc, q_bias, q_len, t_enc, t_len, B = pad_batch(
         np.asarray(q_enc, np.int32), np.asarray(q_bias, np.int32),
         np.asarray(q_len, np.int32), np.asarray(t_enc, np.int32),
-        np.asarray(t_len, np.int32))
+        np.asarray(t_len, np.int32), multiple=TB * n_dev)
     Lq, Lt = int(q_enc.shape[1]), int(t_enc.shape[1])
-    out = _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret)
+    if n_dev > 1:
+        out = _sharded_align(n_dev)(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt)
+    else:
+        out = _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret)
     return tuple(np.asarray(o)[:B] for o in out)

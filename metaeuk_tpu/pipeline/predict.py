@@ -8,6 +8,8 @@ in-memory numpy tables instead of mmap'd DB files; contig/target/fragment
 keys are assigned in input order (reference createdb with --shuffle 0).
 """
 
+import os
+
 import numpy as np
 
 from ..data.submat import encode_aa
@@ -16,6 +18,7 @@ from ..ops.chain import collect_optimal_sets, make_potential_exon, PLUS
 from ..ops.orf import OrfExtractor
 from ..params import Params
 from ..search.driver import SearchDriver
+from ..utils import log
 from .output import PredictionWriter
 from .reduce import reduce_redundancy
 
@@ -44,11 +47,35 @@ class EasyPredict:
     def __init__(self, params=None):
         self.params = params or Params()
 
-    def run(self, contigs_path, targets_path, out_prefix):
+    def run(self, contigs_path, targets_path, out_prefix, tmp_dir=None):
+        """Full easy-predict. With tmp_dir set, the DP-predictions stage
+        artifact is checkpointed and reused on re-runs (the reference's
+        notExists-guarded resumability, data/predictexons.sh:40-88)."""
         p = self.params
-        contigs = SeqDB.from_fasta(contigs_path, DBTYPE_NUCL)
-        targets = SeqDB.from_fasta(targets_path, DBTYPE_AA)
-        preds_per_contig = self.predict_exons(contigs, targets)
+        timer = log.StageTimer()
+        with timer.stage("load contigs+targets"):
+            contigs = SeqDB.from_fasta(contigs_path, DBTYPE_NUCL)
+            targets = SeqDB.from_fasta(targets_path, DBTYPE_AA)
+        dp_ckpt = os.path.join(tmp_dir, "dp_predictions") if tmp_dir else None
+        if dp_ckpt and os.path.exists(f"{dp_ckpt}.dbtype"):
+            with timer.stage("resume dp_predictions"):
+                from ..io import mmseqsdb
+                from .dpformat import predictions_payload
+                from ..cli import _parse_dp_payload
+                preds_per_contig = {
+                    key: _parse_dp_payload(payload)
+                    for key, payload in mmseqsdb.read_db(dp_ckpt) if payload}
+                log.info(f"resumed {dp_ckpt}")
+        else:
+            with timer.stage("predictexons"):
+                preds_per_contig = self.predict_exons(contigs, targets)
+            if dp_ckpt:
+                os.makedirs(tmp_dir, exist_ok=True)
+                from ..io import mmseqsdb
+                from .dpformat import predictions_payload
+                mmseqsdb.write_db(
+                    dp_ckpt, ((ci, predictions_payload(preds_per_contig.get(ci, [])))
+                              for ci in range(len(contigs))))
         writer = PredictionWriter(out_prefix, p)
         target_accs = [targets.accession(i) for i in range(len(targets))]
         # emulate the reference's DB memory layout (seq + '\n' + '\0' per
@@ -64,17 +91,23 @@ class EasyPredict:
             chunks.append(s + b"\n\x00")
             pos += len(s) + 2
         db_buffer = np.frombuffer(b"".join(chunks), dtype=np.uint8)
-        for ci in range(len(contigs)):
-            preds = preds_per_contig.get(ci, [])
-            if not preds:
-                continue
-            reps, _rows = reduce_redundancy(preds, p.overlap_allowed)
-            contig_len = int(contigs.lengths[ci])
-            contig = db_buffer[starts[ci]:]
-            contig_acc = contigs.accession(ci)
-            self._write_contig(writer, reps, ci, contig_acc, target_accs,
-                               contig, contig_len, p)
+        n_written = 0
+        with timer.stage("reduceredundancy+write"):
+            for ci in range(len(contigs)):
+                preds = preds_per_contig.get(ci, [])
+                if not preds:
+                    continue
+                reps, _rows = reduce_redundancy(preds, p.overlap_allowed)
+                n_written += len(reps)
+                contig_len = int(contigs.lengths[ci])
+                contig = db_buffer[starts[ci]:]
+                contig_acc = contigs.accession(ci)
+                self._write_contig(writer, reps, ci, contig_acc, target_accs,
+                                   contig, contig_len, p)
         writer.close()
+        log.info(f"contigs: {len(contigs)}  targets: {len(targets)}  "
+                 f"predictions written: {n_written}")
+        timer.report()
         return out_prefix
 
     def predict_exons(self, contigs, targets):
