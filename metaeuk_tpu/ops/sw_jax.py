@@ -125,6 +125,48 @@ def sw_batch_starts(q_enc, q_bias, q_len, t_enc, Lq, Lt,
     return sw_batch_ends(qr, br, qr_len, tr, Lq, Lt, t_len=tr_len)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def sw_batch_ends_prof(prof, q_len, t_enc, Lq, Lt, t_len=None):
+    """Forward SW with a caller-provided position-specific score profile
+    (PSSM query, e.g. HMM-profile vs sequence; the PROFILE_SEQ path of
+    ssw_align, StripedSmithWaterman.cpp:296-299)."""
+    prof = prof.astype(jnp.int32)
+    qmask = jnp.arange(Lq)[None, :] < q_len[:, None]
+    prof = jnp.where(qmask[:, :, None], prof, NEG)
+    t_oh = jax.nn.one_hot(t_enc, 21, dtype=jnp.int32)
+    S = _build_scores(prof, t_oh)
+    tmask = jnp.arange(Lt)[None, :] < t_len[:, None]
+    S = jnp.where(tmask[:, None, :], S, NEG)
+    return _scan_columns(S, tmask)
+
+
+def sw_align_batch_prof(prof, q_len, t_enc, t_len):
+    """Full batched PSSM-vs-sequence alignment (ends + reverse starts)."""
+    prof = jnp.asarray(prof, jnp.int32)
+    q_len = jnp.asarray(q_len, jnp.int32)
+    t_enc = jnp.asarray(t_enc, jnp.int32)
+    t_len = jnp.asarray(t_len, jnp.int32)
+    Lq, Lt = int(prof.shape[1]), int(t_enc.shape[1])
+    score, q_end, t_end = sw_batch_ends_prof(prof, q_len, t_enc, Lq, Lt,
+                                             t_len=t_len)
+    qe = jnp.maximum(q_end, 0)
+    te = jnp.maximum(t_end, 0)
+    iq = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    it = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    q_rev_idx = jnp.maximum(qe[:, None] - iq, 0)
+    t_rev_idx = jnp.maximum(te[:, None] - it, 0)
+    prof_rev = jnp.take_along_axis(prof, q_rev_idx[:, :, None], axis=1)
+    tr = jnp.take_along_axis(t_enc, t_rev_idx, axis=1)
+    score2, qr_end, tr_end = sw_batch_ends_prof(
+        prof_rev, (qe + 1).astype(jnp.int32), tr, Lq, Lt,
+        t_len=(te + 1).astype(jnp.int32))
+    aligned = (t_end >= 0) & (score > 0)
+    q_start = jnp.where(aligned, qe - qr_end, -1)
+    t_start = jnp.where(aligned, te - tr_end, -1)
+    return (np.asarray(score), np.asarray(q_start), np.asarray(q_end),
+            np.asarray(t_start), np.asarray(t_end))
+
+
 def sw_align_batch(q_enc, q_bias, q_len, t_enc, t_len):
     """Full batched alignment (host wrapper): ends + reverse-pass starts.
 

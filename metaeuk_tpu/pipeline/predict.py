@@ -41,6 +41,25 @@ def format_evalue(e):
     return "%.3E" % e
 
 
+def load_sequence_input(path, default_dbtype):
+    """FASTA file or MMseqs sequence-DB path."""
+    if os.path.exists(f"{path}.dbtype"):
+        from ..io import mmseqsdb
+        return mmseqsdb.read_seqdb(path)
+    return SeqDB.from_fasta(path, default_dbtype)
+
+
+def load_target_input(path):
+    """FASTA, MMseqs sequence DB, or MMseqs HMM-profile DB."""
+    if os.path.exists(f"{path}.dbtype"):
+        from ..io import mmseqsdb
+        from ..io.profiledb import ProfileDB, DBTYPE_HMM_PROFILE
+        if mmseqsdb.read_dbtype(path) == DBTYPE_HMM_PROFILE:
+            return ProfileDB.from_db(path)
+        return mmseqsdb.read_seqdb(path)
+    return SeqDB.from_fasta(path, DBTYPE_AA)
+
+
 class EasyPredict:
     """Runs the full pipeline and writes the four output files."""
 
@@ -54,8 +73,8 @@ class EasyPredict:
         p = self.params
         timer = log.StageTimer()
         with timer.stage("load contigs+targets"):
-            contigs = SeqDB.from_fasta(contigs_path, DBTYPE_NUCL)
-            targets = SeqDB.from_fasta(targets_path, DBTYPE_AA)
+            contigs = load_sequence_input(contigs_path, DBTYPE_NUCL)
+            targets = load_target_input(targets_path)
         dp_ckpt = os.path.join(tmp_dir, "dp_predictions") if tmp_dir else None
         if dp_ckpt and os.path.exists(f"{dp_ckpt}.dbtype"):
             with timer.stage("resume dp_predictions"):
@@ -129,15 +148,25 @@ class EasyPredict:
             orf_aa = [aa[::-1] for aa in orf_aa]
 
         # --- search (prefilter + batched SW on device) ---
-        driver = SearchDriver(p, targets)
-        if p.prefilter_mode == "ungapped":
-            from ..search.prefilter import UngappedPrefilter
-            pref = UngappedPrefilter(p, targets, p.min_diag_score)
-            pairs = pref.candidate_pairs(orf_aa)
-            hits = driver.search(orf_aa, pair_generator=pairs)
+        from ..io.profiledb import ProfileDB
+        is_profile = isinstance(targets, ProfileDB)
+        if is_profile:
+            # --exhaustive-search inverted profile mode
+            from ..search.profile_search import ProfileSearchDriver
+            hits = ProfileSearchDriver(p, targets).search(orf_aa)
         else:
-            hits = driver.search(orf_aa)
+            driver = SearchDriver(p, targets)
+            if p.prefilter_mode == "ungapped":
+                from ..search.prefilter import UngappedPrefilter
+                pref = UngappedPrefilter(p, targets, p.min_diag_score)
+                pairs = pref.candidate_pairs(orf_aa)
+                hits = driver.search(orf_aa, pair_generator=pairs)
+            else:
+                hits = driver.search(orf_aa)
         tot_aas = targets.total_residues()
+        # profile results pass through one extra text round trip
+        # (swapresults re-serializes before resultspercontig)
+        seqid_rounds = 2 if is_profile else 1
 
         # --- resultspercontig + collectoptimalset ---
         orf_contig = np.asarray(orf_contig, dtype=np.int64)
@@ -160,8 +189,9 @@ class EasyPredict:
                     # between search and resultspercontig (strtod -> float ->
                     # fastSeqIdToBuffer), which is lossy for values like
                     # 0.511 -> 0.510; replicate that one round trip
-                    seq_id_text = format_seq_id(
-                        np.float32(float(format_seq_id(h["seq_id"]))))
+                    seq_id_text = format_seq_id(h["seq_id"])
+                    for _ in range(seqid_rounds):
+                        seq_id_text = format_seq_id(np.float32(float(seq_id_text)))
                     exon = make_potential_exon(
                         orf_key=int(h["orf_idx"]),
                         target_key=int(tk),

@@ -1,0 +1,137 @@
+"""Profile-target search (the --exhaustive-search sliced-profile mode).
+
+Replicates the reference's inverted profile search
+(workflow/Search.cpp:357-400 + data/workflow/searchslicedtargetprofile.sh):
+profiles act as queries against the fragment DB (PROFILE_SEQ alignment,
+no composition bias), the E-value threshold is scaled by
+(#fragments / #profiles), and swapresults re-keys hits per fragment,
+recomputing the E-value from the integer bit score with the profile-side
+residue count (Matcher::result_t::swapResult, Matcher.h:94-115;
+swapresults.cpp:76, :273).
+"""
+
+import numpy as np
+
+from ..data.submat import encode_aa
+from ..ops.sw_jax import sw_align_batch_prof
+from .driver import HIT_DTYPE, estimate_seq_id
+from .evalue import EvalueComputation
+
+CELL_BUDGET = 1 << 24
+
+
+def _bucket(n, lo=32):
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ProfileSearchDriver:
+    """Aligns encoded fragments against an HMM-profile DB (inverted)."""
+
+    def __init__(self, params, profile_db):
+        self.params = params
+        self.profiles = profile_db
+        self.profile_lens = np.array([len(p) for p in profile_db.pssms], np.int64)
+
+    def search(self, orf_aa_seqs):
+        p = self.params
+        orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
+        orf_lens = np.array([len(e) for e in orfs_enc], np.int64)
+        n_orfs = len(orfs_enc)
+        n_prof = len(self.profiles)
+        if n_orfs == 0 or n_prof == 0:
+            return np.zeros(0, dtype=HIT_DTYPE)
+
+        # evaluers: inverted pass vs swapped results (swapresults.cpp:76)
+        total_orf_res = int(orf_lens.sum())
+        ev_inv = EvalueComputation(total_orf_res, gapped=True)
+        ev_swap = EvalueComputation(self.profiles.total_residues(), gapped=True)
+        # Search.cpp:366-368: evalThr *= (float)queryDbSize/targetDbSize
+        scaled_thr = p.search_evalue_thr * float(
+            np.float32(np.float32(n_orfs) / np.float32(n_prof)))
+
+        pi = np.repeat(np.arange(n_prof, dtype=np.int64), n_orfs)
+        oi = np.tile(np.arange(n_orfs, dtype=np.int64), n_prof)
+        keep = (orf_lens[oi] > 0) & (self.profile_lens[pi] > 0)
+        pi, oi = pi[keep], oi[keep]
+
+        lq_b = np.array([_bucket(l) for l in self.profile_lens])[pi]
+        lt_b = np.array([_bucket(max(l, 1)) for l in orf_lens])[oi]
+        parts = []
+        for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
+            sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
+            cap = max(8, CELL_BUDGET // (Lq * Lt))
+            for s in range(0, len(sel), cap):
+                chunk = sel[s:s + cap]
+                parts.append(self._align_chunk(
+                    pi[chunk], oi[chunk], orfs_enc, orf_lens, Lq, Lt))
+        hits = np.concatenate(parts) if parts else np.zeros(0, HIT_DTYPE)
+        return self._filter_swap_sort(hits, ev_inv, ev_swap, scaled_thr)
+
+    def _align_chunk(self, pi, oi, orfs_enc, orf_lens, Lq, Lt):
+        B = len(pi)
+        prof = np.zeros((B, Lq, 21), np.int32)
+        q_len = np.zeros(B, np.int32)
+        t_enc = np.zeros((B, Lt), np.int32)
+        t_len = np.zeros(B, np.int32)
+        for k in range(B):
+            pssm = self.profiles.pssms[pi[k]]
+            prof[k, :len(pssm)] = pssm
+            q_len[k] = len(pssm)
+            te = orfs_enc[oi[k]]
+            t_enc[k, :len(te)] = te
+            t_len[k] = len(te)
+        score, q_start, q_end, t_start, t_end = sw_align_batch_prof(
+            prof, q_len, t_enc, t_len)
+        out = np.zeros(B, dtype=HIT_DTYPE)
+        # store inverted-orientation coords; swapped later
+        out["orf_idx"] = oi
+        out["target_idx"] = pi
+        out["score_raw"] = score
+        out["q_start"], out["q_end"], out["q_len"] = q_start, q_end, q_len
+        out["t_start"], out["t_end"], out["t_len"] = t_start, t_end, t_len
+        return out
+
+    def _filter_swap_sort(self, hits, ev_inv, ev_swap, scaled_thr):
+        p = self.params
+        score = hits["score_raw"].astype(np.float64)
+        # inverted pass: evalue over the profile length
+        eval_inv = ev_inv.compute_evalue(score, hits["q_len"].astype(np.float64))
+        bit = ev_inv.compute_bit_score_int(score)
+        q_aln = np.maximum(hits["q_end"] - hits["q_start"], 1)
+        t_aln = np.maximum(hits["t_end"] - hits["t_start"], 1)
+        seq_id = estimate_seq_id(hits["score_raw"], q_aln, t_aln)
+        aligned = (hits["t_end"] >= 0) & (hits["score_raw"] > 0) \
+            & (hits["t_start"] >= 0)
+        aln_len = np.maximum(np.abs(hits["q_end"] - hits["q_start"]),
+                             np.abs(hits["t_end"] - hits["t_start"])) + 1
+        ok = (aligned & (eval_inv <= scaled_thr) & (seq_id >= p.seq_id_thr)
+              & (aln_len >= p.aln_len_thr))
+        hits = hits[ok]
+        bit = bit[ok]
+        seq_id = seq_id[ok]
+
+        # swapResult (Matcher.h:94-115): raw from the integer bit score,
+        # evalue over the fragment length with profile-side residue count
+        import math
+        raw2 = (ev_swap.log_k + bit.astype(np.float64) * math.log(2.0)) \
+            / ev_swap.p["lam"]
+        eval_swap = ev_swap.compute_evalue(raw2, hits["t_len"].astype(np.float64))
+
+        out = np.zeros(len(hits), dtype=HIT_DTYPE)
+        out["orf_idx"] = hits["orf_idx"]
+        out["target_idx"] = hits["target_idx"]
+        out["score_raw"] = hits["score_raw"]
+        out["bit_score"] = bit
+        out["seq_id"] = seq_id
+        out["evalue"] = eval_swap
+        # swapped orientation: fragment is the query now
+        out["q_start"], out["q_end"] = hits["t_start"], hits["t_end"]
+        out["q_len"] = hits["t_len"]
+        out["t_start"], out["t_end"] = hits["q_start"], hits["q_end"]
+        out["t_len"] = hits["q_len"]
+        order = np.lexsort((out["target_idx"], out["t_len"],
+                            -out["bit_score"], out["evalue"], out["orf_idx"]))
+        return out[order]
