@@ -15,3 +15,22 @@ Pipeline (mirrors reference easy-predict, /root/reference/data/easypredict.sh):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — kernel compiles are expensive on
+    tunneled TPU links; cache them across runs."""
+    import os
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "METAEUK_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "metaeuk_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

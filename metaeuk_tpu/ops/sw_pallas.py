@@ -35,10 +35,16 @@ BIG = 10 ** 6
 GO = 11
 GE = 1
 TB = 128          # pairs per tile (lanes)
-TJ = 128          # target columns per grid step
 
 
-def _dp_kernel(Lq, Lt, s_ref, qlen_ref, tlen_ref,
+def _tj_for(Lq):
+    """Target columns per grid step, sized so the streamed int8 score
+    block (TJ, Lq, TB) stays ~<=4MB of VMEM (double-buffered by the grid
+    pipeline within the ~16MB budget)."""
+    return max(8, min(256, (1 << 22) // (Lq * TB)))
+
+
+def _dp_kernel(Lq, Lt, TJ, s_ref, qlen_ref, tlen_ref,
                best_out, qend_out, tend_out,
                h_ref, e_ref, best_ref, qend_ref, tend_ref):
     j_chunk = pl.program_id(1)
@@ -109,6 +115,7 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
     zero-length pairs)."""
     B = q_enc.shape[0]
     assert B % TB == 0, B
+    TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
     submat = jnp.asarray(BLOSUM62_SCORES, dtype=jnp.int32)
     prof = (submat[q_enc] + q_bias[:, :, None]).astype(jnp.float32)  # (B,Lq,21)
@@ -122,7 +129,7 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
 
     nb = B // TB
     nj = Lt_pad // TJ
-    kernel = functools.partial(_dp_kernel, Lq, Lt_pad)
+    kernel = functools.partial(_dp_kernel, Lq, Lt_pad, TJ)
     best, q_end, t_end = pl.pallas_call(
         kernel,
         grid=(nb, nj),

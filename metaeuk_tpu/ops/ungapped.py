@@ -24,7 +24,11 @@ from ..data.submat import BLOSUM62_SCORES
 
 NEG = -(10 ** 6)
 TB = 128
-TJ = 128
+
+
+def _tj_for(Lq):
+    """Column-chunk size bounding the streamed score block to ~4MB VMEM."""
+    return max(8, min(256, (1 << 22) // (Lq * TB)))
 
 
 def _build_S(q_enc, q_bias, q_len, t_enc, Lq):
@@ -37,7 +41,7 @@ def _build_S(q_enc, q_bias, q_len, t_enc, Lq):
                       preferred_element_type=jnp.float32).astype(jnp.int8)
 
 
-def _gapless_kernel(Lq, s_ref, qlen_ref, tlen_ref, best_out, d_ref, best_ref):
+def _gapless_kernel(Lq, TJ, s_ref, qlen_ref, tlen_ref, best_out, d_ref, best_ref):
     j_chunk = pl.program_id(1)
 
     @pl.when(j_chunk == 0)
@@ -76,12 +80,13 @@ def gapless_scores_pallas(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
     """Max gapless diagonal score per padded pair. B % 128 == 0."""
     B = q_enc.shape[0]
     assert B % TB == 0
+    TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
     S = _build_S(q_enc, q_bias, q_len, t_enc, Lq)
     S = jnp.pad(S, ((0, Lt_pad - Lt), (0, 0), (0, 0)))
     qlen2 = q_len.reshape(1, B).astype(jnp.int32)
     tlen2 = t_len.reshape(1, B).astype(jnp.int32)
-    kernel = functools.partial(_gapless_kernel, Lq)
+    kernel = functools.partial(_gapless_kernel, Lq, TJ)
     best = pl.pallas_call(
         kernel,
         grid=(B // TB, Lt_pad // TJ),
@@ -130,6 +135,40 @@ def gapless_scores_xla(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=None):
     best0 = jnp.zeros(B, jnp.int32)
     (D, best), _ = jax.lax.scan(step, (D0, best0), jnp.moveaxis(S, 2, 0))
     return best
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def gapless_gathered_jit(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
+                         Lq, Lt, use_pallas):
+    """Device-side pair gather + gapless scoring in one dispatch."""
+    valid = li >= 0
+    li = jnp.maximum(li, 0)
+    q_enc = q_mat[li]
+    q_bias = qb_mat[li]
+    q_len = jnp.where(valid, q_lens[li], 0)
+    t_enc = t_mat[lj]
+    t_len = jnp.where(valid, t_lens[lj], 0)
+    if use_pallas:
+        return gapless_scores_pallas(q_enc, q_bias, q_len, t_enc, Lq, Lt,
+                                     False, t_len=t_len)
+    return gapless_scores_xla(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len)
+
+
+def gapless_scores_gathered(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj):
+    """Deferred (device-array) gapless scores for index-pair lists."""
+    use_pallas = jax.default_backend() != "cpu"
+    mult = TB if use_pallas else 8
+    B = len(li)
+    Bp = ((B + mult - 1) // mult) * mult
+    li_p = np.full(Bp, -1, np.int32)
+    lj_p = np.zeros(Bp, np.int32)
+    li_p[:B] = li
+    lj_p[:B] = lj
+    Lq, Lt = int(q_mat.shape[1]), int(t_mat.shape[1])
+    return gapless_gathered_jit(
+        q_mat, qb_mat, jnp.asarray(q_lens, jnp.int32), t_mat,
+        jnp.asarray(t_lens, jnp.int32), jnp.asarray(li_p), jnp.asarray(lj_p),
+        Lq, Lt, use_pallas)
 
 
 def gapless_scores(q_enc, q_bias, q_len, t_enc, t_len, interpret=False):

@@ -132,8 +132,10 @@ class EasyPredict:
     def predict_exons(self, contigs, targets):
         """contig_idx -> list[Prediction] (collectoptimalset emission order)."""
         p = self.params
+        timer = log.StageTimer()
         extractor = OrfExtractor(p)
         # --- extractorfs + translatenucs ---
+        timer_ctx = timer.stage("extractorfs+translate"); timer_ctx.__enter__()
         orf_locs = []          # global fragment records, key = index
         orf_aa = []
         orf_contig = []
@@ -146,6 +148,8 @@ class EasyPredict:
                 orf_contig.append(ci)
         if p.reverse_fragments:
             orf_aa = [aa[::-1] for aa in orf_aa]
+        timer_ctx.__exit__(None, None, None)
+        log.info(f"fragments: {len(orf_aa)}")
 
         # --- search (prefilter + batched SW on device) ---
         from ..io.profiledb import ProfileDB
@@ -153,16 +157,21 @@ class EasyPredict:
         if is_profile:
             # --exhaustive-search inverted profile mode
             from ..search.profile_search import ProfileSearchDriver
-            hits = ProfileSearchDriver(p, targets).search(orf_aa)
+            with timer.stage("profile search"):
+                hits = ProfileSearchDriver(p, targets).search(orf_aa)
         else:
             driver = SearchDriver(p, targets)
             if p.prefilter_mode == "ungapped":
                 from ..search.prefilter import UngappedPrefilter
-                pref = UngappedPrefilter(p, targets, p.min_diag_score)
-                pairs = pref.candidate_pairs(orf_aa)
-                hits = driver.search(orf_aa, pair_generator=pairs)
+                with timer.stage("ungapped prefilter"):
+                    pref = UngappedPrefilter(p, targets, p.min_diag_score)
+                    pairs = pref.candidate_pairs(orf_aa)
+                log.info(f"prefilter pairs kept: {len(pairs)}")
+                with timer.stage("align"):
+                    hits = driver.search(orf_aa, pair_generator=pairs)
             else:
-                hits = driver.search(orf_aa)
+                with timer.stage("align (exhaustive)"):
+                    hits = driver.search(orf_aa)
         tot_aas = targets.total_residues()
         # profile results pass through one extra text round trip
         # (swapresults re-serializes before resultspercontig)
@@ -177,6 +186,7 @@ class EasyPredict:
         order = np.lexsort((hits["orf_idx"], hits["target_idx"], hit_contig))
         hits = hits[order]
         hit_contig = hit_contig[order]
+        timer_chain = timer.stage("collectoptimalset"); timer_chain.__enter__()
         for ci in np.unique(hit_contig):
             sel = hits[hit_contig == ci]
             groups = []
@@ -210,6 +220,7 @@ class EasyPredict:
             preds = collect_optimal_sets(groups, tot_aas, p)
             if preds:
                 preds_per_contig[int(ci)] = preds
+        timer_chain.__exit__(None, None, None)
         return preds_per_contig
 
     def _write_contig(self, writer, reps, contig_key, contig_acc, target_accs,

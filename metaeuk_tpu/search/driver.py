@@ -38,14 +38,29 @@ HIT_DTYPE = np.dtype([
 ])
 
 # device batch budget in DP cells per launch (S tensor = cells * 4 bytes)
-CELL_BUDGET = 1 << 24
+CELL_BUDGET = 1 << 27
 
 
-def _bucket(n, lo=32):
+def _bucket(n, lo=64):
+    """Coarse length buckets (x4 steps) to bound compile count."""
     b = lo
     while b < n:
-        b *= 2
+        b *= 4
     return b
+
+
+def pad_rows(seqs, width, dtype=np.int32):
+    """Stack variable-length rows into one padded matrix (vectorized)."""
+    n = len(seqs)
+    out = np.zeros((n, width), dtype)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    flat = np.concatenate([np.asarray(s) for s in seqs]) if lens.sum() else \
+        np.zeros(0, dtype)
+    mask = np.arange(width)[None, :] < lens[:, None]
+    out[mask] = flat
+    return out
 
 
 def estimate_seq_id(score, q_aln_len, t_aln_len):
@@ -54,6 +69,63 @@ def estimate_seq_id(score, q_aln_len, t_aln_len):
     est = (np.float64(np.float32(score).astype(np.float32) / m)
            * 0.1656 + 0.1141).astype(np.float32)
     return np.clip(est, np.float32(0.0), np.float32(1.0))
+
+
+import functools
+
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _gathered_align_jit(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
+                        Lq, Lt, use_pallas):
+    """Device-side pair gather + full alignment in one dispatch."""
+    # padded tail pairs are flagged by li < 0
+    valid = li >= 0
+    li = jnp.maximum(li, 0)
+    q_enc = q_mat[li]
+    q_bias = qb_mat[li]
+    q_len = q_lens[li]
+    t_enc = t_mat[lj]
+    t_len = t_lens[lj]
+    q_len = jnp.where(valid, q_len, 0)
+    t_len = jnp.where(valid, t_len, 0)
+    if use_pallas:
+        from ..ops.sw_pallas import _align_full
+        return _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, False)
+    from ..ops.sw_jax import sw_batch_ends, sw_batch_starts
+    score, q_end, t_end = sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt,
+                                        t_len=t_len)
+    qe = jnp.maximum(q_end, 0)
+    te = jnp.maximum(t_end, 0)
+    score2, qr_end, tr_end = sw_batch_starts(
+        q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len, q_end=qe, t_end=te)
+    aligned = (t_end >= 0) & (score > 0)
+    q_start = jnp.where(aligned, qe - qr_end, -1)
+    t_start = jnp.where(aligned, te - tr_end, -1)
+    return score, q_start, q_end, t_start, t_end
+
+
+def _gathered_align(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
+                    fixed_b=None):
+    use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from ..ops.sw_pallas import TB
+        mult = TB
+    else:
+        mult = 8
+    B = len(li)
+    Bp = ((max(B, fixed_b or 0) + mult - 1) // mult) * mult
+    li_p = np.full(Bp, -1, np.int32)
+    lj_p = np.zeros(Bp, np.int32)
+    li_p[:B] = li
+    lj_p[:B] = lj
+    Lq, Lt = int(q_mat.shape[1]), int(t_mat.shape[1])
+    outs = _gathered_align_jit(
+        q_mat, qb_mat, jnp.asarray(q_lens, jnp.int32), t_mat,
+        jnp.asarray(t_lens, jnp.int32), jnp.asarray(li_p),
+        jnp.asarray(lj_p), Lq, Lt, use_pallas)
+    return outs
 
 
 class SearchDriver:
@@ -97,49 +169,69 @@ class SearchDriver:
         if len(oi) == 0:
             return np.zeros(0, dtype=HIT_DTYPE)
 
-        # bucket by padded shapes
-        lq_b = np.array([_bucket(l) for l in orf_lens])[oi]
-        lt_b = np.array([_bucket(l) for l in self.target_lens])[ti]
+        # stage per-bucket padded matrices ONCE (device-side gather per
+        # chunk keeps the host out of the per-pair path)
+        lq_of = np.array([_bucket(max(l, 1)) for l in orf_lens])
+        lt_of = np.array([_bucket(max(l, 1)) for l in self.target_lens])
+        lq_b, lt_b = lq_of[oi], lt_of[ti]
         hits_parts = []
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
+            q_ids = np.unique(oi[sel])
+            t_ids = np.unique(ti[sel])
+            # stage on device once per bucket (repeated host->device
+            # uploads dominate on high-latency links otherwise)
+            q_mat = jnp.asarray(pad_rows([orfs_enc[i] for i in q_ids], Lq))
+            qb_mat = jnp.asarray(pad_rows([orf_bias[i] for i in q_ids], Lq))
+            q_lens = orf_lens[q_ids].astype(np.int32)
+            q_lens_dev = jnp.asarray(q_lens)
+            t_mat = jnp.asarray(pad_rows([self.targets_enc[i] for i in t_ids], Lt))
+            t_lens = self.target_lens[t_ids].astype(np.int32)
+            t_lens_dev = jnp.asarray(t_lens)
+            q_remap = np.zeros(int(q_ids.max()) + 1, np.int32)
+            q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
+            t_remap = np.zeros(int(t_ids.max()) + 1, np.int32)
+            t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
             batch_cap = max(8, CELL_BUDGET // (Lq * Lt))
             for s in range(0, len(sel), batch_cap):
                 chunk = sel[s:s + batch_cap]
+                # fixed chunk shape per bucket -> exactly one compile
+                fixed = batch_cap if len(sel) > batch_cap else None
                 hits_parts.append(self._align_chunk(
-                    oi[chunk], ti[chunk], orfs_enc, orf_bias, Lq, Lt))
+                    oi[chunk], ti[chunk], q_remap, t_remap,
+                    q_mat, qb_mat, q_lens, q_lens_dev, t_mat, t_lens,
+                    t_lens_dev, fixed_b=fixed))
         if not hits_parts:
             return np.zeros(0, dtype=HIT_DTYPE)
-        hits = np.concatenate(hits_parts)
+        # one concatenated device->host fetch for all chunks
+        cat = [np.asarray(jnp.concatenate([p[4][k] for p in hits_parts]))
+               for k in range(5)]
+        offs = np.cumsum([0] + [p[4][0].shape[0] for p in hits_parts])
+        resolved = []
+        for idx, (oi_c, ti_c, q_len_c, t_len_c, _outs) in enumerate(hits_parts):
+            B = len(oi_c)
+            sl = slice(offs[idx], offs[idx] + B)
+            out = np.zeros(B, dtype=HIT_DTYPE)
+            out["orf_idx"] = oi_c
+            out["target_idx"] = ti_c
+            out["score_raw"] = cat[0][sl]
+            out["q_start"], out["q_end"] = cat[1][sl], cat[2][sl]
+            out["q_len"] = q_len_c
+            out["t_start"], out["t_end"] = cat[3][sl], cat[4][sl]
+            out["t_len"] = t_len_c
+            resolved.append(out)
+        hits = np.concatenate(resolved)
         return self._filter_and_sort(hits)
 
-    def _align_chunk(self, oi, ti, orfs_enc, orf_bias, Lq, Lt):
-        B = len(oi)
-        q_enc = np.zeros((B, Lq), np.int32)
-        q_bias = np.zeros((B, Lq), np.int32)
-        t_enc = np.zeros((B, Lt), np.int32)
-        q_len = np.zeros(B, np.int32)
-        t_len = np.zeros(B, np.int32)
-        for k in range(B):
-            qe = orfs_enc[oi[k]]
-            te = self.targets_enc[ti[k]]
-            q_len[k] = len(qe)
-            t_len[k] = len(te)
-            q_enc[k, :len(qe)] = qe
-            q_bias[k, :len(qe)] = orf_bias[oi[k]]
-            t_enc[k, :len(te)] = te
-        # Pallas kernel on TPU; XLA column scan elsewhere (CPU tests)
-        align = (sw_align_batch if jax.default_backend() == "cpu"
-                 else sw_pallas_align_batch)
-        score, q_start, q_end, t_start, t_end = align(
-            q_enc, q_bias, q_len, t_enc, t_len)
-        out = np.zeros(B, dtype=HIT_DTYPE)
-        out["orf_idx"] = oi
-        out["target_idx"] = ti
-        out["score_raw"] = score
-        out["q_start"], out["q_end"], out["q_len"] = q_start, q_end, q_len
-        out["t_start"], out["t_end"], out["t_len"] = t_start, t_end, t_len
-        return out
+    def _align_chunk(self, oi, ti, q_remap, t_remap,
+                     q_mat, qb_mat, q_lens, q_lens_dev, t_mat, t_lens,
+                     t_lens_dev, fixed_b=None):
+        """Submit one chunk; returns deferred device outputs (no fetch)."""
+        li = q_remap[oi]
+        lj = t_remap[ti]
+        outs = _gathered_align(q_mat, qb_mat, q_lens_dev, t_mat, t_lens_dev,
+                               li, lj, fixed_b=fixed_b)
+        return oi, ti, q_lens[li], t_lens[lj], outs
 
     def _filter_and_sort(self, hits):
         p = self.params

@@ -31,7 +31,7 @@ class UngappedPrefilter:
                             for i in range(len(target_db))]
         self.target_lens = np.array([len(t) for t in self.targets_enc], np.int64)
 
-    def candidate_pairs(self, orf_aa_seqs, block_cells=1 << 24):
+    def candidate_pairs(self, orf_aa_seqs, block_cells=1 << 27):
         """Returns an (n_pairs, 2) int64 array of (orf_idx, target_idx),
         ordered per fragment by (score desc, target_idx asc), top max-seqs."""
         p = self.params
@@ -47,38 +47,54 @@ class UngappedPrefilter:
         orf_lens = np.array([len(e) for e in orfs_enc], np.int64)
         scores = np.zeros((n_orfs, n_targets), dtype=np.int32)
 
-        # group by padded length buckets, then run blocked cross products
+        # group by padded length buckets; stage each bucket's padded
+        # matrices once and gather pairs on device; fetch scores at the end
+        from .driver import pad_rows
+        from ..ops.ungapped import gapless_scores_gathered
         q_buckets = np.array([_bucket(max(l, 1)) for l in orf_lens])
         t_buckets = np.array([_bucket(max(l, 1)) for l in self.target_lens])
+        pending = []
+        import jax.numpy as jnp
         for Lq in np.unique(q_buckets):
             qi_all = np.flatnonzero(q_buckets == Lq)
+            q_mat = jnp.asarray(pad_rows([orfs_enc[i] for i in qi_all], Lq))
+            qb_mat = jnp.asarray(pad_rows([orf_bias[i] for i in qi_all], Lq))
+            q_lens = jnp.asarray(orf_lens[qi_all], jnp.int32)
             for Lt in np.unique(t_buckets):
                 ti_all = np.flatnonzero(t_buckets == Lt)
-                # block sizes bounded by the device cell budget
-                per_pair = Lq * Lt
-                max_pairs = max(8, block_cells // per_pair)
-                nq_blk = max(1, int(np.sqrt(max_pairs)))
-                nt_blk = max(1, max_pairs // nq_blk)
-                for qs in range(0, len(qi_all), nq_blk):
-                    q_blk = qi_all[qs:qs + nq_blk]
-                    q_enc = np.zeros((len(q_blk), Lq), np.int32)
-                    q_bias = np.zeros((len(q_blk), Lq), np.int32)
-                    for k, qi in enumerate(q_blk):
-                        q_enc[k, :orf_lens[qi]] = orfs_enc[qi]
-                        q_bias[k, :orf_lens[qi]] = orf_bias[qi]
-                    for ts in range(0, len(ti_all), nt_blk):
-                        t_blk = ti_all[ts:ts + nt_blk]
-                        t_enc = np.zeros((len(t_blk), Lt), np.int32)
-                        for k, ti in enumerate(t_blk):
-                            t_enc[k, :self.target_lens[ti]] = self.targets_enc[ti]
-                        # cross product
-                        oi = np.repeat(np.arange(len(q_blk)), len(t_blk))
-                        ti2 = np.tile(np.arange(len(t_blk)), len(q_blk))
-                        s = gapless_scores(
-                            q_enc[oi], q_bias[oi], orf_lens[q_blk][oi],
-                            t_enc[ti2], self.target_lens[t_blk][ti2])
-                        scores[np.ix_(q_blk, t_blk)] = s.reshape(
-                            len(q_blk), len(t_blk))
+                t_mat = jnp.asarray(pad_rows([self.targets_enc[i] for i in ti_all], Lt))
+                t_lens = jnp.asarray(self.target_lens[ti_all], jnp.int32)
+                max_pairs = max(8, block_cells // (Lq * Lt))
+                n_pairs = len(qi_all) * len(ti_all)
+                li_full = np.repeat(np.arange(len(qi_all), dtype=np.int32),
+                                    len(ti_all))
+                lj_full = np.tile(np.arange(len(ti_all), dtype=np.int32),
+                                  len(qi_all))
+                for s in range(0, n_pairs, max_pairs):
+                    li = li_full[s:s + max_pairs]
+                    lj = lj_full[s:s + max_pairs]
+                    # fixed chunk shape per bucket -> exactly one compile
+                    if len(li) < max_pairs:
+                        pad = max_pairs - len(li)
+                        li = np.concatenate([li, np.full(pad, -1, np.int32)])
+                        lj = np.concatenate([lj, np.zeros(pad, np.int32)])
+                        li, lj = li, lj
+                        n_real = n_pairs - s
+                    else:
+                        n_real = max_pairs
+                    out = gapless_scores_gathered(
+                        q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj)
+                    pending.append((qi_all, ti_all, li[:n_real], lj[:n_real], out))
+        if pending:
+            # one concatenated device->host fetch instead of per-chunk trips
+            import jax.numpy as jnp2
+            all_scores = np.asarray(jnp2.concatenate([o for *_, o in pending]))
+            off = 0
+            for qi_all, ti_all, li, lj, out in pending:
+                n_full = out.shape[0]
+                s = all_scores[off:off + n_full][:len(li)]
+                scores[qi_all[li], ti_all[lj]] = s
+                off += n_full
 
         pairs = []
         max_seqs = p.max_res_list_len
