@@ -36,7 +36,7 @@ def _add_predict_flags(p):
     p.add_argument("-e", "--evalue", type=float, default=100.0,
                    help="search E-value threshold")
     p.add_argument("--max-seqs", type=int, default=300)
-    p.add_argument("--prefilter-mode", choices=["exhaustive", "ungapped"],
+    p.add_argument("--prefilter-mode", choices=["exhaustive", "ungapped", "kmer"],
                    default="exhaustive")
     p.add_argument("--min-ungapped-score", type=int, default=15)
     p.add_argument("--comp-bias-corr", type=int, default=1)

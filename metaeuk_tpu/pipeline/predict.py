@@ -161,10 +161,14 @@ class EasyPredict:
                 hits = ProfileSearchDriver(p, targets).search(orf_aa)
         else:
             driver = SearchDriver(p, targets)
-            if p.prefilter_mode == "ungapped":
-                from ..search.prefilter import UngappedPrefilter
-                with timer.stage("ungapped prefilter"):
+            if p.prefilter_mode in ("ungapped", "kmer"):
+                if p.prefilter_mode == "ungapped":
+                    from ..search.prefilter import UngappedPrefilter
                     pref = UngappedPrefilter(p, targets, p.min_diag_score)
+                else:
+                    from ..search.kmer_prefilter import KmerPrefilter
+                    pref = KmerPrefilter(p, targets, p.min_diag_score)
+                with timer.stage(f"{p.prefilter_mode} prefilter"):
                     pairs = pref.candidate_pairs(orf_aa)
                 log.info(f"prefilter pairs kept: {len(pairs)}")
                 with timer.stage("align"):

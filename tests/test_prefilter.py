@@ -77,3 +77,31 @@ def test_ungapped_prefilter_pipeline_matches_exhaustive():
         mine = pathlib.Path(f"{out}.fas").read_bytes()
     golden = (GOLDEN / "easypredict.fas").read_bytes()
     assert mine == golden
+
+
+def test_kmer_prefilter_pipeline_matches_exhaustive():
+    """K-mer prefilter keeps all true candidates on the fixture ->
+    identical final predictions."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/preds"
+        EasyPredict(Params(prefilter_mode="kmer")).run(
+            DATA / "contigs.fna", DATA / "proteins.faa", out)
+        mine = pathlib.Path(f"{out}.fas").read_bytes()
+    golden = (GOLDEN / "easypredict.fas").read_bytes()
+    assert mine == golden
+
+
+def test_kmer_index_basics():
+    from metaeuk_tpu.search.kmer_prefilter import KmerIndex, seq_kmers
+    import numpy as np
+    enc = np.array([0, 1, 2, 3, 4, 5, 6, 7], np.int64)
+    codes, pos = seq_kmers(enc, 6)
+    assert len(codes) == 3 and list(pos) == [0, 1, 2]
+    # X-containing k-mers dropped
+    enc[2] = 20
+    codes2, pos2 = seq_kmers(enc, 6)
+    assert len(codes2) == 0
+    idx = KmerIndex([np.array([0, 1, 2, 3, 4, 5, 6, 7], np.int64)])
+    lo, hi = idx.lookup(codes)
+    assert (hi - lo).tolist() == [1, 1, 1]
