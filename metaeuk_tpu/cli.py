@@ -156,6 +156,94 @@ def pathlib_exists(p):
     return os.path.exists(p)
 
 
+def cmd_search(args):
+    """Protein vs protein/profile search -> alignment DB (+ optional m8)."""
+    from .io.seqdb import DBTYPE_AA
+    from .io import mmseqsdb
+    from .pipeline.alnformat import hit_to_m8_line, hits_to_aln_db_entries
+    from .pipeline.predict import load_sequence_input, load_target_input
+    from .search.driver import SearchDriver
+
+    p = _params_from_args(args)
+    queries = load_sequence_input(args.queries, DBTYPE_AA)
+    targets = load_target_input(args.targets)
+    query_seqs = [queries.seq_bytes(i) for i in range(len(queries))]
+    from .io.profiledb import ProfileDB
+    if isinstance(targets, ProfileDB):
+        from .search.profile_search import ProfileSearchDriver
+        hits = ProfileSearchDriver(p, targets).search(query_seqs)
+    else:
+        driver = SearchDriver(p, targets)
+        if p.prefilter_mode == "ungapped":
+            from .search.prefilter import UngappedPrefilter
+            pairs = UngappedPrefilter(p, targets, p.min_diag_score) \
+                .candidate_pairs(query_seqs)
+            hits = driver.search(query_seqs, pair_generator=pairs)
+        elif p.prefilter_mode == "kmer":
+            from .search.kmer_prefilter import KmerPrefilter
+            pairs = KmerPrefilter(p, targets, p.min_diag_score) \
+                .candidate_pairs(query_seqs)
+            hits = driver.search(query_seqs, pair_generator=pairs)
+        else:
+            hits = driver.search(query_seqs)
+    mmseqsdb.write_db(args.out_db,
+                      hits_to_aln_db_entries(hits, len(queries)),
+                      mmseqsdb.DBTYPE_ALIGNMENT_RES)
+    if args.m8:
+        with open(args.m8, "w") as f:
+            for hit in hits:
+                f.write(hit_to_m8_line(
+                    hit, queries.accession(int(hit["orf_idx"])),
+                    targets.accession(int(hit["target_idx"]))))
+    print(f"wrote {args.out_db}" + (f" + {args.m8}" if args.m8 else ""))
+    return 0
+
+
+def cmd_convertalis(args):
+    """Alignment DB -> BLAST-m8 TSV (convertalignments equivalent)."""
+    from .io.seqdb import DBTYPE_AA
+    from .io import mmseqsdb
+    from .pipeline.predict import load_sequence_input, load_target_input
+
+    queries = load_sequence_input(args.queries, DBTYPE_AA)
+    targets = load_target_input(args.targets)
+    t_acc = {int(k): targets.accession(i)
+             for i, k in enumerate(getattr(targets, "keys", range(len(targets))))}
+    with open(args.out_tsv, "w") as f:
+        for key, payload in mmseqsdb.read_db(args.aln_db):
+            q_acc = queries.accession(queries.id_of_key(key)
+                                      if hasattr(queries, "id_of_key") else key)
+            for line in payload.decode().splitlines():
+                c = line.split("\t")
+                aln_len = max(abs(int(c[5]) - int(c[4])),
+                              abs(int(c[8]) - int(c[7]))) + 1
+                mismatch = int(round(aln_len * (1.0 - float(c[2]))))
+                f.write(f"{q_acc}\t{t_acc[int(c[0])]}\t{c[2]}\t{aln_len}\t"
+                        f"{mismatch}\t0\t{int(c[4])+1}\t{int(c[5])+1}\t"
+                        f"{int(c[7])+1}\t{int(c[8])+1}\t{c[3]}\t{c[1]}\n")
+    print(f"wrote {args.out_tsv}")
+    return 0
+
+
+def cmd_createtsv(args):
+    """DB entries + headers -> TSV (createtsv equivalent)."""
+    from .io.seqdb import DBTYPE_AA
+    from .io import mmseqsdb
+    from .pipeline.predict import load_sequence_input
+
+    db = load_sequence_input(args.seq_db, DBTYPE_AA) \
+        if pathlib_exists(f"{args.seq_db}_h.dbtype") or \
+        pathlib_exists(f"{args.seq_db}_h") else None
+    with open(args.out_tsv, "w") as f:
+        for key, payload in mmseqsdb.read_db(args.data_db):
+            acc = (db.accession(db.id_of_key(key)) if db is not None else str(key))
+            text = payload.decode()
+            for line in text.splitlines():
+                f.write(f"{acc}\t{line}\n")
+    print(f"wrote {args.out_tsv}")
+    return 0
+
+
 def cmd_taxtocontig(args):
     from .io.seqdb import SeqDB, DBTYPE_AA
     from .tax.ncbi import NcbiTaxonomy
@@ -217,6 +305,28 @@ def main(argv=None):
     rr.add_argument("clust_db")
     rr.add_argument("--overlap", type=int, default=0)
     rr.set_defaults(fn=cmd_reduceredundancy)
+
+    se = sub.add_parser("search", help="protein search -> alignment DB / m8")
+    se.add_argument("queries", help="FASTA or MMseqs DB")
+    se.add_argument("targets", help="FASTA, MMseqs DB, or profile DB")
+    se.add_argument("out_db")
+    se.add_argument("tmp", nargs="?")
+    se.add_argument("--m8", default=None, help="also write BLAST-m8 TSV")
+    _add_predict_flags(se)
+    se.set_defaults(fn=cmd_search)
+
+    ca = sub.add_parser("convertalis", help="alignment DB -> BLAST-m8 TSV")
+    ca.add_argument("queries")
+    ca.add_argument("targets")
+    ca.add_argument("aln_db")
+    ca.add_argument("out_tsv")
+    ca.set_defaults(fn=cmd_convertalis)
+
+    ct = sub.add_parser("createtsv", help="DB + headers -> TSV")
+    ct.add_argument("seq_db")
+    ct.add_argument("data_db")
+    ct.add_argument("out_tsv")
+    ct.set_defaults(fn=cmd_createtsv)
 
     tc = sub.add_parser("taxtocontig",
                         help="assign taxonomy to predictions and contigs")
