@@ -261,8 +261,16 @@ def cmd_taxtocontig(args):
             acc, taxid = line.split()[:2]
             if acc in acc_to_idx:
                 taxids[acc_to_idx[acc]] = int(taxid)
+    contig_accs = None
+    if args.contigs:
+        from .pipeline.predict import load_sequence_input
+        from .io.seqdb import DBTYPE_NUCL
+        cdb = load_sequence_input(args.contigs, DBTYPE_NUCL)
+        contig_accs = {int(k): cdb.accession(i)
+                       for i, k in enumerate(cdb.keys)}
     TaxToContig(params, targets, taxids, tax).run(
-        args.preds_fasta, args.headers_map, args.out_base, mode=args.lca_mode)
+        args.preds_fasta, args.headers_map, args.out_base, mode=args.lca_mode,
+        contig_accessions=contig_accs)
     print(f"wrote {args.out_base}_tax_per_pred.tsv / _tax_per_contig.tsv")
     return 0
 
@@ -338,6 +346,8 @@ def main(argv=None):
     tc.add_argument("nodes_dmp")
     tc.add_argument("out_base")
     tc.add_argument("--merged-dmp", default=None)
+    tc.add_argument("--contigs", default=None,
+                    help="contigs FASTA/DB for per-contig TSV accessions")
     tc.add_argument("--majority", type=float, default=0.5)
     tc.add_argument("--vote-mode", type=int, default=1)
     tc.add_argument("--lca-mode", choices=["top-hit", "approx-2blca", "lca"],

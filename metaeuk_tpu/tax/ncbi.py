@@ -39,8 +39,17 @@ class WeightedTaxHit:
         if vote_mode == AGG_TAX_UNIFORM:
             self.weight = 1.0
         elif vote_mode == AGG_TAX_MINUS_LOG_EVAL:
-            self.weight = -math.log(value) if 0 < value != float("inf") \
-                else (MAX_TAX_WEIGHT if value == 0 else value)
+            # the reference carries the E-value as a 32-bit float
+            # (WeightedTaxHit(…, const float evalue, …)), so values below
+            # ~1e-38 underflow to 0 and become MAX_TAX_WEIGHT
+            import numpy as np
+            v = float(np.float32(value))
+            if v == float("inf") or (v != v):
+                self.weight = v
+            elif v > 0:
+                self.weight = -math.log(v)
+            else:
+                self.weight = MAX_TAX_WEIGHT
         elif vote_mode == AGG_TAX_SCORE:
             self.weight = value
         else:

@@ -19,10 +19,11 @@ from .ncbi import (AGG_TAX_MINUS_LOG_EVAL, DEFAULT_BLACKLIST, WeightedTaxHit)
 
 
 def _round2(x):
-    """SSTR(roundf(x*100)/100) formatting: float with up to 2 decimals,
-    printed like C++ ostream<<float (6 significant digits)."""
-    v = round(x * 100) / 100
-    return "%g" % v
+    """SSTR(roundf(x*100)/100): round half away from zero at 2 decimals,
+    printed %.3f (Util.cpp:668-670)."""
+    import math
+    v = math.floor(x * 100 + 0.5) if x >= 0 else -math.floor(-x * 100 + 0.5)
+    return "%.3f" % (v / 100.0)
 
 
 class TaxonomyAssigner:
@@ -55,14 +56,17 @@ class TaxonomyAssigner:
                 if any(self.tax.is_ancestor(b, taxon) for b in self.blacklist):
                     continue
                 if best_eval is None:
-                    best_eval = float(h["evalue"])
+                    # the reference reads the weight from the %.3E-serialized
+                    # alignment record (aggregatetax.cpp:100)
+                    best_eval = float("%.3E" % h["evalue"])
                 if mode == "top-hit":
                     taxa.append(taxon)
                     break
                 elif mode == "approx-2blca":
                     # hits whose E-value ties the best (filterdb --beats-first
-                    # on the evalue column, workflow/taxonomy.sh:35-40)
-                    if float(h["evalue"]) <= best_eval:
+                    # on the evalue column, workflow/taxonomy.sh:35-40);
+                    # both sides are parsed from %.3E text like filterdb
+                    if float("%.3E" % h["evalue"]) <= best_eval:
                         taxa.append(taxon)
                 else:  # "lca": LCA over all accepted hits
                     taxa.append(taxon)
@@ -108,7 +112,10 @@ class TaxToContig:
                                          taxonomy)
         self.tax = taxonomy
 
-    def run(self, preds_fasta, headers_map_tsv, out_base, mode="approx-2blca"):
+    def run(self, preds_fasta, headers_map_tsv, out_base, mode="approx-2blca",
+            contig_accessions=None):
+        """contig_accessions: contig key -> accession (for the per-contig
+        TSV keys, like createtsv over the contigs DB); keys used if None."""
         from ..io.fasta import read_fasta
         headers, seqs = [], []
         for h, s in read_fasta(preds_fasta):
@@ -134,5 +141,7 @@ class TaxToContig:
                 line = aggregate_contig(self.tax, per_contig[ck],
                                         self.params.majority_thr,
                                         self.params.vote_mode)
-                f.write(f"{ck}\t{line}\n")
+                acc = (contig_accessions.get(ck, str(ck))
+                       if contig_accessions else str(ck))
+                f.write(f"{acc}\t{line}\n")
         return out_base
