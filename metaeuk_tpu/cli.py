@@ -156,6 +156,120 @@ def pathlib_exists(p):
     return os.path.exists(p)
 
 
+def cmd_extractorfs(args):
+    """Six-frame fragment extraction -> nucleotide fragment DB + headers."""
+    from .io.seqdb import DBTYPE_NUCL
+    from .io import mmseqsdb
+    from .ops.orf import OrfExtractor, orf_header_fields
+    from .pipeline.predict import load_sequence_input
+
+    p = _params_from_args(args) if hasattr(args, "metaeuk_eval") else Params()
+    p = dataclasses.replace(p, orf_min_length=args.min_length,
+                            orf_max_length=args.max_length)
+    contigs = load_sequence_input(args.contigs, DBTYPE_NUCL)
+    ex = OrfExtractor(p)
+    seqs, hdrs = [], []
+    key = 0
+    for ci in range(len(contigs)):
+        locs, frags = ex.extract_contig(contigs.seq_bytes(ci), ci)
+        for loc, frag in zip(locs, frags):
+            from_pos, signed_len = orf_header_fields(loc)
+            complete = int(loc.has_incomplete_start) | (int(loc.has_incomplete_end) << 1)
+            hdr = f"{int(contigs.keys[ci])}\t{from_pos}{'+' if signed_len >= 0 else '-'}{abs(signed_len)}"
+            if complete:
+                hdr += f"\t{complete}"
+            if args.translate:
+                seqs.append((key, ex.translate_fragment(frag) + b"\n"))
+            else:
+                seqs.append((key, frag + b"\n"))
+            hdrs.append((key, hdr.encode() + b"\n"))
+            key += 1
+    mmseqsdb.write_db(args.out_db, seqs,
+                      mmseqsdb.DBTYPE_AA if args.translate else mmseqsdb.DBTYPE_NUCL)
+    mmseqsdb.write_db(f"{args.out_db}_h", hdrs, mmseqsdb.DBTYPE_GENERIC)
+    print(f"wrote {args.out_db} ({key} fragments)")
+    return 0
+
+
+def cmd_translatenucs(args):
+    """Nucleotide DB -> translated AA DB."""
+    from .data.gencode import GeneticCode
+    from .io import mmseqsdb
+
+    gc = GeneticCode(args.translation_table)
+    out = []
+    for key, payload in mmseqsdb.read_db(args.in_db):
+        nucl = payload.rstrip(b"\n")
+        out.append((key, gc.translate_ascii(nucl) + b"\n"))
+    mmseqsdb.write_db(args.out_db, out, mmseqsdb.DBTYPE_AA)
+    import shutil, os
+    for suffix in ("_h", "_h.index", "_h.dbtype"):
+        if os.path.exists(f"{args.in_db}{suffix}"):
+            shutil.copy(f"{args.in_db}{suffix}", f"{args.out_db}{suffix}")
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_unitesetstofasta(args):
+    """Representative predictions DB -> FASTA/GFF outputs."""
+    from .io.seqdb import DBTYPE_NUCL, DBTYPE_AA
+    from .io import mmseqsdb
+    from .pipeline.predict import EasyPredict, load_sequence_input, load_target_input
+
+    p = _params_from_args(args)
+    contigs = load_sequence_input(args.contigs, DBTYPE_NUCL)
+    targets = load_target_input(args.targets)
+    preds_per_contig = {}
+    for key, payload in mmseqsdb.read_db(args.preds_db):
+        if payload:
+            preds_per_contig[int(key)] = _parse_dp_payload(payload)
+    ep = EasyPredict(p)
+    from .pipeline.output import PredictionWriter
+    import numpy as np
+    writer = PredictionWriter(args.out_prefix, p)
+    target_accs = [targets.accession(i) for i in range(len(targets))]
+    chunks, starts, pos = [], [], 0
+    for ci in range(len(contigs)):
+        starts.append(pos)
+        s = contigs.seq_bytes(ci)
+        chunks.append(s + b"\n\x00")
+        pos += len(s) + 2
+    db_buffer = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    for ci in range(len(contigs)):
+        preds = preds_per_contig.get(int(contigs.keys[ci]), [])
+        if not preds:
+            continue
+        ep._write_contig(writer, preds, int(contigs.keys[ci]),
+                         contigs.accession(ci), target_accs,
+                         db_buffer[starts[ci]:], int(contigs.lengths[ci]), p)
+    writer.close()
+    print(f"wrote {args.out_prefix}.fas / .codon.fas / .headersMap.tsv / .gff")
+    return 0
+
+
+def cmd_groupstoacc(args):
+    """Cluster-map DB -> accession TSV (groupstoacc equivalent)."""
+    from .io.seqdb import DBTYPE_NUCL, DBTYPE_AA
+    from .io import mmseqsdb
+    from .pipeline.groups import groups_to_acc_lines
+    from .pipeline.predict import load_sequence_input, load_target_input
+
+    contigs = load_sequence_input(args.contigs, DBTYPE_NUCL)
+    targets = load_target_input(args.targets)
+    target_accs = [targets.accession(i) for i in range(len(targets))]
+    key_to_acc = {int(k): contigs.accession(i)
+                  for i, k in enumerate(contigs.keys)}
+    with open(args.out_tsv, "w") as f:
+        for key, payload in mmseqsdb.read_db(args.clust_db):
+            rows = []
+            for line in payload.decode().splitlines():
+                c = [int(x) for x in line.split("\t")]
+                rows.append(tuple(c))
+            f.write(groups_to_acc_lines(rows, key_to_acc[int(key)], target_accs))
+    print(f"wrote {args.out_tsv}")
+    return 0
+
+
 def cmd_search(args):
     """Protein vs protein/profile search -> alignment DB (+ optional m8)."""
     from .io.seqdb import DBTYPE_AA
@@ -313,6 +427,37 @@ def main(argv=None):
     rr.add_argument("clust_db")
     rr.add_argument("--overlap", type=int, default=0)
     rr.set_defaults(fn=cmd_reduceredundancy)
+
+    eo = sub.add_parser("extractorfs",
+                        help="six-frame fragments -> nucleotide/AA DB")
+    eo.add_argument("contigs")
+    eo.add_argument("out_db")
+    eo.add_argument("--min-length", type=int, default=30)
+    eo.add_argument("--max-length", type=int, default=32734)
+    eo.add_argument("--translate", action="store_true")
+    eo.set_defaults(fn=cmd_extractorfs)
+
+    tn = sub.add_parser("translatenucs", help="nucleotide DB -> AA DB")
+    tn.add_argument("in_db")
+    tn.add_argument("out_db")
+    tn.add_argument("--translation-table", type=int, default=1)
+    tn.set_defaults(fn=cmd_translatenucs)
+
+    uf = sub.add_parser("unitesetstofasta",
+                        help="representative predictions DB -> FASTA/GFF")
+    uf.add_argument("contigs")
+    uf.add_argument("targets")
+    uf.add_argument("preds_db")
+    uf.add_argument("out_prefix")
+    _add_predict_flags(uf)
+    uf.set_defaults(fn=cmd_unitesetstofasta)
+
+    ga = sub.add_parser("groupstoacc", help="cluster map DB -> accession TSV")
+    ga.add_argument("contigs")
+    ga.add_argument("targets")
+    ga.add_argument("clust_db")
+    ga.add_argument("out_tsv")
+    ga.set_defaults(fn=cmd_groupstoacc)
 
     se = sub.add_parser("search", help="protein search -> alignment DB / m8")
     se.add_argument("queries", help="FASTA or MMseqs DB")
