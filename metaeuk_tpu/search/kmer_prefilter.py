@@ -74,14 +74,21 @@ class KmerPrefilter:
     """Candidate pairs via double-diagonal k-mer matching + gapless rescore."""
 
     def __init__(self, params, target_db, min_diag_score=15,
-                 min_diag_matches=2, k=KMER_K):
+                 min_diag_matches=2, k=KMER_K, mask_mode=1):
         self.params = params
         self.min_diag_score = min_diag_score
         self.min_diag_matches = min_diag_matches
         self.targets_enc = [encode_aa(target_db.seq_bytes(i))
                             for i in range(len(target_db))]
         self.target_lens = np.array([len(t) for t in self.targets_enc], np.int64)
-        self.index = KmerIndex(self.targets_enc, k)
+        # low-complexity masking of indexed targets (--mask-mode 1 default,
+        # Masker/tantan at index build; scoring still uses unmasked residues)
+        if mask_mode:
+            from ..ops.masker import mask_sequence
+            index_seqs = [mask_sequence(t)[0] for t in self.targets_enc]
+        else:
+            index_seqs = self.targets_enc
+        self.index = KmerIndex(index_seqs, k)
         self.n_targets = len(self.targets_enc)
 
     def candidate_targets(self, orf_enc):

@@ -183,3 +183,98 @@ void chain_dp(int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Tandem-repeat / low-complexity masking probabilities.
+//
+// Faithful port of tantan's no-gap forward/backward path
+// (lib/mmseqs/lib/tantan/tantan.cpp, struct Tantan: firstGapProb=0 as used
+// by Masker::maskSequence, commons/Masker.cpp:21-33): per position the
+// posterior probability of being in a repeat state, with the original
+// 16-step rescaling and the float roundings of calcRepeatProbs.
+//
+// lr: alphabet x alphabet likelihood-ratio matrix (row-major),
+//     lr[x][y] = P(x,y)/(P(x)P(y)).
+void tantan_repeat_probs(const uint8_t* seq, int64_t n, int64_t alphabet,
+                         int64_t max_offset, const double* lr,
+                         double repeat_prob, double repeat_end_prob,
+                         double decay, float* probs_out) {
+    if (n <= 0) return;
+    const int SCALE_STEP = 16;
+    double b2b = 1 - repeat_prob;
+    double f2b = repeat_end_prob;
+    double f2f0 = 1 - repeat_end_prob;
+    // firstRepeatOffsetProb (tantan.cpp:26-31)
+    auto first_offset_prob = [&](double mult) {
+        if (mult == 1.0) return 1.0 / max_offset;
+        return (1 - mult) / (1 - std::pow(mult, (double)max_offset));
+    };
+    double b2f_first = repeat_prob * first_offset_prob(decay);
+    std::vector<double> b2f(max_offset);
+    double p = b2f_first;
+    for (int64_t i = 0; i < max_offset; i++) { b2f[i] = p; p *= decay; }
+
+    std::vector<double> fg(max_offset, 0.0);
+    std::vector<double> scale_factors(n / SCALE_STEP, 1.0);
+    double background = 1.0;
+
+    // forward
+    for (int64_t pos = 0; pos < n; pos++) {
+        const double* lr_row = lr + (int64_t)seq[pos] * alphabet;
+        int64_t max_off = std::min<int64_t>(pos, max_offset);
+        double b = background;
+        double from_fg = 0;
+        for (int64_t i = 0; i < max_off; i++) {
+            double f = fg[i];
+            from_fg += f;
+            fg[i] = (b * b2f[i] + f * f2f0) * lr_row[seq[pos - i - 1]];
+        }
+        for (int64_t i = max_off; i < max_offset; i++) {
+            from_fg += fg[i];
+            fg[i] = 0.0;
+        }
+        background = b * b2b + from_fg * f2b;
+        if (pos % SCALE_STEP == SCALE_STEP - 1) {
+            double scale = 1 / background;
+            scale_factors[pos / SCALE_STEP] = scale;
+            background *= scale;
+            for (auto& f : fg) f *= scale;
+        }
+        probs_out[pos] = (float)background;
+    }
+    double from_fg_total = 0;
+    for (auto f : fg) from_fg_total += f;
+    double z = background * b2b + from_fg_total * f2b;
+
+    // backward
+    background = b2b;
+    std::fill(fg.begin(), fg.end(), f2b);
+    for (int64_t pos = n - 1; pos >= 0; pos--) {
+        double non_repeat = probs_out[pos] * background / z;
+        probs_out[pos] = 1 - (float)non_repeat;
+        if (pos % SCALE_STEP == SCALE_STEP - 1) {
+            double scale = scale_factors[pos / SCALE_STEP];
+            background *= scale;
+            for (auto& f : fg) f *= scale;
+        }
+        const double* lr_row = lr + (int64_t)seq[pos] * alphabet;
+        int64_t max_off = std::min<int64_t>(pos, max_offset);
+        double to_bg = f2b * background;
+        double to_fg = 0;
+        for (int64_t i = 0; i < max_off; i++) {
+            double f = fg[i] * lr_row[seq[pos - i - 1]];
+            to_fg += b2f[i] * f;
+            fg[i] = to_bg + f2f0 * f;
+        }
+        for (int64_t i = max_off; i < max_offset; i++) {
+            // emission prob is 0 beyond the sequence start
+            to_fg += 0.0;
+            fg[i] = to_bg;
+        }
+        background = b2b * background + to_fg;
+    }
+}
+
+}  // extern "C"
