@@ -270,6 +270,22 @@ def cmd_groupstoacc(args):
     return 0
 
 
+def cmd_msa2profile(args):
+    """MSA DB (or one FASTA MSA) -> HMM-profile DB."""
+    from .io import mmseqsdb
+    from .pipeline.msa2profile import msa_db_to_profile_db
+
+    if pathlib_exists(f"{args.msa_db}.dbtype"):
+        entries = [(k, v.decode()) for k, v in mmseqsdb.read_db(args.msa_db)]
+    else:
+        entries = [(0, open(args.msa_db).read())]
+    msa_db_to_profile_db(entries, args.out_db, match_mode=args.match_mode,
+                         match_ratio=args.match_ratio,
+                         comp_bias_correction=bool(args.comp_bias_corr))
+    print(f"wrote {args.out_db} ({len(entries)} profiles)")
+    return 0
+
+
 def cmd_search(args):
     """Protein vs protein/profile search -> alignment DB (+ optional m8)."""
     from .io.seqdb import DBTYPE_AA
@@ -458,6 +474,14 @@ def main(argv=None):
     ga.add_argument("clust_db")
     ga.add_argument("out_tsv")
     ga.set_defaults(fn=cmd_groupstoacc)
+
+    mp = sub.add_parser("msa2profile", help="MSA DB/FASTA -> HMM-profile DB")
+    mp.add_argument("msa_db")
+    mp.add_argument("out_db")
+    mp.add_argument("--match-mode", type=int, default=0, choices=[0, 1])
+    mp.add_argument("--match-ratio", type=float, default=0.5)
+    mp.add_argument("--comp-bias-corr", type=int, default=1)
+    mp.set_defaults(fn=cmd_msa2profile)
 
     se = sub.add_parser("search", help="protein search -> alignment DB / m8")
     se.add_argument("queries", help="FASTA or MMseqs DB")

@@ -1,0 +1,301 @@
+"""PSSM computation from MSAs (profile generation).
+
+Port of the reference's PSSMCalculator
+(lib/mmseqs/src/alignment/PSSMCalculator.cpp) for the default msa2profile
+configuration: Henikoff position-based sequence weights (:312-372),
+HHblits-style context-specific per-column weights and Neff
+(computeContextSpecificWeights, :419-589, with exact division replacing
+the SIMD reciprocal approximation), substitution-matrix pseudocounts
+(pcmode 0, :274-283 + :383-398), the fast log2/pow2 approximations of
+MathUtil (MathUtil.h:107-145) reproduced bit-level, the 8-bit log PSSM
+(:259-272), and the in-place global composition-bias correction
+(SubstitutionMatrix::calcGlobalAaBiasCorrection, :205-243, including its
+order-dependent in-place updates).
+
+Alphabet codes: 0-19 residues, 20 = X/ANY, 21 = GAP, 22 = ENDGAP
+(MultipleAlignment.h:15-18).
+"""
+
+import numpy as np
+
+from ..data.submat import BLOSUM62_PBACK, BLOSUM62_PROB
+
+NAA = 20
+ANY = 20
+GAP = 21
+ENDGAP = 22
+
+PCA = 1.1
+PCB = 4.1
+
+# R[a][b] = P(a|b) (subMatrixPseudoCounts, BaseMatrix.cpp:117-122), float32
+R_PSEUDOCOUNTS = (BLOSUM62_PROB / BLOSUM62_PBACK[None, :]).astype(np.float32)[:20, :20]
+PBACK20 = BLOSUM62_PBACK[:20]
+
+
+def flog2(x):
+    """MathUtil::flog2 polynomial approximation, vectorized bit-exact."""
+    x = np.asarray(x, np.float32)
+    out = np.full(x.shape, -128.0, np.float32)
+    ok = x > 0
+    xv = x[ok]
+    bits = xv.view(np.int32)
+    e = (((bits & 0x7F800000) >> 23) - 0x7F).astype(np.float32)
+    m = ((bits & 0x007FFFFF) | 0x3F800000).view(np.float32)
+    t = m - np.float32(1.0)
+    poly = t * (np.float32(1.441740) + t * (np.float32(-0.7077702) + t * (
+        np.float32(0.4123442) + t * (np.float32(-0.1903190) +
+                                     t * np.float32(0.0440047)))))
+    out[ok] = poly + e
+    return out if out.shape else float(out)
+
+
+def fpow2(x):
+    """MathUtil::fpow2 polynomial approximation, vectorized bit-exact."""
+    x = np.asarray(x, np.float32)
+    out = np.empty(x.shape, np.float32)
+    hi = x >= 128
+    lo = x <= -125
+    mid = ~(hi | lo)
+    out[hi] = np.finfo(np.float32).max
+    out[lo] = 0.0
+    xv = x[mid]
+    tx = (xv - np.float32(0.5)) + np.float32(3 << 22)
+    lx = tx.view(np.int32) - 0x4B400000
+    dx = xv - lx.astype(np.float32)
+    y = np.float32(1.0) + dx * (np.float32(0.693019) + dx * (
+        np.float32(0.241404) + dx * (np.float32(0.0520749) +
+                                     dx * np.float32(0.0134929))))
+    bits = y.view(np.int32) + (lx << 23)
+    out[mid] = bits.view(np.float32)
+    return out if out.shape else float(out)
+
+
+def _normalize_to_1(row, pback=None):
+    """MathUtil::NormalizeTo1 with sequential f32 sum semantics."""
+    s = np.float32(0.0)
+    for v in row:
+        s = np.float32(s + np.float32(v))
+    if s != 0:
+        fac = np.float32(np.float64(1.0) / s)
+        return (row * fac).astype(np.float32)
+    if pback is not None:
+        return np.asarray(pback, np.float32).copy()
+    return row
+
+
+def compute_sequence_weights(msa):
+    """Henikoff weights (computeSequenceWeights); msa: (K, L) uint8."""
+    K, L = msa.shape
+    w = np.full(K, np.float32(1e-6), np.float32)
+    is_res = msa != GAP
+    number_res = is_res.sum(axis=1).astype(np.float32)
+    for pos in range(L):
+        col = msa[:, pos]
+        resk = col != GAP
+        aa = col[resk]
+        nl = np.bincount(aa[aa < NAA], minlength=NAA)
+        distinct = int((nl > 0).sum())
+        if distinct == 0:
+            continue
+        contrib = np.zeros(K, np.float32)
+        sel = resk & (col < NAA)
+        denom = (nl[col[sel]].astype(np.float32) * np.float32(distinct)
+                 * (number_res[sel] + np.float32(30.0)))
+        contrib[sel] = (np.float32(1.0) / denom).astype(np.float32)
+        w = (w + contrib).astype(np.float32)
+    return w
+
+
+def compute_context_specific_weights(msa, wg):
+    """computeContextSpecificWeights: (matchWeight (L,20), Neff_M (L,)).
+
+    msa is modified like the reference (endgaps inserted/removed around the
+    call); wg: normalized global weights.
+    """
+    MAXENDGAPFRAC = 0.1
+    NCOLMIN = 20
+    K, L = msa.shape
+    X = msa.copy()
+    # insert endgaps
+    for k in range(K):
+        i = 0
+        while i < L and X[k, i] == GAP:
+            X[k, i] = ENDGAP
+            i += 1
+        i = L - 1
+        while i >= 0 and X[k, i] == GAP:
+            X[k, i] = ENDGAP
+            i -= 1
+
+    n = np.zeros((L, NAA + 3), np.int64)      # counts per column per symbol
+    included = np.zeros(K, bool)
+    nseqi = 0
+    match_weight = np.zeros((L, NAA), np.float32)
+    neff_m = np.zeros(L, np.float32)
+    sym = X.astype(np.int64)
+    last_wi = np.zeros(K, np.float32)
+
+    for i in range(L):
+        inc = X[:, i] < ANY
+        change = False
+        newly_in = inc & ~included
+        newly_out = ~inc & included
+        if newly_in.any() or newly_out.any():
+            change = True
+            for k in np.flatnonzero(newly_in):
+                np.add.at(n, (np.arange(L), sym[k]), 1)
+                nseqi += 1
+            for k in np.flatnonzero(newly_out):
+                np.add.at(n, (np.arange(L), sym[k]), -1)
+                nseqi -= 1
+            included = inc.copy()
+
+        if change:
+            wi = np.full(K, np.float32(1e-8), np.float32)
+            jmin = 0
+            while jmin < L and n[jmin, ENDGAP] > MAXENDGAPFRAC * nseqi:
+                jmin += 1
+            jmax = L - 1
+            while jmax >= 0 and n[jmax, ENDGAP] > MAXENDGAPFRAC * nseqi:
+                jmax -= 1
+            ncol = jmax - jmin + 1
+            if ncol < NCOLMIN:
+                wi = np.where(inc, wg, np.float32(0.0)).astype(np.float32)
+            else:
+                cols = slice(jmin, jmax + 1)
+                naa = (n[cols, :ANY] > 0).sum(axis=1)
+                w_contrib = np.zeros((L, NAA + 3), np.float32)
+                with np.errstate(divide="ignore"):
+                    denom = (n[cols, :ANY].astype(np.float32)
+                             * naa[:, None].astype(np.float32))
+                    wc = np.where(denom > 0,
+                                  np.float32(1.0) / denom, np.float32(0.0))
+                w_contrib[cols, :ANY] = wc
+                # wi[k] += sum_j w_contrib[j][X[k][j]] for included seqs
+                for k in np.flatnonzero(inc):
+                    wi[k] = np.float32(
+                        wi[k] + np.float32(
+                            w_contrib[np.arange(jmin, jmax + 1),
+                                      sym[k, jmin:jmax + 1]].sum(
+                                          dtype=np.float32)))
+            # Neff over subalignment columns
+            f = np.zeros((L, NAA + 3), np.float32)
+            for k in np.flatnonzero(inc):
+                np.add.at(f, (np.arange(jmin, jmax + 1),
+                              sym[k, jmin:jmax + 1]), wi[k])
+            neff = np.float32(0.0)
+            for j in range(jmin, jmax + 1):
+                row = _normalize_to_1(f[j, :NAA])
+                mask = row > 1e-10
+                if mask.any():
+                    neff = np.float32(
+                        neff - np.float32((row[mask] *
+                                           flog2(row[mask])).sum(dtype=np.float32)))
+            if ncol > 0:
+                neff_m[i] = fpow2(np.float32(neff / np.float32(ncol)))
+            else:
+                neff_m[i] = 1.0
+            last_wi = wi
+        else:
+            neff_m[i] = neff_m[i - 1] if i > 0 else np.float32(0.0)
+            wi = last_wi
+
+        row = np.zeros(NAA + 3, np.float32)
+        np.add.at(row, sym[:, i], wi)
+        match_weight[i] = _normalize_to_1(row[:NAA], PBACK20)
+    return match_weight, neff_m
+
+
+def compute_pssm_from_msa(msa, wg_mode=False):
+    """computePSSMFromMSA (pcmode 0, pca/pcb defaults, scoreBias 0).
+
+    msa: (K, L) uint8 in internal codes. Returns dict with pssm (L,20) int8,
+    profile, neff, consensus indices.
+    """
+    K, L = msa.shape
+    seq_weight = compute_sequence_weights(msa)
+    total = np.float32(0.0)
+    for v in seq_weight:
+        total = np.float32(total + v)
+    seq_weight = _normalize_to_1(seq_weight)
+    if not wg_mode:
+        match_weight, neff_m = compute_context_specific_weights(msa, seq_weight)
+    else:
+        raise NotImplementedError("wg=1 global-weight mode")
+
+    # consensus (computeConsensusSequence, :651-665)
+    consensus = np.full(L, ANY, np.int64)
+    for pos in range(L):
+        maxw = np.float32(1e-8)
+        maxa = ANY
+        for aa in range(NAA):
+            d = np.float32(match_weight[pos, aa] - np.float32(PBACK20[aa]))
+            if d > maxw:
+                maxw = d
+                maxa = aa
+        consensus[pos] = maxa
+
+    # substitution pseudocounts
+    pc = match_weight @ R_PSEUDOCOUNTS.T  # (L,20): ScalarProd20(R[aa], freq)
+    tau = np.minimum(np.float32(1.0),
+                     np.float32(PCA) / (np.float32(1.0) +
+                                        neff_m / np.float32(PCB))).astype(np.float32)
+    profile = ((np.float32(1.0) - tau)[:, None] * match_weight
+               + tau[:, None] * pc).astype(np.float32)
+
+    # log PSSM (computeLogPSSM, bitFactor 8, scoreBias 0)
+    log_prob = flog2((profile / PBACK20[None, :].astype(np.float32)
+                      ).astype(np.float32))
+    val = np.float32(8.0) * log_prob
+    val = np.where(val < 0, val - np.float32(0.5), val + np.float32(0.5))
+    pssm = np.clip(val.astype(np.int64).astype(np.float32), -128, 127)
+    pssm = pssm.astype(np.int8)
+    return dict(pssm=pssm, profile=profile, neff=neff_m, consensus=consensus)
+
+
+def global_aa_bias_correction(pssm):
+    """SubstitutionMatrix::calcGlobalAaBiasCorrection — in place, including
+    its sequential order dependence (later windows see corrected rows)."""
+    N = pssm.shape[0]
+    scores = pssm.astype(np.int64).copy()
+    pnull = np.zeros(N, np.float32)
+    for pos in range(N):
+        s = np.float32(0.0)
+        for aa in range(NAA):
+            s = np.float32(s + np.float32(PBACK20[aa] *
+                                          np.float32(scores[pos, aa])))
+        pnull[pos] = s
+    w = 20
+    for i in range(N):
+        lo, hi = max(0, i - w), min(N, i + w)
+        aa_sum = np.zeros(NAA, np.float32)
+        for j in range(lo, hi):
+            if j == i:
+                continue
+            aa_sum = (aa_sum + (scores[j].astype(np.float32) - pnull[j])
+                      ).astype(np.float32)
+        win_len = hi - lo
+        corr = (scores[i].astype(np.float32) - aa_sum / np.float32(win_len))
+        scores[i] = corr.astype(np.int64)  # C int truncation
+    return np.clip(scores, -128, 127).astype(np.int8)
+
+
+def convert_neff_to_char(neff):
+    """MathUtil::convertNeffToChar (MathUtil.h:216-219)."""
+    v = np.minimum(np.float32(255.0),
+                   np.float32(1.0) + np.float32(64.0) * flog2(np.float32(neff)))
+    return max(1, int(np.float32(v) + np.float32(0.5)) & 0xFF)
+
+
+def profile_to_buffer(pssm, query_seq, consensus, neff):
+    """PSSMCalculator::Profile::toBuffer (PSSMCalculator.cpp:671-687):
+    25 bytes per position."""
+    L = pssm.shape[0]
+    out = np.zeros((L, 25), np.uint8)
+    out[:, :20] = pssm.view(np.uint8)
+    out[:, 20] = query_seq
+    out[:, 21] = consensus
+    for pos in range(L):
+        out[pos, 22] = convert_neff_to_char(neff[pos])
+    return out.tobytes()

@@ -1,0 +1,111 @@
+"""msa2profile: MSA DB / FASTA MSAs -> HMM-profile DB.
+
+Port of lib/mmseqs/src/util/msa2profile.cpp for the default configuration
+(--match-mode 0/1, --match-ratio 0.5, --pc-mode 0, --wg 0,
+--comp-bias-corr 1). MSA filtering (--filter-msa) is not yet ported; it
+is a no-op for single-sequence MSAs and must be disabled for multi-
+sequence inputs (--filter-msa 0 equivalence).
+"""
+
+import numpy as np
+
+from ..data.submat import AA2NUM
+from ..io import mmseqsdb
+from ..ops.pssm import (GAP, ENDGAP, compute_pssm_from_msa,
+                        compute_sequence_weights, global_aa_bias_correction,
+                        profile_to_buffer)
+
+
+def _parse_msa_fasta(text):
+    """[(name, aligned_seq_str)] from one MSA FASTA blob."""
+    out = []
+    name, parts = None, []
+    for line in text.splitlines():
+        if line.startswith("#"):
+            continue
+        if line.startswith(">"):
+            if name is not None:
+                out.append((name, "".join(parts)))
+            name = line[1:]
+            parts = []
+        elif name is not None:
+            parts.append(line.strip())
+    if name is not None:
+        out.append((name, "".join(parts)))
+    return out
+
+
+def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
+                   comp_bias_correction=True):
+    """One MSA -> (profile_payload_bytes, header_str).
+
+    entries: [(name, aligned_seq)] — first sequence is the query.
+    """
+    if not entries:
+        raise ValueError("empty MSA")
+    L_gaps = len(entries[0][1])
+    K = len(entries)
+    msa = np.zeros((K, L_gaps), np.uint8)
+    for k, (_, seq) in enumerate(entries):
+        if len(seq) != L_gaps:
+            raise ValueError("ragged MSA")
+        arr = np.frombuffer(seq.encode(), np.uint8)
+        enc = AA2NUM[arr]
+        enc = np.where(arr == ord("-"), np.uint8(GAP), enc)
+        msa[k] = enc
+
+    if match_mode == 0:
+        # maskByFirst: columns where the query has a gap (msa2profile.cpp:175)
+        masked = msa[0] == GAP
+    else:
+        # weighted gap fraction > match_ratio (msa2profile.cpp:334-365)
+        w = compute_sequence_weights(msa)
+        X = msa.copy()
+        for k in range(K):
+            i = 0
+            while i < L_gaps and X[k, i] == GAP:
+                X[k, i] = ENDGAP
+                i += 1
+            i = L_gaps - 1
+            while i >= 0 and X[k, i] == GAP:
+                X[k, i] = ENDGAP
+                i -= 1
+        masked = np.zeros(L_gaps, bool)
+        for col in range(L_gaps):
+            res = np.float32(0.0)
+            gap = np.float32(0.0)
+            for k in range(K):
+                v = X[k, col]
+                if v < GAP:
+                    res = np.float32(res + w[k])
+                elif v != ENDGAP:
+                    gap = np.float32(gap + w[k])
+            masked[col] = bool(gap / (res + gap) > np.float32(match_ratio)) \
+                if (res + gap) != 0 else False
+        # endgap columns revert to gaps in the compressed MSA
+        msa = np.where(msa == ENDGAP, np.uint8(GAP), msa)
+
+    kept = ~masked
+    msa_m = np.ascontiguousarray(msa[:, kept])
+    res = compute_pssm_from_msa(msa_m)
+    pssm = res["pssm"]
+    if comp_bias_correction:
+        pssm = global_aa_bias_correction(pssm)
+    payload = profile_to_buffer(pssm, msa_m[0], res["consensus"], res["neff"])
+    header = entries[0][0]
+    return payload, header
+
+
+def msa_db_to_profile_db(msa_entries, out_path, match_mode=1, match_ratio=0.5,
+                         comp_bias_correction=True):
+    """msa_entries: [(key, msa_text)] -> profile DB triple + _h."""
+    payloads, headers = [], []
+    for key, text in msa_entries:
+        entries = _parse_msa_fasta(text)
+        payload, header = msa_to_profile(entries, match_mode, match_ratio,
+                                         comp_bias_correction)
+        payloads.append((key, payload))
+        headers.append((key, (header + "\n").encode()))
+    mmseqsdb.write_db(out_path, payloads, mmseqsdb.DBTYPE_HMM_PROFILE)
+    mmseqsdb.write_db(f"{out_path}_h", headers, mmseqsdb.DBTYPE_GENERIC)
+    return out_path

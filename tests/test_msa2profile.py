@@ -1,0 +1,37 @@
+"""msa2profile byte parity vs the reference binary.
+
+Goldens: reference `msa2profile --match-mode 1 [--filter-msa 0]` on a
+single-sequence MSA DB and a gapped multi-sequence MSA DB.
+"""
+
+import pathlib
+
+import pytest
+
+from metaeuk_tpu.io.mmseqsdb import read_db
+from metaeuk_tpu.pipeline.msa2profile import msa_db_to_profile_db
+
+MSA = pathlib.Path(__file__).parent / "golden" / "msa"
+
+
+@pytest.mark.parametrize("src,ref", [("msadb", "refprof1"), ("msadb2", "refprof2")])
+def test_msa2profile_byte_parity(tmp_path, src, ref):
+    entries = [(k, v.decode()) for k, v in read_db(MSA / src)]
+    out = tmp_path / "prof"
+    msa_db_to_profile_db(entries, str(out), match_mode=1)
+    mine = read_db(out)
+    golden = read_db(MSA / ref)
+    assert len(mine) == len(golden)
+    for (ka, va), (kb, vb) in zip(mine, golden):
+        assert ka == kb and va == vb
+
+
+def test_msa2profile_roundtrip_consumable(tmp_path):
+    """Generated profiles must be readable by the profile search path."""
+    from metaeuk_tpu.io.profiledb import ProfileDB
+    entries = [(k, v.decode()) for k, v in read_db(MSA / "msadb2")]
+    out = tmp_path / "prof"
+    msa_db_to_profile_db(entries, str(out), match_mode=1)
+    db = ProfileDB.from_db(str(out))
+    assert len(db) == 2
+    assert db.pssms[0].shape[1] == 21
