@@ -270,6 +270,31 @@ def cmd_groupstoacc(args):
     return 0
 
 
+def cmd_cluster(args):
+    """All-vs-all clustering (set-cover) -> cluster DB + TSV."""
+    from .io.seqdb import DBTYPE_AA
+    from .io import mmseqsdb
+    from .pipeline.cluster import cluster_db
+    from .pipeline.predict import load_sequence_input
+
+    p = _params_from_args(args) if hasattr(args, "metaeuk_eval") else Params()
+    db = load_sequence_input(args.seqs, DBTYPE_AA)
+    clusters = cluster_db(p, db, min_seq_id=args.min_seq_id,
+                          cov_thr=args.cov, evalue=args.cluster_eval)
+    entries = []
+    with open(f"{args.out_db}.tsv", "w") as f:
+        for rep in sorted(clusters):
+            members = clusters[rep]
+            payload = "".join(f"{int(db.keys[m])}\n" for m in members)
+            entries.append((int(db.keys[rep]), payload.encode()))
+            for m in members:
+                f.write(f"{db.accession(rep)}\t{db.accession(m)}\n")
+    mmseqsdb.write_db(args.out_db, entries, 6)  # DBTYPE_CLUSTER_RES
+    print(f"wrote {args.out_db} ({len(clusters)} clusters of {len(db)} seqs) "
+          f"+ {args.out_db}.tsv")
+    return 0
+
+
 def cmd_msa2profile(args):
     """MSA DB (or one FASTA MSA) -> HMM-profile DB."""
     from .io import mmseqsdb
@@ -474,6 +499,16 @@ def main(argv=None):
     ga.add_argument("clust_db")
     ga.add_argument("out_tsv")
     ga.set_defaults(fn=cmd_groupstoacc)
+
+    cl = sub.add_parser("cluster", help="all-vs-all set-cover clustering")
+    cl.add_argument("seqs", help="FASTA or MMseqs DB")
+    cl.add_argument("out_db")
+    cl.add_argument("tmp", nargs="?")
+    cl.add_argument("--min-seq-id", type=float, default=0.0)
+    cl.add_argument("-c", "--cov", type=float, default=0.8)
+    cl.add_argument("--cluster-eval", type=float, default=1e-3)
+    _add_predict_flags(cl)
+    cl.set_defaults(fn=cmd_cluster)
 
     mp = sub.add_parser("msa2profile", help="MSA DB/FASTA -> HMM-profile DB")
     mp.add_argument("msa_db")
