@@ -320,6 +320,8 @@ def cmd_search(args):
     from .search.driver import SearchDriver
 
     p = _params_from_args(args)
+    # mmseqs search defaults: no minimum alignment length
+    p = dataclasses.replace(p, aln_len_thr=0)
     queries = load_sequence_input(args.queries, DBTYPE_AA)
     targets = load_target_input(args.targets)
     query_seqs = [queries.seq_bytes(i) for i in range(len(queries))]
@@ -341,8 +343,12 @@ def cmd_search(args):
             hits = driver.search(query_seqs, pair_generator=pairs)
         else:
             hits = driver.search(query_seqs)
+    backtraces = seq_ids = None
+    if args.backtrace and not isinstance(targets, ProfileDB):
+        backtraces, seq_ids = driver.backtraces(hits, query_seqs)
     mmseqsdb.write_db(args.out_db,
-                      hits_to_aln_db_entries(hits, len(queries)),
+                      hits_to_aln_db_entries(hits, len(queries),
+                                             backtraces, seq_ids),
                       mmseqsdb.DBTYPE_ALIGNMENT_RES)
     if args.m8:
         with open(args.m8, "w") as f:
@@ -524,6 +530,8 @@ def main(argv=None):
     se.add_argument("out_db")
     se.add_argument("tmp", nargs="?")
     se.add_argument("--m8", default=None, help="also write BLAST-m8 TSV")
+    se.add_argument("-a", "--backtrace", action="store_true",
+                    help="compute backtraces (alignment mode 3)")
     _add_predict_flags(se)
     se.set_defaults(fn=cmd_search)
 

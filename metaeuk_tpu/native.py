@@ -55,6 +55,37 @@ def get_lib():
     return _LIB
 
 
+def banded_sw_traceback(q_enc, bias, t_enc, score, band_width,
+                        go=11, ge=1):
+    """CIGAR op string (M/I/D bytes) for an accepted alignment window
+    (native banded_sw port); None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_bt_bound", False):
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.banded_sw_traceback.restype = ctypes.c_int64
+        lib.banded_sw_traceback.argtypes = [
+            u8p, i8p, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib._bt_bound = True
+    from .data.submat import BLOSUM62_SCORES
+    q = np.ascontiguousarray(q_enc, np.uint8)
+    b = np.ascontiguousarray(bias, np.int8)
+    t = np.ascontiguousarray(t_enc, np.uint8)
+    cap = len(q) + len(t) + 4
+    out = np.zeros(cap, np.uint8)
+    n = lib.banded_sw_traceback(
+        q, b, t, len(q), len(t), int(score), go, ge, int(band_width),
+        np.ascontiguousarray(BLOSUM62_SCORES, np.int32), 21, out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes().decode()
+
+
 def orf_scan_strand(seq_upper, stop_codons, min_len, max_len, max_gaps):
     """Native strand scan; returns (from, to, inc_start, inc_end, close)
     or None when the library is unavailable."""

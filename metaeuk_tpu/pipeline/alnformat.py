@@ -15,12 +15,39 @@ def format_seq_id(seq_id):
     return f(seq_id)
 
 
-def hit_to_matcher_line(hit):
-    """10-column alignment record for one HIT_DTYPE row."""
-    return "\t".join([
+def compress_backtrace(bt):
+    """Matcher::compressAlignment run-length CIGAR (Matcher.cpp:171-186)."""
+    out = []
+    prev, cnt = None, 0
+    for op in bt:
+        if op == prev:
+            cnt += 1
+        else:
+            if prev:
+                out.append(f"{cnt}{prev}")
+            prev, cnt = op, 1
+    if prev:
+        out.append(f"{cnt}{prev}")
+    return "".join(out)
+
+
+def matcher_seq_id_text(s):
+    """resultToBuffer's seqId text: for seqId == 1.0 the trailing separator
+    write clobbers the last digit (fastSeqIdToBuffer returns the NUL slot,
+    Util.cpp:222-235 + Matcher.cpp:286-287) -> "1.00", not "1.000"."""
+    import numpy as np
+    if np.float32(s) == np.float32(1.0):
+        return "1.00"
+    return format_seq_id(s)
+
+
+def hit_to_matcher_line(hit, backtrace=None, seq_id=None):
+    """10/11-column alignment record for one HIT_DTYPE row
+    (resultToBuffer, Matcher.cpp:280-327)."""
+    cols = [
         str(int(hit["target_idx"])),
         str(int(hit["bit_score"])),
-        format_seq_id(hit["seq_id"]),
+        matcher_seq_id_text(hit["seq_id"] if seq_id is None else seq_id),
         "%.3E" % hit["evalue"],
         str(int(hit["q_start"])),
         str(int(hit["q_end"])),
@@ -28,15 +55,20 @@ def hit_to_matcher_line(hit):
         str(int(hit["t_start"])),
         str(int(hit["t_end"])),
         str(int(hit["t_len"])),
-    ]) + "\n"
+    ]
+    if backtrace is not None:
+        cols.append(compress_backtrace(backtrace))
+    return "\t".join(cols) + "\n"
 
 
-def hits_to_aln_db_entries(hits, n_queries, key_of_target=None):
+def hits_to_aln_db_entries(hits, n_queries, backtraces=None, seq_ids=None):
     """Group hits (already in compareHits order per query) into per-query
     alignment-DB payloads."""
     payloads = {qi: [] for qi in range(n_queries)}
-    for hit in hits:
-        payloads[int(hit["orf_idx"])].append(hit_to_matcher_line(hit))
+    for idx, hit in enumerate(hits):
+        bt = backtraces[idx] if backtraces is not None else None
+        sid = seq_ids[idx] if seq_ids is not None else None
+        payloads[int(hit["orf_idx"])].append(hit_to_matcher_line(hit, bt, sid))
     return [(qi, "".join(payloads[qi]).encode()) for qi in range(n_queries)]
 
 

@@ -258,3 +258,47 @@ class SearchDriver:
         order = np.lexsort((hits["target_idx"], hits["t_len"],
                             -hits["bit_score"], hits["evalue"], hits["orf_idx"]))
         return hits[order]
+
+    def backtraces(self, hits, orf_aa_seqs):
+        """M/I/D backtraces + exact seqIds for accepted hits — the reference's
+        alignment-mode-3 path (banded_sw on the alignment window +
+        computerBacktrace, StripedSmithWaterman.cpp:498-581). Returns
+        (list[str], float32 seqIds by alnLen)."""
+        from .. import native
+        from ..data.submat import composition_bias_rounded
+
+        p = self.params
+        enc_cache = {}
+        bts = []
+        seq_ids = np.zeros(len(hits), np.float32)
+        for idx, h in enumerate(hits):
+            oi = int(h["orf_idx"])
+            if oi not in enc_cache:
+                e = encode_aa(orf_aa_seqs[oi])
+                b = composition_bias_rounded(e, p.comp_bias_correction_scale) \
+                    if p.comp_bias_correction else np.zeros(len(e), np.int8)
+                enc_cache[oi] = (e, b)
+            q_enc, q_bias = enc_cache[oi]
+            t_enc = self.targets_enc[int(h["target_idx"])]
+            qs, qe = int(h["q_start"]), int(h["q_end"])
+            ts, te = int(h["t_start"]), int(h["t_end"])
+            band = abs((te - ts + 1) - (qe - qs + 1)) + 1
+            bt = native.banded_sw_traceback(
+                q_enc[qs:qe + 1], q_bias[qs:qe + 1], t_enc[ts:te + 1],
+                int(h["score_raw"]), band, p.gap_open, p.gap_extend)
+            if bt is None:
+                bt = ""
+            bts.append(bt)
+            if bt:
+                qp, tp, ids = qs, ts, 0
+                for op in bt:
+                    if op == "M":
+                        ids += int(q_enc[qp] == t_enc[tp])
+                        qp += 1
+                        tp += 1
+                    elif op == "I":
+                        qp += 1
+                    else:
+                        tp += 1
+                seq_ids[idx] = np.float32(ids) / np.float32(len(bt))
+        return bts, seq_ids

@@ -278,3 +278,115 @@ void tantan_repeat_probs(const uint8_t* seq, int64_t n, int64_t alphabet,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Banded Smith-Waterman traceback (CIGAR recovery).
+//
+// Port of SmithWaterman::banded_sw (StripedSmithWaterman.cpp:1348-1600,
+// SEQ_SEQ path): banded DP over the [start..end] window with direction
+// matrix, band doubling until the known score is reached, then traceback.
+// Emits the expanded M/I/D op string directly (computerBacktrace,
+// :548-581 applies cigar runs in order; we write the same expansion).
+// Returns the op count, or -1 on failure.
+int64_t banded_sw_traceback(const uint8_t* q, const int8_t* bias,
+                            const uint8_t* t,
+                            int64_t q_len, int64_t t_len,
+                            int64_t score, int64_t gap_open, int64_t gap_extend,
+                            int64_t band_width,
+                            const int32_t* submat, int64_t alphabet,
+                            uint8_t* out_ops, int64_t out_cap) {
+    std::vector<int32_t> h_b, e_b, h_c;
+    std::vector<int8_t> direction;
+    int64_t width = 0, width_d = 0;
+    int32_t max = 0;
+    do {
+        width = band_width * 2 + 3;
+        width_d = band_width * 2 + 1;
+        h_b.assign(width + 1, 0);
+        e_b.assign(width + 1, 0);
+        h_c.assign(width + 1, 0);
+        direction.assign(width_d * q_len * 3, 0);
+        max = 0;
+        for (int64_t jj = 1; jj < width - 1; jj++) h_b[jj] = 0;
+        for (int64_t i = 0; i < q_len; i++) {
+            int64_t beg = std::max<int64_t>(0, i - band_width);
+            int64_t end = std::min<int64_t>(t_len - 1, i + band_width);
+            int64_t edge = std::min<int64_t>(end + 1, width - 1);
+            int32_t f = 0;
+            h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+            int8_t* dline = direction.data() + width_d * i * 3;
+            int64_t u = 0;
+            for (int64_t j = beg; j <= end; j++) {
+                auto set_u = [&](int64_t ii, int64_t jj2) {
+                    int64_t x = ii - band_width; x = x > 0 ? x : 0;
+                    return jj2 - x + 1;
+                };
+                auto set_d = [&](int64_t ii, int64_t jj2, int64_t p) {
+                    int64_t x = ii - band_width; x = x > 0 ? x : 0;
+                    return (jj2 - x) * 3 + p;
+                };
+                u = set_u(i, j);
+                int64_t e = set_u(i - 1, j);
+                int64_t b = set_u(i, j - 1);
+                int64_t d = set_u(i - 1, j - 1);
+                int64_t de = set_d(i, j, 0);
+                int64_t df = set_d(i, j, 1);
+                int64_t dh = set_d(i, j, 2);
+
+                int32_t temp1 = (i == 0) ? -(int32_t)gap_open
+                                         : h_b[e] - (int32_t)gap_open;
+                int32_t temp2 = (i == 0) ? -(int32_t)gap_extend
+                                         : e_b[e] - (int32_t)gap_extend;
+                e_b[u] = temp1 > temp2 ? temp1 : temp2;
+                dline[de] = temp1 > temp2 ? 3 : 2;
+
+                temp1 = h_c[b] - (int32_t)gap_open;
+                temp2 = f - (int32_t)gap_extend;
+                f = temp1 > temp2 ? temp1 : temp2;
+                dline[df] = temp1 > temp2 ? 5 : 4;
+
+                int32_t f1 = f > 0 ? f : 0;
+                int32_t e1 = e_b[u] > 0 ? e_b[u] : 0;
+                temp1 = e1 > f1 ? e1 : f1;
+                temp2 = h_b[d] + submat[(int64_t)q[i] * alphabet + t[j]]
+                        + (int32_t)bias[i];
+                h_c[u] = temp1 > temp2 ? temp1 : temp2;
+                if (h_c[u] > max) max = h_c[u];
+                if (temp1 <= temp2) dline[dh] = 1;
+                else dline[dh] = e1 > f1 ? dline[de] : dline[df];
+            }
+            for (int64_t jj = 1; jj <= u; jj++) h_b[jj] = h_c[jj];
+        }
+        band_width *= 2;
+    } while (max < score && band_width <= 2 * std::max(q_len, t_len));
+    band_width /= 2;
+    if (max < score) return -1;
+
+    // traceback, emitting ops in reverse order then flipping
+    std::vector<uint8_t> rev;
+    rev.reserve(q_len + t_len);
+    int64_t i = q_len - 1, j = t_len - 1;
+    int64_t state = 2;
+    const int8_t* dline = direction.data() + width_d * i * 3;
+    while (i > 0 || j > 0) {
+        int64_t x = i - band_width; x = x > 0 ? x : 0;
+        int64_t idx = (j - x) * 3 + state;
+        switch (dline[idx]) {
+            case 1: i--; j--; state = 2; dline -= width_d * 3; rev.push_back('M'); break;
+            case 2: i--; state = 0; dline -= width_d * 3; rev.push_back('I'); break;
+            case 3: i--; state = 2; dline -= width_d * 3; rev.push_back('I'); break;
+            case 4: j--; state = 1; rev.push_back('D'); break;
+            case 5: j--; state = 2; rev.push_back('D'); break;
+            default: return -1;
+        }
+    }
+    rev.push_back('M');  // the final cell (banded_sw appends the 1,'M')
+    int64_t n = (int64_t)rev.size();
+    if (n > out_cap) return -1;
+    for (int64_t k2 = 0; k2 < n; k2++) out_ops[k2] = rev[n - 1 - k2];
+    return n;
+}
+
+}  // extern "C"
