@@ -311,6 +311,21 @@ def cmd_msa2profile(args):
     return 0
 
 
+def cmd_result2profile(args):
+    """Alignment-result DB (with backtraces) -> HMM-profile DB."""
+    from .pipeline.result2profile import result2profile_db
+
+    eval_profile = min(args.e, args.e_profile)  # reference clamps to evalThr
+    result2profile_db(args.query_db, args.target_db, args.aln_db, args.out_db,
+                      eval_profile=eval_profile,
+                      filter_msa=args.filter_msa,
+                      comp_bias_correction=bool(args.comp_bias_corr),
+                      mask_profile=bool(args.mask_profile),
+                      mask_prob=args.mask_prob)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_search(args):
     """Protein vs protein/profile search -> alignment DB (+ optional m8)."""
     from .io.seqdb import DBTYPE_AA
@@ -523,6 +538,21 @@ def main(argv=None):
     mp.add_argument("--match-ratio", type=float, default=0.5)
     mp.add_argument("--comp-bias-corr", type=int, default=1)
     mp.set_defaults(fn=cmd_msa2profile)
+
+    rp = sub.add_parser("result2profile",
+                        help="alignment DB (-a) -> HMM-profile DB")
+    rp.add_argument("query_db")
+    rp.add_argument("target_db")
+    rp.add_argument("aln_db")
+    rp.add_argument("out_db")
+    rp.add_argument("-e", type=float, default=1e-3)
+    rp.add_argument("--e-profile", type=float, default=1e-3)
+    rp.add_argument("--filter-msa", type=int, default=0,
+                    help="MsaFilter not yet ported; only 0 supported")
+    rp.add_argument("--comp-bias-corr", type=int, default=1)
+    rp.add_argument("--mask-profile", type=int, default=1)
+    rp.add_argument("--mask-prob", type=float, default=0.9)
+    rp.set_defaults(fn=cmd_result2profile)
 
     se = sub.add_parser("search", help="protein search -> alignment DB / m8")
     se.add_argument("queries", help="FASTA or MMseqs DB")

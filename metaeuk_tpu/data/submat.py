@@ -73,10 +73,15 @@ def _build():
     # final scores: round-half-away-from-zero of 2*log2 odds
     sm = 2.0 * np.log2(prob / (p_back2[:, None] * p_back2[None, :]))
     scores = np.where(sm < 0.0, sm - 0.5, sm + 0.5).astype(np.int32)
-    return scores, p_back, prob
+    return scores, p_back, prob, p_back2
 
 
-BLOSUM62_SCORES, BLOSUM62_PBACK, BLOSUM62_PROB = _build()
+# BLOSUM62_PBACK is the member BaseMatrix::pBack (file background scaled by
+# 1-p(X), SubstitutionMatrix.cpp:406-409); BLOSUM62_PBACK_DERIVED is the
+# local background generateSubMatrix re-derives as probMatrix row sums
+# (BaseMatrix::computeBackground, BaseMatrix.cpp:97-107) and uses for the
+# pseudocount matrix R and the integer scores.
+BLOSUM62_SCORES, BLOSUM62_PBACK, BLOSUM62_PROB, BLOSUM62_PBACK_DERIVED = _build()
 
 
 def _build_aa2num():

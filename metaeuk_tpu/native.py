@@ -86,6 +86,24 @@ def banded_sw_traceback(q_enc, bias, t_enc, score, band_width,
     return out[:n].tobytes().decode()
 
 
+def rcp_nr(x):
+    """Hardware rcpps + one Newton-Raphson iteration per element (the
+    reference's simdf32_rcp recipe, PSSMCalculator.cpp:506-520); None when
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_rcp_bound", False):
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.rcp_nr.restype = None
+        lib.rcp_nr.argtypes = [f32p, f32p, ctypes.c_int64]
+        lib._rcp_bound = True
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty_like(x)
+    lib.rcp_nr(x.ravel(), out.ravel(), x.size)
+    return out.reshape(x.shape)
+
+
 def orf_scan_strand(seq_upper, stop_codons, min_len, max_len, max_gaps):
     """Native strand scan; returns (from, to, inc_start, inc_end, close)
     or None when the library is unavailable."""

@@ -18,7 +18,8 @@ Alphabet codes: 0-19 residues, 20 = X/ANY, 21 = GAP, 22 = ENDGAP
 
 import numpy as np
 
-from ..data.submat import BLOSUM62_PBACK, BLOSUM62_PROB
+from ..data.submat import BLOSUM62_PBACK, BLOSUM62_PBACK_DERIVED, \
+    BLOSUM62_PROB
 
 NAA = 20
 ANY = 20
@@ -29,7 +30,10 @@ PCA = 1.1
 PCB = 4.1
 
 # R[a][b] = P(a|b) (subMatrixPseudoCounts, BaseMatrix.cpp:117-122), float32
-R_PSEUDOCOUNTS = (BLOSUM62_PROB / BLOSUM62_PBACK[None, :]).astype(np.float32)[:20, :20]
+# subMatrixPseudoCounts[a][b] = P(a|b) over the re-derived background
+# (BaseMatrix::generateSubMatrix, BaseMatrix.cpp:117-122), double -> float
+R_PSEUDOCOUNTS = (BLOSUM62_PROB / BLOSUM62_PBACK_DERIVED[None, :]
+                  ).astype(np.float32)[:20, :20]
 PBACK20 = BLOSUM62_PBACK[:20]
 
 
@@ -166,32 +170,47 @@ def compute_context_specific_weights(msa, wg):
                 cols = slice(jmin, jmax + 1)
                 naa = (n[cols, :ANY] > 0).sum(axis=1)
                 w_contrib = np.zeros((L, NAA + 3), np.float32)
-                with np.errstate(divide="ignore"):
-                    denom = (n[cols, :ANY].astype(np.float32)
-                             * naa[:, None].astype(np.float32))
-                    wc = np.where(denom > 0,
-                                  np.float32(1.0) / denom, np.float32(0.0))
+                denom = (n[cols, :ANY].astype(np.float32)
+                         * naa[:, None].astype(np.float32))
+                # reference: hardware rcpps + one Newton-Raphson step
+                # (PSSMCalculator.cpp:506-520) -- not an exact division
+                from .. import native
+                approx = native.rcp_nr(denom)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    wc = approx if approx is not None \
+                        else (np.float32(1.0) / denom)
+                    wc = np.where(denom > 0, wc, np.float32(0.0)
+                                  ).astype(np.float32)
                 w_contrib[cols, :ANY] = wc
-                # wi[k] += sum_j w_contrib[j][X[k][j]] for included seqs
+                # wi[k] += w_contrib[j][X[k][j]], strictly sequential f32
+                # adds like the reference scalar loop (np.add.accumulate is
+                # left-to-right; numpy .sum() is pairwise/unrolled and can
+                # round differently)
                 for k in np.flatnonzero(inc):
-                    wi[k] = np.float32(
-                        wi[k] + np.float32(
-                            w_contrib[np.arange(jmin, jmax + 1),
-                                      sym[k, jmin:jmax + 1]].sum(
-                                          dtype=np.float32)))
+                    terms = w_contrib[np.arange(jmin, jmax + 1),
+                                      sym[k, jmin:jmax + 1]]
+                    acc = np.concatenate(([wi[k]], terms)).astype(np.float32)
+                    wi[k] = np.add.accumulate(acc, dtype=np.float32)[-1]
             # Neff over subalignment columns
             f = np.zeros((L, NAA + 3), np.float32)
             for k in np.flatnonzero(inc):
                 np.add.at(f, (np.arange(jmin, jmax + 1),
                               sym[k, jmin:jmax + 1]), wi[k])
-            neff = np.float32(0.0)
+            # Neff_M[i] -= f[j][a]*flog2(f[j][a]) is one running scalar over
+            # all (j, a): keep strict sequential f32 subtraction order
+            neff_terms = []
             for j in range(jmin, jmax + 1):
                 row = _normalize_to_1(f[j, :NAA])
                 mask = row > 1e-10
                 if mask.any():
-                    neff = np.float32(
-                        neff - np.float32((row[mask] *
-                                           flog2(row[mask])).sum(dtype=np.float32)))
+                    neff_terms.append((row[mask] *
+                                       flog2(row[mask])).astype(np.float32))
+            if neff_terms:
+                acc = np.concatenate([[np.float32(0.0)]] + neff_terms
+                                     ).astype(np.float32)
+                neff = np.subtract.accumulate(acc, dtype=np.float32)[-1]
+            else:
+                neff = np.float32(0.0)
             if ncol > 0:
                 neff_m[i] = fpow2(np.float32(neff / np.float32(ncol)))
             else:
@@ -236,13 +255,27 @@ def compute_pssm_from_msa(msa, wg_mode=False):
                 maxa = aa
         consensus[pos] = maxa
 
-    # substitution pseudocounts
-    pc = match_weight @ R_PSEUDOCOUNTS.T  # (L,20): ScalarProd20(R[aa], freq)
-    tau = np.minimum(np.float32(1.0),
-                     np.float32(PCA) / (np.float32(1.0) +
-                                        neff_m / np.float32(PCB))).astype(np.float32)
-    profile = ((np.float32(1.0) - tau)[:, None] * match_weight
-               + tau[:, None] * pc).astype(np.float32)
+    # substitution pseudocounts: ScalarProd20(R[aa], freq) with the exact
+    # SSE reduction tree (lib/simd/simd.h:901-955):
+    #   r[j] = ((p[j]+p[4+j]) + (p[8+j]+p[12+j])) + p[16+j],
+    #   res  = (r[3]+r[2]) + (r[1]+r[0])
+    prods = (match_weight[:, None, :] * R_PSEUDOCOUNTS[None, :, :]
+             ).astype(np.float32)                    # (L, 20aa, 20b)
+    p = prods.reshape(L, NAA, 5, 4)
+    r = (((p[:, :, 0] + p[:, :, 1]) + (p[:, :, 2] + p[:, :, 3]))
+         + p[:, :, 4]).astype(np.float32)            # (L, 20aa, 4)
+    pc = ((r[:, :, 3] + r[:, :, 2]) + (r[:, :, 1] + r[:, :, 0])
+          ).astype(np.float32)
+
+    # computePseudoCounts (PSSMCalculator.cpp:375-394): tau and (1.0 - tau)
+    # are evaluated in double (the 1.0 literals), Neff/pcb in float
+    ratio = (neff_m / np.float32(PCB)).astype(np.float32).astype(np.float64)
+    tau = np.minimum(1.0, np.float64(np.float32(PCA)) / (1.0 + ratio)
+                     ).astype(np.float32)
+    freq_signal = ((1.0 - tau.astype(np.float64))[:, None]
+                   * match_weight.astype(np.float64)).astype(np.float32)
+    pseudo = (tau[:, None] * pc).astype(np.float32)
+    profile = (freq_signal + pseudo).astype(np.float32)
 
     # log PSSM (computeLogPSSM, bitFactor 8, scoreBias 0)
     log_prob = flog2((profile / PBACK20[None, :].astype(np.float32)

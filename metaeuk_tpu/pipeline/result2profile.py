@@ -1,0 +1,136 @@
+"""result2profile: alignment-result DB -> HMM-profile DB.
+
+Port of lib/mmseqs/src/util/result2profile.cpp (result2profile path,
+returnAlnRes=false) for the default configuration with --filter-msa 0:
+  - hits with evalue < evalProfile (default = evalThr) enter the MSA;
+    the query itself is skipped when query and target DB are the same
+    (result2profile.cpp:198-208)
+  - MultipleAlignment::computeMSA(center, seqSet, alns, noDeletionMSA=true)
+    (MultipleAlignment.cpp:179-220): the first MSA row is the plain query,
+    member rows live in query coordinates -- leading gaps up to qStart,
+    'M' emits the target residue, 'I' a gap, 'D' skips the target residue
+    (MultipleAlignment.cpp:95-180 with noDeletionMSA)
+  - PSSMCalculator::computePSSMFromMSA (wg=0, scoreBias 0.0)
+  - SubstitutionMatrix::calcGlobalAaBiasCorrection when --comp-bias-corr 1
+  - Masker::maskPssm when --mask-profile 1 (Masker.cpp:57-86): tantan over
+    the query sequence; masked positions get all 20 scores set to -1
+  - PSSMCalculator::Profile::toBuffer keyed by queryKey
+
+MsaFilter (--filter-msa 1, the reference default) is not yet ported; this
+module implements the --filter-msa 0 configuration and raises otherwise.
+"""
+
+import numpy as np
+
+from ..io import mmseqsdb
+from ..ops.pssm import GAP, compute_pssm_from_msa, global_aa_bias_correction, \
+    profile_to_buffer
+from ..ops.masker import repeat_probs
+
+
+def expand_backtrace(cigar):
+    """'5M2I3M' -> 'MMMMMIIMMM' (Matcher::result_t compressed backtrace)."""
+    out = []
+    n = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + ord(ch) - 48
+        else:
+            out.append(ch * max(n, 1))
+            n = 0
+    return "".join(out)
+
+
+def parse_aln_record(line):
+    """Matcher::parseAlignmentRecord essentials: (key, evalue_text, qStart,
+    dbStart, backtrace-or-None)."""
+    cols = line.split("\t")
+    key = int(cols[0])
+    bt = cols[10].strip() if len(cols) > 10 else None
+    return key, cols[3], int(cols[4]), int(cols[7]), bt
+
+
+def msa_row_from_backtrace(center_len, t_enc, q_start, t_start, cigar):
+    """One member MSA row in query coordinates (noDeletionMSA=true,
+    MultipleAlignment.cpp:95-180)."""
+    row = np.full(center_len, GAP, np.uint8)
+    qpos, tpos = q_start, t_start
+    for op in expand_backtrace(cigar):
+        if op == "M":
+            row[qpos] = t_enc[tpos]
+            qpos += 1
+            tpos += 1
+        elif op == "I":
+            qpos += 1
+        else:  # 'D' consumes target only; dropped in noDeletionMSA mode
+            tpos += 1
+    return row
+
+
+def profile_from_alignments(center_enc, members, comp_bias_correction=True,
+                            mask_profile=True, mask_prob=0.9):
+    """center_enc: query in internal codes; members: [(t_enc, qStart, tStart,
+    cigar)] already e-value filtered. Returns the 25-byte/position payload."""
+    L = len(center_enc)
+    msa = np.empty((1 + len(members), L), np.uint8)
+    msa[0] = center_enc
+    for i, (t_enc, qs, ts, cigar) in enumerate(members):
+        msa[1 + i] = msa_row_from_backtrace(L, t_enc, qs, ts, cigar)
+    res = compute_pssm_from_msa(msa)
+    pssm = res["pssm"]
+    if comp_bias_correction:
+        pssm = global_aa_bias_correction(pssm)
+    if mask_profile:
+        masked = repeat_probs(np.asarray(center_enc, np.uint8)) \
+            >= np.float32(mask_prob)
+        pssm = pssm.copy()
+        pssm[masked] = -1
+    return profile_to_buffer(pssm, np.asarray(center_enc, np.uint8),
+                             res["consensus"], res["neff"])
+
+
+def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
+                      filter_msa=0, comp_bias_correction=True,
+                      mask_profile=True, mask_prob=0.9):
+    """File-level driver: mmseqs-format seq DBs + alignment DB (with
+    backtraces) -> profile DB. sameDatabase = identical paths."""
+    if filter_msa:
+        raise NotImplementedError("--filter-msa 1 (MsaFilter) not yet ported")
+    qdb = mmseqsdb.read_seqdb(query_db)
+    same = (query_db == target_db)
+    tdb = qdb if same else mmseqsdb.read_seqdb(target_db)
+    from ..data.submat import AA2NUM
+
+    def enc(arr):
+        return AA2NUM[np.asarray(arr, np.uint8)]
+
+    t_by_key = {int(k): i for i, k in enumerate(tdb.keys)}
+    q_by_key = {int(k): i for i, k in enumerate(qdb.keys)}
+    aln_entries = mmseqsdb.read_db(aln_db)
+    out = []
+    for qkey, payload in aln_entries:
+        center = enc(qdb.seq(q_by_key[qkey]))
+        members = []
+        for line in payload.decode().splitlines():
+            if not line:
+                continue
+            key, eval_text, qs, ts, bt = parse_aln_record(line)
+            if key == qkey and same:
+                continue
+            if float(eval_text) < eval_profile:
+                if bt is None:
+                    raise NotImplementedError(
+                        "alignment DB without backtraces (rerun search "
+                        "with -a / alignment mode 3)")
+                members.append((enc(tdb.seq(t_by_key[key])), qs, ts, bt))
+        out.append((qkey, profile_from_alignments(
+            center, members, comp_bias_correction, mask_profile, mask_prob)))
+    mmseqsdb.write_db(out_db, out, mmseqsdb.DBTYPE_HMM_PROFILE)
+    # header DB: reuse the query headers for the profile entries
+    import pathlib
+    qh = pathlib.Path(f"{query_db}_h")
+    if qh.exists():
+        h_map = dict(mmseqsdb.read_db(f"{query_db}_h"))
+        mmseqsdb.write_db(f"{out_db}_h", [(k, h_map[k]) for k, _ in out],
+                          mmseqsdb.DBTYPE_GENERIC)
+    return out_db

@@ -390,3 +390,35 @@ int64_t banded_sw_traceback(const uint8_t* q, const int8_t* bias,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Hardware reciprocal with one Newton-Raphson iteration, exactly as the
+// reference's SIMD w_contrib computation (lib/mmseqs/src/alignment/
+// PSSMCalculator.cpp:506-520: simdf32_rcp + rcp+rcp - res*rcp*rcp).  The
+// rcpps lookup table is CPU-specific, so parity requires executing the real
+// instruction rather than emulating it.
+// ---------------------------------------------------------------------------
+#include <immintrin.h>
+
+extern "C" {
+
+void rcp_nr(const float *x, float *out, int64_t n) {
+    int64_t i = 0;
+    for (; i + 4 <= n; i += 4) {
+        __m128 res = _mm_loadu_ps(x + i);
+        __m128 rcp = _mm_rcp_ps(res);
+        __m128 mul = _mm_mul_ps(res, _mm_mul_ps(rcp, rcp));
+        _mm_storeu_ps(out + i, _mm_sub_ps(_mm_add_ps(rcp, rcp), mul));
+    }
+    if (i < n) {
+        float tmp_in[4] = {1.f, 1.f, 1.f, 1.f}, tmp_out[4];
+        for (int64_t j = i; j < n; j++) tmp_in[j - i] = x[j];
+        __m128 res = _mm_loadu_ps(tmp_in);
+        __m128 rcp = _mm_rcp_ps(res);
+        __m128 mul = _mm_mul_ps(res, _mm_mul_ps(rcp, rcp));
+        _mm_storeu_ps(tmp_out, _mm_sub_ps(_mm_add_ps(rcp, rcp), mul));
+        for (int64_t j = i; j < n; j++) out[j] = tmp_out[j - i];
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,48 @@
+"""result2profile byte parity vs the reference binary.
+
+Goldens: reference `result2profile targetsDB targetsDB btres <out>
+--filter-msa 0 --threads 1` on the fixture-protein self-search alignment DB
+(tests/golden/aln/search_a), in five flag configurations:
+default, --mask-profile 0, --comp-bias-corr 0, `-e 10 --e-profile 10`, and
+`-e 10 --e-profile 10 --comp-bias-corr 0` (the reference clamps evalProfile
+down to evalThr, so raising the profile threshold needs both flags).
+"""
+
+import pathlib
+import shutil
+
+import pytest
+
+from metaeuk_tpu.io.mmseqsdb import write_seqdb
+from metaeuk_tpu.io.seqdb import SeqDB, DBTYPE_AA
+from metaeuk_tpu.pipeline.result2profile import result2profile_db
+
+DATA = pathlib.Path(__file__).parent / "data"
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "r2p"
+ALN = pathlib.Path(__file__).parent / "golden" / "aln" / "search_a"
+
+
+@pytest.fixture(scope="module")
+def dbs(tmp_path_factory):
+    td = tmp_path_factory.mktemp("r2p")
+    targets = SeqDB.from_fasta(DATA / "proteins.faa", DBTYPE_AA)
+    write_seqdb(str(td / "targetsDB"), targets, DBTYPE_AA)
+    for suf in ("", ".index", ".dbtype"):
+        shutil.copy(f"{ALN}{suf}", td / f"aln{suf}")
+    return td
+
+
+@pytest.mark.parametrize("tag,kwargs", [
+    ("refr2p", {}),
+    ("refr2p_nm", dict(mask_profile=False)),
+    ("refr2p_nb", dict(comp_bias_correction=False)),
+    ("refr2p_ep", dict(eval_profile=10.0)),
+    ("refr2p_ep_nb2", dict(eval_profile=10.0, comp_bias_correction=False)),
+])
+def test_result2profile_byte_parity(dbs, tag, kwargs):
+    out = dbs / f"out_{tag}"
+    result2profile_db(str(dbs / "targetsDB"), str(dbs / "targetsDB"),
+                      str(dbs / "aln"), str(out), **kwargs)
+    assert out.read_bytes() == (GOLDEN / tag).read_bytes()
+    assert (out.with_suffix("").parent / f"out_{tag}.index").read_text() \
+        == (GOLDEN / f"{tag}.index").read_text()
