@@ -321,7 +321,10 @@ def cmd_result2profile(args):
                       filter_msa=args.filter_msa,
                       comp_bias_correction=bool(args.comp_bias_corr),
                       mask_profile=bool(args.mask_profile),
-                      mask_prob=args.mask_prob)
+                      mask_prob=args.mask_prob,
+                      cov_msa_thr=args.cov, qid=args.qid, qsc=args.qsc,
+                      filter_max_seq_id=args.max_seq_id, ndiff=args.diff,
+                      filter_min_enable=args.filter_min_enable)
     print(f"wrote {args.out_db}")
     return 0
 
@@ -547,11 +550,16 @@ def main(argv=None):
     rp.add_argument("out_db")
     rp.add_argument("-e", type=float, default=1e-3)
     rp.add_argument("--e-profile", type=float, default=1e-3)
-    rp.add_argument("--filter-msa", type=int, default=0,
-                    help="MsaFilter not yet ported; only 0 supported")
+    rp.add_argument("--filter-msa", type=int, default=1)
     rp.add_argument("--comp-bias-corr", type=int, default=1)
     rp.add_argument("--mask-profile", type=int, default=1)
     rp.add_argument("--mask-prob", type=float, default=0.9)
+    rp.add_argument("--cov", type=float, default=0.0)
+    rp.add_argument("--qid", type=str, default="0.0")
+    rp.add_argument("--qsc", type=float, default=-20.0)
+    rp.add_argument("--max-seq-id", type=float, default=0.9)
+    rp.add_argument("--diff", type=int, default=1000)
+    rp.add_argument("--filter-min-enable", type=int, default=0)
     rp.set_defaults(fn=cmd_result2profile)
 
     se = sub.add_parser("search", help="protein search -> alignment DB / m8")

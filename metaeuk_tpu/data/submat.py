@@ -76,6 +76,25 @@ def _build():
     return scores, p_back, prob, p_back2
 
 
+def scores_with_bias(bit_factor=2.0, bias=0.0):
+    """Integer substitution scores for an arbitrary bitFactor/scoreBias,
+    matching BaseMatrix::generateSubMatrix (BaseMatrix.cpp:141-159):
+    round-half-away of bitFactor*log2odds + bias over the re-derived
+    background. result2profile/msa2profile use (2.0, -0.2)."""
+    half_bit = np.array(
+        [[float(x) for x in row.split()]
+         for row in _BLOSUM62_HALFBIT.strip().split("\n")], dtype=np.float64)
+    lam = _BLOSUM62_LAMBDA
+    p_back = np.array(_BLOSUM62_BACK, dtype=np.float64)
+    p_back[:20] = p_back[:20] * (1.0 - p_back[20])
+    prob = np.exp(lam * half_bit) * p_back[:, None] * p_back[None, :]
+    p_back2 = prob.sum(axis=1)
+    p_back2[20] = ANY_BACK
+    sm = bit_factor * np.log2(prob / (p_back2[:, None] * p_back2[None, :])) \
+        + bias
+    return np.where(sm < 0.0, sm - 0.5, sm + 0.5).astype(np.int32)
+
+
 # BLOSUM62_PBACK is the member BaseMatrix::pBack (file background scaled by
 # 1-p(X), SubstitutionMatrix.cpp:406-409); BLOSUM62_PBACK_DERIVED is the
 # local background generateSubMatrix re-derives as probMatrix row sums

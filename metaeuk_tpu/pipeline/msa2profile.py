@@ -1,10 +1,10 @@
 """msa2profile: MSA DB / FASTA MSAs -> HMM-profile DB.
 
-Port of lib/mmseqs/src/util/msa2profile.cpp for the default configuration
-(--match-mode 0/1, --match-ratio 0.5, --pc-mode 0, --wg 0,
---comp-bias-corr 1). MSA filtering (--filter-msa) is not yet ported; it
-is a no-op for single-sequence MSAs and must be disabled for multi-
-sequence inputs (--filter-msa 0 equivalence).
+Port of lib/mmseqs/src/util/msa2profile.cpp (--match-mode 0/1,
+--match-ratio 0.5, --pc-mode 0, --wg 0, --comp-bias-corr 1).
+--filter-msa 1 (the reference default) applies the MsaFilter diversity
+filter to the compressed MSA before the PSSM computation
+(msa2profile.cpp:402-408).
 """
 
 import numpy as np
@@ -36,7 +36,9 @@ def _parse_msa_fasta(text):
 
 
 def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
-                   comp_bias_correction=True):
+                   comp_bias_correction=True, filter_msa=False,
+                   cov_msa_thr=0.0, qid=(0,), qsc=-20.0,
+                   filter_max_seq_id=0.9, ndiff=1000, filter_min_enable=0):
     """One MSA -> (profile_payload_bytes, header_str).
 
     entries: [(name, aligned_seq)] — first sequence is the query.
@@ -87,6 +89,13 @@ def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
 
     kept = ~masked
     msa_m = np.ascontiguousarray(msa[:, kept])
+    if filter_msa:
+        from ..ops.msafilter import msa_filter
+        _, order, _ = msa_filter(
+            msa_m, coverage=int(cov_msa_thr * 100), qid_vec=qid, qsc=qsc,
+            max_seqid=int(filter_max_seq_id * 100), ndiff=ndiff,
+            filter_min_enable=filter_min_enable)
+        msa_m = np.ascontiguousarray(msa_m[order])
     res = compute_pssm_from_msa(msa_m)
     pssm = res["pssm"]
     if comp_bias_correction:
@@ -97,13 +106,15 @@ def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
 
 
 def msa_db_to_profile_db(msa_entries, out_path, match_mode=1, match_ratio=0.5,
-                         comp_bias_correction=True):
+                         comp_bias_correction=True, filter_msa=False,
+                         **filter_kw):
     """msa_entries: [(key, msa_text)] -> profile DB triple + _h."""
     payloads, headers = [], []
     for key, text in msa_entries:
         entries = _parse_msa_fasta(text)
         payload, header = msa_to_profile(entries, match_mode, match_ratio,
-                                         comp_bias_correction)
+                                         comp_bias_correction,
+                                         filter_msa=filter_msa, **filter_kw)
         payloads.append((key, payload))
         headers.append((key, (header + "\n").encode()))
     mmseqsdb.write_db(out_path, payloads, mmseqsdb.DBTYPE_HMM_PROFILE)

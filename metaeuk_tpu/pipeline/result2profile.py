@@ -16,8 +16,8 @@ returnAlnRes=false) for the default configuration with --filter-msa 0:
     the query sequence; masked positions get all 20 scores set to -1
   - PSSMCalculator::Profile::toBuffer keyed by queryKey
 
-MsaFilter (--filter-msa 1, the reference default) is not yet ported; this
-module implements the --filter-msa 0 configuration and raises otherwise.
+--filter-msa 1 (the reference default) applies the MsaFilter diversity
+filter (ops/msafilter.py) to the MSA before the PSSM computation.
 """
 
 import numpy as np
@@ -68,7 +68,10 @@ def msa_row_from_backtrace(center_len, t_enc, q_start, t_start, cigar):
 
 
 def profile_from_alignments(center_enc, members, comp_bias_correction=True,
-                            mask_profile=True, mask_prob=0.9):
+                            mask_profile=True, mask_prob=0.9,
+                            filter_msa=False, cov_msa_thr=0.0, qid=(0,),
+                            qsc=-20.0, filter_max_seq_id=0.9, ndiff=1000,
+                            filter_min_enable=0):
     """center_enc: query in internal codes; members: [(t_enc, qStart, tStart,
     cigar)] already e-value filtered. Returns the 25-byte/position payload."""
     L = len(center_enc)
@@ -76,6 +79,13 @@ def profile_from_alignments(center_enc, members, comp_bias_correction=True,
     msa[0] = center_enc
     for i, (t_enc, qs, ts, cigar) in enumerate(members):
         msa[1 + i] = msa_row_from_backtrace(L, t_enc, qs, ts, cigar)
+    if filter_msa:
+        from ..ops.msafilter import msa_filter
+        _, order, _ = msa_filter(
+            msa, coverage=int(cov_msa_thr * 100), qid_vec=qid, qsc=qsc,
+            max_seqid=int(filter_max_seq_id * 100), ndiff=ndiff,
+            filter_min_enable=filter_min_enable)
+        msa = np.ascontiguousarray(msa[order])
     res = compute_pssm_from_msa(msa)
     pssm = res["pssm"]
     if comp_bias_correction:
@@ -91,11 +101,11 @@ def profile_from_alignments(center_enc, members, comp_bias_correction=True,
 
 def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
                       filter_msa=0, comp_bias_correction=True,
-                      mask_profile=True, mask_prob=0.9):
+                      mask_profile=True, mask_prob=0.9, cov_msa_thr=0.0,
+                      qid="0.0", qsc=-20.0, filter_max_seq_id=0.9,
+                      ndiff=1000, filter_min_enable=0):
     """File-level driver: mmseqs-format seq DBs + alignment DB (with
     backtraces) -> profile DB. sameDatabase = identical paths."""
-    if filter_msa:
-        raise NotImplementedError("--filter-msa 1 (MsaFilter) not yet ported")
     qdb = mmseqsdb.read_seqdb(query_db)
     same = (query_db == target_db)
     tdb = qdb if same else mmseqsdb.read_seqdb(target_db)
@@ -123,8 +133,14 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
                         "alignment DB without backtraces (rerun search "
                         "with -a / alignment mode 3)")
                 members.append((enc(tdb.seq(t_by_key[key])), qs, ts, bt))
+        # reference: qid_vec = sorted((int)(strtod(s)*100)) (result2profile
+        # .cpp:36-43)
+        qid_vec = sorted(int(float(s) * 100) for s in str(qid).split(","))
         out.append((qkey, profile_from_alignments(
-            center, members, comp_bias_correction, mask_profile, mask_prob)))
+            center, members, comp_bias_correction, mask_profile, mask_prob,
+            filter_msa=bool(filter_msa), cov_msa_thr=cov_msa_thr,
+            qid=qid_vec, qsc=qsc, filter_max_seq_id=filter_max_seq_id,
+            ndiff=ndiff, filter_min_enable=filter_min_enable)))
     mmseqsdb.write_db(out_db, out, mmseqsdb.DBTYPE_HMM_PROFILE)
     # header DB: reuse the query headers for the profile entries
     import pathlib

@@ -35,3 +35,18 @@ def test_msa2profile_roundtrip_consumable(tmp_path):
     db = ProfileDB.from_db(str(out))
     assert len(db) == 2
     assert db.pssms[0].shape[1] == 21
+
+
+def test_msa2profile_filter_msa_byte_parity(tmp_path):
+    """--filter-msa 1 (MsaFilter) vs reference goldens, default + strict."""
+    entries = [(k, v.decode()) for k, v in read_db(MSA / "msadb2")]
+    out = tmp_path / "prof_f1"
+    msa_db_to_profile_db(entries, str(out), match_mode=1, filter_msa=True)
+    for (ka, va), (kb, vb) in zip(read_db(out), read_db(MSA / "refprof2_f1")):
+        assert ka == kb and va == vb
+    out2 = tmp_path / "prof_f1s"
+    msa_db_to_profile_db(entries, str(out2), match_mode=1, filter_msa=True,
+                         filter_max_seq_id=0.5, ndiff=2)
+    for (ka, va), (kb, vb) in zip(read_db(out2),
+                                  read_db(MSA / "refprof2_f1s")):
+        assert ka == kb and va == vb

@@ -38,6 +38,15 @@ def dbs(tmp_path_factory):
     ("refr2p_nb", dict(comp_bias_correction=False)),
     ("refr2p_ep", dict(eval_profile=10.0)),
     ("refr2p_ep_nb2", dict(eval_profile=10.0, comp_bias_correction=False)),
+    # MsaFilter variants (--filter-msa 1 is the reference default)
+    ("refr2p_f1", dict(filter_msa=1)),
+    ("refr2p_f1_ep", dict(filter_msa=1, eval_profile=10.0)),
+    ("refr2p_f1s", dict(filter_msa=1, eval_profile=10.0,
+                        filter_max_seq_id=0.3, ndiff=2, qsc=0.5)),
+    ("refr2p_f1q", dict(filter_msa=1, eval_profile=10.0, qid="0.25",
+                        cov_msa_thr=0.3)),
+    # multi-bucket qid exercises the reference's Ndiff carry-over quirk
+    ("refr2p_f1b", dict(filter_msa=1, eval_profile=10.0, qid="0.1,0.3,0.9")),
 ])
 def test_result2profile_byte_parity(dbs, tag, kwargs):
     out = dbs / f"out_{tag}"
