@@ -329,6 +329,22 @@ def cmd_result2profile(args):
     return 0
 
 
+def cmd_profile2pssm(args):
+    """HMM-profile DB -> human-readable PSSM table."""
+    from .pipeline.profile2pssm import profile2pssm_db
+    profile2pssm_db(args.profile_db, args.out, db_out=bool(args.db_output))
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_convertprofiledb(args):
+    """HH-suite .hhm text DB -> HMM-profile DB."""
+    from .pipeline.convertprofiledb import convertprofiledb
+    convertprofiledb(args.hhm_db, args.out_db)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_search(args):
     """Protein vs protein/profile search -> alignment DB (+ optional m8)."""
     from .io.seqdb import DBTYPE_AA
@@ -561,6 +577,18 @@ def main(argv=None):
     rp.add_argument("--diff", type=int, default=1000)
     rp.add_argument("--filter-min-enable", type=int, default=0)
     rp.set_defaults(fn=cmd_result2profile)
+
+    pp = sub.add_parser("profile2pssm", help="profile DB -> PSSM table")
+    pp.add_argument("profile_db")
+    pp.add_argument("out")
+    pp.add_argument("--db-output", type=int, default=0)
+    pp.set_defaults(fn=cmd_profile2pssm)
+
+    cv = sub.add_parser("convertprofiledb",
+                        help="HH-suite .hhm DB -> profile DB")
+    cv.add_argument("hhm_db")
+    cv.add_argument("out_db")
+    cv.set_defaults(fn=cmd_convertprofiledb)
 
     se = sub.add_parser("search", help="protein search -> alignment DB / m8")
     se.add_argument("queries", help="FASTA or MMseqs DB")

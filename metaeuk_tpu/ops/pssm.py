@@ -315,7 +315,15 @@ def global_aa_bias_correction(pssm):
 
 
 def convert_neff_to_char(neff):
-    """MathUtil::convertNeffToChar (MathUtil.h:216-219)."""
+    """MathUtil::convertNeffToChar (MathUtil.h:216-219).
+
+    The float->unsigned char cast is out-of-range (UB) for small neff; the
+    reference binary's behavior is empirically: the constant-folded
+    flog2(x<=0)=-128 branch yields 1, while runtime negative values
+    truncate toward zero and keep the low byte (e.g. retVal -36.5 -> 220).
+    """
+    if np.float32(neff) <= np.float32(0.0):
+        return 1
     v = np.minimum(np.float32(255.0),
                    np.float32(1.0) + np.float32(64.0) * flog2(np.float32(neff)))
     return max(1, int(np.float32(v) + np.float32(0.5)) & 0xFF)
