@@ -329,6 +329,36 @@ def cmd_result2profile(args):
     return 0
 
 
+def cmd_prefilter(args):
+    """k-mer prefilter: query DB vs target DB -> prefilter result DB."""
+    import numpy as np
+    from .data.submat import AA2NUM
+    from .io import mmseqsdb
+    from .search.prefilter_kmer import KmerPrefilter, hits_to_pref_lines
+
+    def encs(path):
+        db = mmseqsdb.read_seqdb(path)
+        return [AA2NUM[np.asarray(db.seq(i), np.uint8)]
+                for i in range(len(db))], db
+
+    tencs, tdb = encs(args.target_db)
+    same = args.query_db == args.target_db
+    qencs, qdb = (tencs, tdb) if same else encs(args.query_db)
+    pf = KmerPrefilter(tencs, sensitivity=args.s,
+                       mask_targets=bool(args.mask),
+                       max_res_list_len=args.max_seqs,
+                       min_diag_score=args.min_ungapped_score,
+                       comp_bias_correction=bool(args.comp_bias_corr))
+    entries = []
+    for qi, q in enumerate(qencs):
+        ids, sc, dg = pf.match(q, identity_id=qi if same else None)
+        entries.append((int(qdb.keys[qi]),
+                        hits_to_pref_lines(ids, sc, dg).encode()))
+    mmseqsdb.write_db(args.out_db, entries, mmseqsdb.DBTYPE_PREFILTER_RES)
+    print(f"wrote {args.out_db} ({len(entries)} queries)")
+    return 0
+
+
 def cmd_profile2pssm(args):
     """HMM-profile DB -> human-readable PSSM table."""
     from .pipeline.profile2pssm import profile2pssm_db
@@ -577,6 +607,17 @@ def main(argv=None):
     rp.add_argument("--diff", type=int, default=1000)
     rp.add_argument("--filter-min-enable", type=int, default=0)
     rp.set_defaults(fn=cmd_result2profile)
+
+    pr = sub.add_parser("prefilter", help="k-mer prefilter -> result DB")
+    pr.add_argument("query_db")
+    pr.add_argument("target_db")
+    pr.add_argument("out_db")
+    pr.add_argument("-s", type=float, default=4.0)
+    pr.add_argument("--mask", type=int, default=1)
+    pr.add_argument("--max-seqs", type=int, default=300)
+    pr.add_argument("--min-ungapped-score", type=int, default=15)
+    pr.add_argument("--comp-bias-corr", type=int, default=1)
+    pr.set_defaults(fn=cmd_prefilter)
 
     pp = sub.add_parser("profile2pssm", help="profile DB -> PSSM table")
     pp.add_argument("profile_db")

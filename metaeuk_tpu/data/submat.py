@@ -126,19 +126,25 @@ def encode_aa(seq_bytes):
     return AA2NUM[np.frombuffer(bytes(seq_bytes), dtype=np.uint8)]
 
 
-def composition_bias(encoded_seq, scale=1.0):
+def composition_bias(encoded_seq, scale=1.0, scores=None, pback=None):
     """Per-position composition bias correction, float32.
 
     Port of SubstitutionMatrix::calcLocalAaBiasCorrection
     (SubstitutionMatrix.cpp:79-109): windowed (+/-20) average substitution
     score against the local neighborhood, subtracted from the background
     expectation. Vectorized with a prefix-sum over the score rows.
+    scores/pback default to BLOSUM62 (the alignment path); the prefilter
+    passes the VTML80 8-bit matrix and its background.
     """
+    if scores is None:
+        scores = BLOSUM62_SCORES
+    if pback is None:
+        pback = BLOSUM62_PBACK
     n = len(encoded_seq)
     if n == 0:
         return np.zeros(0, dtype=np.float32)
     w = 20  # windowSize/2
-    rows = BLOSUM62_SCORES[encoded_seq]  # (n, 21)
+    rows = scores[encoded_seq]  # (n, 21)
     # S[i] = sum over j in window of subMat[seq[i]][seq[j]]
     onehot_counts = np.zeros((n + 1, 21), dtype=np.int64)
     np.add.at(onehot_counts[1:], (np.arange(n), encoded_seq), 1)
@@ -154,7 +160,7 @@ def composition_bias(encoded_seq, scale=1.0):
     # each += of a double product rounds back to float32
     delta = (sum_sub.astype(np.float32).astype(np.float64) / (-1.0 * win_len)).astype(np.float32)
     for a in range(ALPHABET_SIZE):
-        term = BLOSUM62_PBACK[a] * rows[:, a].astype(np.float32).astype(np.float64)
+        term = pback[a] * rows[:, a].astype(np.float32).astype(np.float64)
         delta = (delta.astype(np.float64) + term).astype(np.float32)
     return (np.float64(scale) * delta.astype(np.float64)).astype(np.float32)
 

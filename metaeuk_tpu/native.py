@@ -15,13 +15,15 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-_SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "host_ops.cpp"
-_SO = _SRC.parent / "libmetaeuk_host.so"
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+_SRCS = [_NATIVE_DIR / "host_ops.cpp", _NATIVE_DIR / "prefilter.cpp"]
+_SRC = _SRCS[0]
+_SO = _NATIVE_DIR / "libmetaeuk_host.so"
 
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_SO)]
+           *[str(s) for s in _SRCS], "-o", str(_SO)]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -32,7 +34,8 @@ def get_lib():
         return _LIB
     _TRIED = True
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _SO.exists() or _SO.stat().st_mtime < max(
+                s.stat().st_mtime for s in _SRCS):
             _build()
         lib = ctypes.CDLL(str(_SO))
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -40,8 +40,14 @@ def _bind(lib):
     lib._tantan_bound = True
 
 
-def repeat_probs(enc):
-    """Per-position repeat posterior (float32) for an encoded sequence."""
+def repeat_probs(enc, lr=None):
+    """Per-position repeat posterior (float32) for an encoded sequence.
+
+    lr: likelihood-ratio matrix; defaults to the BLOSUM62-based one (the
+    reference's Masker uses whatever subMat it was constructed with -- the
+    prefilter index build passes the VTML80-based ratios)."""
+    if lr is None:
+        lr = LIKELIHOOD_RATIO
     enc = np.ascontiguousarray(enc, np.uint8)
     n = len(enc)
     out = np.zeros(n, np.float32)
@@ -49,18 +55,19 @@ def repeat_probs(enc):
         return out
     lib = native.get_lib()
     if lib is None:
-        return _repeat_probs_py(enc)
+        return _repeat_probs_py(enc, lr)
     _bind(lib)
     lib.tantan_repeat_probs(enc, n, ALPHABET_SIZE, MAX_CYCLE_LENGTH,
-                            np.ascontiguousarray(LIKELIHOOD_RATIO),
+                            np.ascontiguousarray(lr),
                             REPEAT_PROB, REPEAT_END_PROB, DECAY, out)
     return out
 
 
-def _repeat_probs_py(enc):
+def _repeat_probs_py(enc, lr=None):
     """Python fallback (same algorithm, used for cross-checking)."""
+    if lr is None:
+        lr = LIKELIHOOD_RATIO
     n = len(enc)
-    lr = LIKELIHOOD_RATIO
     b2b = 1 - REPEAT_PROB
     f2b = REPEAT_END_PROB
     f2f0 = 1 - REPEAT_END_PROB
@@ -111,10 +118,10 @@ def _repeat_probs_py(enc):
     return probs
 
 
-def mask_sequence(enc, mask_prob=0.9):
+def mask_sequence(enc, mask_prob=0.9, lr=None):
     """Returns a masked copy (repeats -> X) + masked-residue count."""
     enc = np.asarray(enc)
-    probs = repeat_probs(enc)
+    probs = repeat_probs(enc, lr)
     mask = probs >= np.float32(mask_prob)
     out = np.where(mask, np.uint8(X_INDEX), enc.astype(np.uint8))
     return out, int(mask.sum())

@@ -1,0 +1,141 @@
+"""Sensitivity-calibrated k-mer prefilter (the reference's default mode).
+
+Python driver for native/prefilter.cpp: similar-k-mer seeding over spaced
+6-mers (VTML80 at bitFactor 8), double-diagonal match detection, and
+ungapped diagonal rescoring — semantics matching
+lib/mmseqs/src/prefiltering/ (Prefiltering.cpp, KmerGenerator.cpp,
+IndexTable.h, CacheFriendlyOperations.cpp, UngappedAlignment.cpp,
+QueryMatcher.cpp) for byte-identical prefilter result DBs.
+
+Defaults mirror the reference: sensitivity 4.0 -> kmerThr
+int(163.2 - 4*8.917) = 127 (Prefiltering::getKmerThreshold k=6 path),
+maxResListLen 300, minDiagScoreThr 15, target tantan masking at 0.9 with
+the VTML80-derived likelihood ratios, composition-bias correction on.
+"""
+
+import ctypes
+
+import numpy as np
+
+from ..data.submat import composition_bias, scores_with_bias
+from ..data.vtml80 import VTML80_PBACK, VTML80_PROB, VTML80_SCORES_8BIT
+from ..ops.masker import mask_sequence
+from .. import native
+
+# the prefilter's matrices both carry scoreBias -0.2
+# (Prefiltering::getSubstitutionMatrix, Prefiltering.cpp:978-994); the
+# bias never changes the near-integer VTML80 8-bit scores but does shift
+# the BLOSUM62 2-bit ungapped matrix
+UNGAPPED_SCORES = scores_with_bias(2.0, -0.2)
+
+VTML80_LR = VTML80_PROB / (VTML80_PBACK[:, None] * VTML80_PBACK[None, :])
+
+
+def kmer_threshold(sensitivity=4.0, kmer_size=6):
+    """Prefiltering::getKmerThreshold, amino-acid branch
+    (Prefiltering.cpp:1049-1064)."""
+    base = {5: 160.75, 6: 163.2, 7: 186.15}[kmer_size]
+    per = {5: 12.75, 6: 8.917, 7: 11.22}[kmer_size]
+    return int(np.float32(base) - np.float32(sensitivity) * np.float32(per))
+
+
+def _bind(lib):
+    if getattr(lib, "_pf_bound", False):
+        return
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i16op = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.pf_create.restype = ctypes.c_void_p
+    lib.pf_create.argtypes = [i16p, i16p, ctypes.c_int64]
+    lib.pf_destroy.restype = None
+    lib.pf_destroy.argtypes = [ctypes.c_void_p]
+    lib.pf_add_targets.restype = None
+    lib.pf_add_targets.argtypes = [ctypes.c_void_p, u8p, i64p, ctypes.c_int64]
+    lib.pf_n_entries.restype = ctypes.c_int64
+    lib.pf_n_entries.argtypes = [ctypes.c_void_p]
+    lib.pf_match.restype = ctypes.c_int64
+    lib.pf_match.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64, f32p,
+                             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+                             u32p, i32p, i16op]
+    lib._pf_bound = True
+
+
+class KmerPrefilter:
+    """Holds the k-mer index over one (masked) target set."""
+
+    def __init__(self, target_encs, sensitivity=4.0, mask_targets=True,
+                 max_res_list_len=300, min_diag_score=15,
+                 comp_bias_correction=True, kmer_score=None):
+        lib = native.get_lib()
+        if lib is None:
+            raise RuntimeError("k-mer prefilter requires the native library")
+        _bind(lib)
+        self._lib = lib
+        self.kmer_thr = kmer_score if kmer_score is not None \
+            else kmer_threshold(sensitivity)
+        self.max_hits = max_res_list_len
+        self.min_diag_score = min_diag_score
+        self.comp_bias_correction = comp_bias_correction
+        self.n_targets = len(target_encs)
+        vt = np.ascontiguousarray(VTML80_SCORES_8BIT, np.int16)
+        bl = np.ascontiguousarray(UNGAPPED_SCORES, np.int16)
+        self._h = lib.pf_create(vt, bl, self.kmer_thr)
+        masked = []
+        for enc in target_encs:
+            enc = np.asarray(enc, np.uint8)
+            if mask_targets:
+                enc, _ = mask_sequence(enc, 0.9, VTML80_LR)
+            masked.append(enc)
+        offs = np.zeros(len(masked) + 1, np.int64)
+        for i, m in enumerate(masked):
+            offs[i + 1] = offs[i] + len(m)
+        data = np.concatenate(masked) if masked else np.zeros(0, np.uint8)
+        lib.pf_add_targets(self._h, np.ascontiguousarray(data, np.uint8),
+                           offs, len(masked))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.pf_destroy(self._h)
+            self._h = None
+
+    def match(self, query_enc, identity_id=None):
+        """Hits for one query: (ids, scores, diagonals) in reference
+        output order (score desc, id asc; identity hit first)."""
+        q = np.ascontiguousarray(query_enc, np.uint8)
+        if self.comp_bias_correction:
+            bias = composition_bias(q, 1.0, VTML80_SCORES_8BIT, VTML80_PBACK)
+        else:
+            bias = np.zeros(len(q), np.float32)
+        cap = max(self.max_hits + 1, 1)
+        out_id = np.empty(cap, np.uint32)
+        out_sc = np.empty(cap, np.int32)
+        out_dg = np.empty(cap, np.int16)
+        n = self._lib.pf_match(
+            self._h, q, len(q), np.ascontiguousarray(bias, np.float32),
+            self.max_hits, self.min_diag_score,
+            0xFFFFFFFF if identity_id is None else int(identity_id),
+            out_id, out_sc, out_dg)
+        if n < 0:
+            raise RuntimeError("prefilter match overflow (db too large for "
+                               "the non-overflow path)")
+        return out_id[:n].copy(), out_sc[:n].copy(), out_dg[:n].copy()
+
+
+def prefilter_db(query_encs, target_encs, identity_pairs=False, **kw):
+    """All queries -> list of (ids, scores, diags); identity_pairs=True
+    passes the query index as identityId (same-database search)."""
+    pf = KmerPrefilter(target_encs, **kw)
+    out = []
+    for qi, q in enumerate(query_encs):
+        out.append(pf.match(q, qi if identity_pairs else None))
+    return out
+
+
+def hits_to_pref_lines(ids, scores, diags):
+    """prefilterHitToBuffer lines (QueryMatcher.h:118-130)."""
+    return "".join(f"{int(i)}\t{int(s)}\t{int(d)}\n"
+                   for i, s, d in zip(ids, scores, diags))

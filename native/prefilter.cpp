@@ -1,0 +1,550 @@
+// k-mer prefilter core: similar-k-mer seeding + diagonal double-match
+// detection + ungapped diagonal rescoring.
+//
+// Re-implementation of the reference prefilter pipeline semantics
+// (lib/mmseqs/src/prefiltering/: KmerGenerator.cpp, IndexTable.h,
+// CacheFriendlyOperations.cpp, UngappedAlignment.cpp, QueryMatcher.cpp)
+// for byte-identical candidate sets, in this framework's own structure:
+// one flat C ABI driven from Python, host-side only (the batched gapless
+// rescore for throughput mode runs on TPU via ops/ungapped.py; this core
+// is the exact-parity path and the candidate-set oracle).
+//
+// Scope: amino-acid query vs amino-acid target, diagonal scoring on
+// (the reference default), spaced 6-mers. Overflow handling for
+// > max(1e6, dbSize)*2 collected matches is not implemented (the Python
+// driver asserts on it); reference behavior in that regime depends on
+// overflow merge order.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <memory>
+#include <unistd.h>
+
+namespace {
+
+constexpr int ALPH = 20;          // k-mer alphabet, X excluded
+constexpr int A21 = 21;
+constexpr int KK = 6;
+constexpr int PAT_SPAN = 10;      // spaced_seed_6 = 1101010011 span
+constexpr int PAT_POS[KK] = {0, 1, 3, 5, 8, 9};
+constexpr size_t SUB3 = 20 * 20 * 20;
+constexpr size_t KSPACE = SUB3 * SUB3;          // 20^6
+constexpr size_t MAX_KMER_RESULT_SIZE = 262144UL * 32UL;
+
+struct IndexEntry {
+    uint32_t seqId;
+    uint16_t pos_j;
+};
+
+struct Counter {
+    uint32_t id;
+    uint16_t diagonal;
+    uint8_t count;
+};
+
+struct Hit {
+    uint32_t seqId;
+    int32_t prefScore;
+    uint16_t diagonal;
+};
+
+// ExtendedSubstitutionMatrix for 3-mers: per row (3-mer index), all 8000
+// 3-mer indices sorted by score desc (stable: ties ascending index,
+// ExtendedSubstitutionMatrix.cpp:14-56)
+struct ExtMat3 {
+    std::vector<int16_t> score;   // SUB3 * SUB3
+    std::vector<uint32_t> index;
+};
+
+struct PF {
+    int16_t vt[A21 * A21];        // VTML80 8-bit (k-mer seeding)
+    int16_t bl[A21 * A21];        // BLOSUM62 2-bit biased (ungapped rescore)
+    int64_t kmer_thr;
+    std::shared_ptr<ExtMat3> m3;
+    std::vector<uint32_t> offsets;        // KSPACE + 1
+    std::vector<IndexEntry> entries;
+    std::vector<uint8_t> tdata;           // masked target residues
+    std::vector<int64_t> toff;
+    int64_t nseq = 0;
+    uint32_t bincount = 2;
+    uint32_t binbits = 1;
+    // scratch
+    std::vector<int8_t> byteArr;
+};
+
+inline int kidx3(const uint8_t *s) {          // Indexer::int2index base 20
+    return s[0] + 20 * s[1] + 400 * s[2];
+}
+
+void build_ext3(PF *pf) {
+    pf->m3 = std::make_shared<ExtMat3>();
+    pf->m3->score.resize(SUB3 * SUB3);
+    pf->m3->index.resize(SUB3 * SUB3);
+    std::vector<std::pair<int16_t, uint32_t>> row(SUB3);
+    for (size_t i = 0; i < SUB3; i++) {
+        const int s0 = i % 20, s1 = (i / 20) % 20, s2 = i / 400;
+        const int16_t *r0 = pf->vt + s0 * A21;
+        const int16_t *r1 = pf->vt + s1 * A21;
+        const int16_t *r2 = pf->vt + s2 * A21;
+        size_t j = 0;
+        for (int j2 = 0; j2 < 20; j2++) {
+            const int16_t sc2 = r2[j2];
+            for (int j1 = 0; j1 < 20; j1++) {
+                const int16_t sc21 = sc2 + r1[j1];
+                for (int j0 = 0; j0 < 20; j0++, j++) {
+                    row[j] = {static_cast<int16_t>(sc21 + r0[j0]),
+                              static_cast<uint32_t>(j)};
+                }
+            }
+        }
+        std::stable_sort(row.begin(), row.end(),
+                         [](const std::pair<int16_t, uint32_t> &a,
+                            const std::pair<int16_t, uint32_t> &b) {
+                             return a.first > b.first;
+                         });
+        int16_t *sr = pf->m3->score.data() + i * SUB3;
+        uint32_t *ir = pf->m3->index.data() + i * SUB3;
+        for (size_t z = 0; z < SUB3; z++) {
+            sr[z] = row[z].first;
+            ir[z] = row[z].second;
+        }
+    }
+}
+
+uint64_t l2_cache_size() {
+#ifdef _SC_LEVEL2_CACHE_SIZE
+    long sz = sysconf(_SC_LEVEL2_CACHE_SIZE);
+    if (sz > 0) return (uint64_t)sz;
+#endif
+    return 262144;
+}
+
+// initDiagonalMatcher bin-count rule (QueryMatcher.cpp:422-450)
+uint32_t pick_bincount(size_t dbsize) {
+    uint64_t l2 = l2_cache_size();
+    for (uint32_t bc = 2; bc <= 1024; bc *= 2) {
+        if (dbsize / bc < l2) return bc;
+    }
+    return 2048;
+}
+
+// spaced k-mer extraction; returns false if any informative position is X
+inline bool extract_kmer(const uint8_t *seq, int pos, uint8_t *out) {
+    bool ok = true;
+    for (int k = 0; k < KK; k++) {
+        out[k] = seq[pos + PAT_POS[k]];
+        ok &= (out[k] != ALPH);
+    }
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *pf_create(const int16_t *vtml8, const int16_t *blos2, int64_t kmer_thr) {
+    PF *pf = new PF();
+    memcpy(pf->vt, vtml8, sizeof(pf->vt));
+    memcpy(pf->bl, blos2, sizeof(pf->bl));
+    pf->kmer_thr = kmer_thr;
+    // the 3-mer table depends only on the seed matrix: share one copy
+    // per process
+    static std::shared_ptr<ExtMat3> cached;
+    static int16_t cached_vt[A21 * A21];
+    if (cached && memcmp(cached_vt, pf->vt, sizeof(cached_vt)) == 0) {
+        pf->m3 = cached;
+    } else {
+        build_ext3(pf);
+        cached = pf->m3;
+        memcpy(cached_vt, pf->vt, sizeof(cached_vt));
+    }
+    return pf;
+}
+
+void pf_destroy(void *h) { delete static_cast<PF *>(h); }
+
+// targets: already masked (tantan -> X) residue codes
+void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
+                    int64_t n) {
+    PF *pf = static_cast<PF *>(h);
+    pf->nseq = n;
+    pf->toff.assign(offsets, offsets + n + 1);
+    pf->tdata.assign(data, data + offsets[n]);
+    pf->offsets.assign(KSPACE + 1, 0);
+
+    // count unique above-threshold k-mers per sequence (IndexTable::
+    // addKmerCount, IndexTable.h:133-170)
+    std::vector<std::pair<uint32_t, uint16_t>> buf;
+    for (int64_t s = 0; s < n; s++) {
+        const uint8_t *seq = pf->tdata.data() + pf->toff[s];
+        const int64_t L = pf->toff[s + 1] - pf->toff[s];
+        buf.clear();
+        uint8_t w[KK];
+        for (int64_t pos = 0; pos + PAT_SPAN <= L; pos++) {
+            if (!extract_kmer(seq, pos, w)) continue;
+            if (pf->kmer_thr > 0) {
+                int sc = 0;
+                for (int k = 0; k < KK; k++) sc += pf->vt[w[k] * A21 + w[k]];
+                if (sc < pf->kmer_thr) continue;
+            }
+            uint32_t idx = kidx3(w) + SUB3 * kidx3(w + 3);
+            buf.push_back({idx, (uint16_t)pos});
+        }
+        std::sort(buf.begin(), buf.end());
+        uint32_t prev = UINT32_MAX;
+        for (auto &kv : buf) {
+            if (kv.first != prev) pf->offsets[kv.first]++;
+            prev = kv.first;
+        }
+    }
+    // prefix sum (IndexTable::init)
+    uint64_t off = 0;
+    for (size_t i = 0; i < KSPACE; i++) {
+        uint64_t c = pf->offsets[i];
+        pf->offsets[i] = (uint32_t)off;
+        off += c;
+    }
+    pf->offsets[KSPACE] = (uint32_t)off;
+    pf->entries.resize(off);
+    // fill using offsets as write cursors, then revert
+    // (IndexTable::addSequence + revertPointer, IndexTable.h:348-401,251-256)
+    for (int64_t s = 0; s < n; s++) {
+        const uint8_t *seq = pf->tdata.data() + pf->toff[s];
+        const int64_t L = pf->toff[s + 1] - pf->toff[s];
+        buf.clear();
+        uint8_t w[KK];
+        for (int64_t pos = 0; pos + PAT_SPAN <= L; pos++) {
+            if (!extract_kmer(seq, pos, w)) continue;
+            if (pf->kmer_thr > 0) {
+                int sc = 0;
+                for (int k = 0; k < KK; k++) sc += pf->vt[w[k] * A21 + w[k]];
+                if (sc < pf->kmer_thr) continue;
+            }
+            uint32_t idx = kidx3(w) + SUB3 * kidx3(w + 3);
+            buf.push_back({idx, (uint16_t)pos});
+        }
+        std::sort(buf.begin(), buf.end());
+        uint32_t prev = UINT32_MAX;
+        for (auto &kv : buf) {
+            if (kv.first != prev) {
+                pf->entries[pf->offsets[kv.first]++] = {(uint32_t)s, kv.second};
+            }
+            prev = kv.first;
+        }
+    }
+    for (size_t i = KSPACE; i > 0; i--) pf->offsets[i] = pf->offsets[i - 1];
+    pf->offsets[0] = 0;
+    pf->bincount = pick_bincount((size_t)n);
+    pf->binbits = 0;
+    while ((1u << pf->binbits) < pf->bincount) pf->binbits++;
+    // duplicateBitArray sizing: 2^ceil(log2(n)) >> bits (CacheFriendly
+    // Operations ctor)
+    size_t sz = 1;
+    while (sz < (size_t)n) sz <<= 1;
+    sz = std::max(sz >> pf->binbits, (size_t)1);
+    pf->byteArr.assign(sz + 2, 0);
+}
+
+int64_t pf_n_entries(void *h) {
+    return (int64_t) static_cast<PF *>(h)->entries.size();
+}
+
+}  // extern "C"
+
+namespace {
+
+// KmerGenerator::generateKmerList for the (3,3) split, addIdentity=false
+// (KmerGenerator.cpp:106-185). Emits kmer indices in (a desc, b desc)
+// score order. Returns count.
+size_t gen_kmer_list(const PF *pf, const uint8_t *w, int threshold,
+                     uint32_t *out) {
+    const int ia = kidx3(w), ib = kidx3(w + 3);
+    const int16_t *sa = pf->m3->score.data() + (size_t)ia * SUB3;
+    const uint32_t *xa = pf->m3->index.data() + (size_t)ia * SUB3;
+    const int16_t *sb = pf->m3->score.data() + (size_t)ib * SUB3;
+    const uint32_t *xb = pf->m3->index.data() + (size_t)ib * SUB3;
+    const int possibleRest = sb[0];
+    const int cutoff1 = threshold - possibleRest;
+    size_t counter = 0;
+    for (size_t i = 0; i < SUB3 && sa[i] >= cutoff1; i++) {
+        const int cutoff2 = threshold - sa[i];
+        for (size_t j = 0;
+             j < SUB3 && (counter + 1 < MAX_KMER_RESULT_SIZE) && sb[j] >= cutoff2;
+             j++) {
+            out[counter++] = xa[i] + xb[j] * SUB3;
+        }
+        if (counter + 1 >= MAX_KMER_RESULT_SIZE) return counter;
+    }
+    return counter;
+}
+
+// ungapped diagonal score: running sum clamped at 0, max, then min(255,.)
+// (UngappedAlignment::scalarDiagonalScoring + computeSingelSequenceScores)
+int diag_score_raw(const PF *pf, const int8_t *qprof, int qlen,
+                   const uint8_t *t, int tlen, uint16_t diag_u16) {
+    const int16_t d = (int16_t)diag_u16;
+    const uint16_t dist1 = (uint16_t)(0 - diag_u16);
+    const uint16_t dist2 = diag_u16;
+    const uint16_t minDist = std::min(dist1, dist2);
+    int maxs = 0;
+    if (d >= 0 && minDist < (uint16_t)qlen) {
+        const int len = std::min(tlen, qlen - (int)minDist);
+        const int8_t *p = qprof + (size_t)minDist * A21;
+        int score = 0;
+        for (int pos = 0; pos < len; pos++) {
+            score += p[(size_t)pos * A21 + t[pos]];
+            score = score < 0 ? 0 : score;
+            maxs = score > maxs ? score : maxs;
+        }
+    } else if (d < 0 && minDist < (uint16_t)tlen) {
+        const int len = std::min(tlen - (int)minDist, qlen);
+        const uint8_t *tt = t + minDist;
+        int score = 0;
+        for (int pos = 0; pos < len; pos++) {
+            score += qprof[(size_t)pos * A21 + tt[pos]];
+            score = score < 0 ? 0 : score;
+            maxs = score > maxs ? score : maxs;
+        }
+    }
+    return maxs;
+}
+
+// CacheFriendlyOperations::findDuplicates, computeTotalScore=false
+// (CacheFriendlyOperations.cpp:185-274): two successive hits with equal
+// diagonal byte per id -> duplicate; dedup runs keeping first.
+size_t find_duplicates(PF *pf, const std::vector<IndexEntry> &hits,
+                       const std::vector<uint16_t> &hitDiag,
+                       std::vector<Counter> &out) {
+    const uint32_t mask = pf->bincount - 1;
+    int8_t *ba = pf->byteArr.data();
+    std::vector<std::pair<uint32_t, uint16_t>> tmp;
+    size_t cnt = 0;
+    for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        tmp.clear();
+        // find duplicates in this bin (scan order preserved)
+        for (size_t n = 0; n < hits.size(); n++) {
+            const uint32_t id = hits[n].seqId;
+            if ((id & mask) != bin) continue;
+            const uint32_t key = id >> pf->binbits;
+            const uint8_t currDiag = (uint8_t)hitDiag[n];
+            const uint8_t prevDiag = (uint8_t)ba[key];
+            if (currDiag == prevDiag) tmp.push_back({id, hitDiag[n]});
+            ba[key] = (int8_t)currDiag;
+        }
+        // reset: first diagonal + 1 in reverse
+        for (size_t n = tmp.size(); n-- > 0;) {
+            ba[tmp[n].first >> pf->binbits] = (int8_t)((uint8_t)tmp[n].second + 1);
+        }
+        // extract: first of each run
+        for (size_t n = 0; n < tmp.size(); n++) {
+            const uint32_t key = tmp[n].first >> pf->binbits;
+            out[cnt].id = tmp[n].first;
+            out[cnt].count = 0;
+            out[cnt].diagonal = tmp[n].second;
+            cnt += ((uint8_t)ba[key] != (uint8_t)tmp[n].second) ? 1 : 0;
+            ba[key] = (int8_t)(uint8_t)tmp[n].second;
+        }
+        // zero the touched slots
+        for (size_t n = 0; n < hits.size(); n++) {
+            const uint32_t id = hits[n].seqId;
+            if ((id & mask) != bin) continue;
+            ba[id >> pf->binbits] = 0;
+        }
+    }
+    return cnt;
+}
+
+// CacheFriendlyOperations::keepMaxScoreElementOnly + keepMaxElement
+// (CacheFriendlyOperations.cpp:74-80, 350-380)
+size_t keep_max_only(PF *pf, std::vector<Counter> &arr, size_t n) {
+    const uint32_t mask = pf->bincount - 1;
+    int8_t *ba = pf->byteArr.data();
+    std::vector<Counter> binned;
+    binned.reserve(n);
+    std::vector<Counter> out(n);
+    size_t cnt = 0;
+    for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        binned.clear();
+        for (size_t i = 0; i < n; i++) {
+            if ((arr[i].id & mask) == bin) binned.push_back(arr[i]);
+        }
+        for (auto &e : binned) {
+            const uint32_t key = e.id >> pf->binbits;
+            const uint8_t cur = e.count, db = (uint8_t)ba[key];
+            ba[key] = (int8_t)(cur > db ? cur : db);
+        }
+        for (auto &e : binned) {
+            const uint32_t key = e.id >> pf->binbits;
+            out[cnt] = e;
+            const bool found = ((uint8_t)ba[key] == e.count);
+            cnt += found;
+            ba[key] = found ? 0 : ba[key];
+        }
+    }
+    std::copy(out.begin(), out.begin() + cnt, arr.begin());
+    return cnt;
+}
+
+}  // namespace
+
+extern "C" {
+
+// One query against the index. comp_bias: float per query position
+// (calcLocalAaBiasCorrection with the VTML80 matrix). Returns hit count
+// (<= max_hits); -1 on unsupported overflow.
+int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
+                 const float *comp_bias, int64_t max_hits,
+                 int64_t min_diag_thr, uint32_t identity_id,
+                 uint32_t *out_id, int32_t *out_score, int16_t *out_diag) {
+    PF *pf = static_cast<PF *>(h);
+    const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
+    max_hits = std::min(max_hits, pf->nseq);
+
+    // query profile: biased BLOSUM62 2-bit + round(bias/4) per position
+    // (UngappedAlignment::createProfile, UngappedAlignment.cpp:385-414)
+    std::vector<int8_t> qprof((size_t)qlen * A21);
+    for (int64_t pos = 0; pos < qlen; pos++) {
+        float b = comp_bias[pos];
+        b = (b < 0.0f) ? b / 4 - 0.5f : b / 4 + 0.5f;
+        const int8_t corr = (int8_t)(char)b;
+        const int16_t *row = pf->bl + q[pos] * A21;
+        for (int i = 0; i < A21; i++) {
+            qprof[(size_t)pos * A21 + i] = (int8_t)(char)(row[i] + corr);
+        }
+    }
+
+    // collect k-mer matches in stream order (QueryMatcher::match)
+    std::vector<IndexEntry> hits;
+    std::vector<uint16_t> hitDiag;
+    std::vector<uint32_t> klist(1 << 16);
+    uint8_t w[KK];
+    for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
+        if (!extract_kmer(q, i, w)) continue;
+        float biasCorrection = 0;
+        for (int k = 0; k < KK; k++) biasCorrection += comp_bias[i + PAT_POS[k]];
+        const short bias = (short)((biasCorrection < 0.0f)
+                                       ? biasCorrection - 0.5f
+                                       : biasCorrection + 0.5f);
+        const short thr = std::max((short)(pf->kmer_thr - bias), (short)0);
+        if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
+        const size_t nk = gen_kmer_list(pf, w, thr, klist.data());
+        for (size_t kp = 0; kp < nk; kp++) {
+            const uint64_t a = pf->offsets[klist[kp]];
+            const uint64_t b = pf->offsets[klist[kp] + 1];
+            if (hits.size() + (b - a) >= maxDbMatches) return -1;  // overflow
+            for (uint64_t e = a; e < b; e++) {
+                hits.push_back(pf->entries[e]);
+                hitDiag.push_back((uint16_t)((uint16_t)i -
+                                             pf->entries[e].pos_j));
+            }
+        }
+    }
+
+    std::vector<Counter> found(std::max((size_t)1000000, (size_t)pf->nseq));
+    size_t resultSize = hits.empty() ? 0
+                                     : find_duplicates(pf, hits, hitDiag, found);
+
+    // diagonal ungapped scoring for count==0 entries (ungappedAlignment->
+    // align); every entry here has count 0
+    for (size_t i = 0; i < resultSize; i++) {
+        const uint32_t id = found[i].id;
+        const uint8_t *t = pf->tdata.data() + pf->toff[id];
+        const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+        const int sc = diag_score_raw(pf, qprof.data(), (int)qlen, t, tlen,
+                                      found[i].diagonal);
+        found[i].count = (uint8_t)std::min(255, sc);
+    }
+    resultSize = keep_max_only(pf, found, resultSize);
+
+    // threshold from score histogram (computeScoreThreshold)
+    uint64_t hist[256] = {0};
+    for (size_t i = 0; i < resultSize; i++) hist[found[i].count]++;
+    uint64_t acc = 0;
+    unsigned int thr = 0;
+    for (unsigned int s = 255; s > 0; s--) {
+        acc += hist[s];
+        if (acc >= (uint64_t)max_hits) { thr = s; break; }
+    }
+    thr = std::max((unsigned int)min_diag_thr, thr);
+
+    // stable bucket sort desc by score, keeping >= thr (radixSortByScoreSize)
+    std::vector<Counter> sorted;
+    sorted.reserve(resultSize);
+    const bool truncated = thr >= 255;
+    for (int s = 255; s >= (int)thr; s--) {
+        for (size_t i = 0; i < resultSize; i++) {
+            if (found[i].count == (uint8_t)s) sorted.push_back(found[i]);
+        }
+    }
+
+    int rescale = 0;
+    if (truncated) {
+        // rescoreHits (QueryMatcher.cpp:526-548)
+        int maxSelf = diag_score_raw(pf, qprof.data(), (int)qlen, q, (int)qlen, 0);
+        maxSelf = std::max(1, std::min(maxSelf - 255, (int)UINT16_MAX));
+        rescale = maxSelf;
+        std::vector<Counter> rescored;
+        for (size_t i = 0; i < sorted.size() && sorted[i].count >= 255; i++) {
+            const uint32_t id = sorted[i].id;
+            const uint8_t *t = pf->tdata.data() + pf->toff[id];
+            const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+            unsigned int ns = (unsigned int)diag_score_raw(
+                pf, qprof.data(), (int)qlen, t, tlen, sorted[i].diagonal);
+            ns -= 255;
+            const float score = (float)std::min(ns, (unsigned int)UINT16_MAX);
+            Counter c = sorted[i];
+            c.count = (uint8_t)((score / (float)maxSelf) * 255.0f + 0.5f);
+            rescored.push_back(c);
+        }
+        // re-bucket desc with thr 0
+        sorted.clear();
+        for (int s = 255; s >= 0; s--) {
+            for (auto &c : rescored) {
+                if (c.count == (uint8_t)s) sorted.push_back(c);
+            }
+        }
+        thr = 0;
+    }
+
+    // getResult<UNGAPPED_DIAGONAL_SCORE> (QueryMatcher.cpp:363-420)
+    std::vector<Hit> res;
+    if (identity_id != UINT32_MAX) {
+        res.push_back({identity_id, UINT16_MAX, 0});
+    }
+    for (size_t i = 0; i < sorted.size() && (int64_t)res.size() < max_hits;
+         i++) {
+        const uint32_t id = sorted[i].id;
+        const unsigned int sc = sorted[i].count;
+        if (sc < thr || id == identity_id) continue;
+        Hit hh{id, (int32_t)sc, sorted[i].diagonal};
+        if (rescale != 0) {
+            hh.prefScore = (int32_t)(255u + (sc * (unsigned int)rescale / 255u));
+        } else if ((int)sc >= 255) {
+            const uint8_t *t = pf->tdata.data() + pf->toff[id];
+            const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+            hh.prefScore = diag_score_raw(pf, qprof.data(), (int)qlen, t, tlen,
+                                          sorted[i].diagonal);
+        }
+        res.push_back(hh);
+    }
+    // final sort by |score| desc, id asc (hit_t::compareHitsByScoreAndId)
+    const size_t from = (identity_id != UINT32_MAX) ? 1 : 0;
+    if (res.size() > 1) {
+        std::sort(res.begin() + from, res.end(), [](const Hit &a, const Hit &b) {
+            if (std::abs(a.prefScore) > std::abs(b.prefScore)) return true;
+            if (std::abs(b.prefScore) > std::abs(a.prefScore)) return false;
+            return a.seqId < b.seqId;
+        });
+    }
+    for (size_t i = 0; i < res.size(); i++) {
+        out_id[i] = res[i].seqId;
+        out_score[i] = res[i].prefScore;
+        out_diag[i] = (int16_t)res[i].diagonal;
+    }
+    return (int64_t)res.size();
+}
+
+}  // extern "C"

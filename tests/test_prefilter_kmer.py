@@ -1,0 +1,58 @@
+"""k-mer prefilter byte parity vs the reference binary.
+
+Goldens: reference `prefilter pfQ pfT <out>` on a mutated-protein-family
+fixture (fam1-3 at 10-35%% mutation, a fragment, an insertion variant,
+decoys, a tandem-repeat sequence, and sub-k-mer-length sequences), across
+sensitivities 1/4/5.7/7.5, self-search with identity hits, --mask 0,
+--comp-bias-corr 0, and --max-seqs 5.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from metaeuk_tpu.data.submat import AA2NUM
+from metaeuk_tpu.io import mmseqsdb
+from metaeuk_tpu.search.prefilter_kmer import KmerPrefilter, \
+    hits_to_pref_lines, kmer_threshold
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "pref"
+
+
+def _encs(path):
+    db = mmseqsdb.read_seqdb(str(path))
+    return [AA2NUM[np.asarray(db.seq(i), np.uint8)] for i in range(len(db))]
+
+
+@pytest.fixture(scope="module")
+def seqs():
+    return _encs(GOLDEN / "pfT"), _encs(GOLDEN / "pfQ")
+
+
+def test_kmer_threshold_table():
+    assert kmer_threshold(4.0) == 127
+    assert kmer_threshold(5.7) == 112
+    assert kmer_threshold(7.5) == 96
+    assert kmer_threshold(1.0) == 154
+
+
+@pytest.mark.parametrize("tag,kw,identity", [
+    ("pfres_s4", {}, False),
+    ("pfres_s5.7", dict(sensitivity=5.7), False),
+    ("pfres_s7.5", dict(sensitivity=7.5), False),
+    ("pfres_s1", dict(sensitivity=1.0), False),
+    ("pfres_self", {}, True),
+    ("pfres_nomask", dict(mask_targets=False), False),
+    ("pfres_nobias", dict(comp_bias_correction=False), False),
+    ("pfres_max5", dict(max_res_list_len=5), False),
+])
+def test_prefilter_byte_parity(seqs, tag, kw, identity):
+    T, Q = seqs
+    pf = KmerPrefilter(T, **kw)
+    queries = T if identity else Q
+    ref = dict(mmseqsdb.read_db(str(GOLDEN / tag)))
+    for qi, q in enumerate(queries):
+        ids, sc, dg = pf.match(q, identity_id=qi if identity else None)
+        assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
+            f"{tag} q{qi}"
