@@ -401,8 +401,8 @@ def cmd_search(args):
                 .candidate_pairs(query_seqs)
             hits = driver.search(query_seqs, pair_generator=pairs)
         elif p.prefilter_mode == "kmer":
-            from .search.kmer_prefilter import KmerPrefilter
-            pairs = KmerPrefilter(p, targets, p.min_diag_score) \
+            from .search.prefilter_kmer import ReferenceKmerPrefilter
+            pairs = ReferenceKmerPrefilter(p, targets, p.min_diag_score) \
                 .candidate_pairs(query_seqs)
             hits = driver.search(query_seqs, pair_generator=pairs)
         else:

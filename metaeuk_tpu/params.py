@@ -42,7 +42,7 @@ class Params:
 
     # --- search / alignment (Parameters.cpp defaults + workflow overrides) ---
     search_evalue_thr: float = 100.0      # -e (PredictExons.cpp:15)
-    sensitivity: float = 5.7              # -s (Search.cpp workflow default)
+    sensitivity: float = 4.0              # -s (metaeuk predictexons default)
     max_res_list_len: int = 300           # --max-seqs
     gap_open: int = 11
     gap_extend: int = 1
@@ -63,11 +63,14 @@ class Params:
     vote_mode: int = 1                    # aggregatetax default (weighted)
 
     # --- prefilter ---
+    # "kmer" (default, matching the reference): sensitivity-calibrated
+    #   spaced-6-mer prefilter (search/prefilter_kmer.py, byte-parity
+    #   candidate sets vs prefiltering/QueryMatcher.cpp)
     # "exhaustive": align every fragment x target (reference
-    #   --exhaustive-search / fake_pref, data/workflow/blastp.sh:22-33)
+    #   --prefilter-mode 2 / exhaustive-search fake_pref)
     # "ungapped": brute-force gapless diagonal filter (reference
     #   --prefilter-mode 1 / GPU mode, prefiltering/ungappedprefilter.cpp)
-    prefilter_mode: str = "exhaustive"
+    prefilter_mode: str = "kmer"
     min_diag_score: int = 15              # --min-ungapped-score
 
     # --- execution ---

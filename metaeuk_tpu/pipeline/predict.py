@@ -166,8 +166,10 @@ class EasyPredict:
                     from ..search.prefilter import UngappedPrefilter
                     pref = UngappedPrefilter(p, targets, p.min_diag_score)
                 else:
-                    from ..search.kmer_prefilter import KmerPrefilter
-                    pref = KmerPrefilter(p, targets, p.min_diag_score)
+                    # "kmer": the reference-default sensitivity-calibrated
+                    # prefilter (byte-parity candidate sets)
+                    from ..search.prefilter_kmer import ReferenceKmerPrefilter
+                    pref = ReferenceKmerPrefilter(p, targets, p.min_diag_score)
                 with timer.stage(f"{p.prefilter_mode} prefilter"):
                     pairs = pref.candidate_pairs(orf_aa)
                 log.info(f"prefilter pairs kept: {len(pairs)}")

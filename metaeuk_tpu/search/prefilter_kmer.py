@@ -125,6 +125,37 @@ class KmerPrefilter:
         return out_id[:n].copy(), out_sc[:n].copy(), out_dg[:n].copy()
 
 
+class ReferenceKmerPrefilter:
+    """candidate_pairs() adapter for SearchDriver: the reference-default
+    prefilter (sens 4, spaced 6-mers) producing the exact candidate set
+    the reference alignment stage would see."""
+
+    def __init__(self, params, target_db, min_diag_score=15):
+        from ..data.submat import encode_aa
+        self.params = params
+        tencs = [encode_aa(target_db.seq_bytes(i))
+                 for i in range(len(target_db))]
+        self.pf = KmerPrefilter(
+            tencs, sensitivity=getattr(params, "sensitivity", 4.0),
+            max_res_list_len=getattr(params, "max_res_list_len", 300),
+            min_diag_score=min_diag_score,
+            comp_bias_correction=bool(
+                getattr(params, "comp_bias_correction", 1)))
+
+    def candidate_pairs(self, orf_aa_seqs):
+        """(n_pairs, 2) int64 (orf_idx, target_idx), per fragment in
+        prefilter output order (score desc, target asc)."""
+        from ..data.submat import encode_aa
+        pairs = []
+        for qi, s in enumerate(orf_aa_seqs):
+            ids, _, _ = self.pf.match(encode_aa(s))
+            for t in ids:
+                pairs.append((qi, int(t)))
+        if not pairs:
+            return np.zeros((0, 2), np.int64)
+        return np.asarray(pairs, np.int64)
+
+
 def prefilter_db(query_encs, target_encs, identity_pairs=False, **kw):
     """All queries -> list of (ids, scores, diags); identity_pairs=True
     passes the query index as identityId (same-database search)."""

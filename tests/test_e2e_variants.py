@@ -1,9 +1,7 @@
 """Byte-parity for easy-predict parameter variants.
 
-Goldens produced by the reference binary (threads 1, shuffle 0); the
-overlap1/revfrags goldens use --prefilter-mode 2 (exhaustive), matching
-this pipeline's default candidate generation — the k-mer-prefilter mode
-differs only by dropping marginal candidates (see SURVEY.md §7 hard parts).
+Goldens produced by the reference binary with default flags (threads 1,
+shuffle 0) — default prefilter (spaced-6-mer, sens 4) on both sides.
 """
 
 import pathlib

@@ -1,6 +1,6 @@
 """Stage-boundary byte parity against the reference's internal DBs.
 
-Goldens: metaeuk predictexons --prefilter-mode 2 --threads 1 (dp_preds)
+Goldens: metaeuk predictexons --threads 1, default prefilter (dp_preds)
 and metaeuk reduceredundancy (red_preds + red_clust) on the fixture.
 """
 

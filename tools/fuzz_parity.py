@@ -93,7 +93,7 @@ def run_case(td, flags=()):
                     "--shuffle", "0", "-v", "0"], check=True)
     subprocess.run([str(REF), "easy-predict", f"{td}/cdb", f"{td}/tdb",
                     f"{td}/ref", f"{td}/tmp", "--threads", "1",
-                    "--prefilter-mode", "2", "-v", "0", *flags], check=True)
+                    "-v", "0", *flags], check=True)
     from metaeuk_tpu.pipeline.predict import EasyPredict
     from metaeuk_tpu.params import Params
     EasyPredict(Params()).run(f"{td}/contigs.fna", f"{td}/prots.faa",
