@@ -329,6 +329,71 @@ def cmd_result2profile(args):
     return 0
 
 
+def cmd_dbtool(args):
+    """reverseseq / sortresult / tsv2db / mergedbs / createsubdb."""
+    from .pipeline import dbtools
+    if args.tool == "reverseseq":
+        dbtools.reverseseq(args.args[0], args.args[1])
+    elif args.tool == "sortresult":
+        dbtools.sortresult(args.args[0], args.args[1])
+    elif args.tool == "tsv2db":
+        dbtools.tsv2db(args.args[0], args.args[1],
+                       output_dbtype=args.output_dbtype)
+    elif args.tool == "mergedbs":
+        dbtools.mergedbs(args.args[0], args.args[1], args.args[2:],
+                         prefixes=args.prefixes.split(",")
+                         if args.prefixes else ())
+    elif args.tool == "createsubdb":
+        keys = [int(x) for x in open(args.args[0]).read().split()]
+        dbtools.createsubdb(keys, args.args[1], args.args[2])
+    print(f"{args.tool} done")
+    return 0
+
+
+def cmd_createdb(args):
+    """FASTA -> sequence DB triple + headers + .lookup + .source.
+
+    Port of util/createdb.cpp for --shuffle 0 --createdb-mode 1 (the
+    configuration every parity fixture uses): seq type auto-detected by
+    the TAGCUN>0.9 sampling heuristic (createdb.cpp:552-576); entries
+    stored as 'SEQ\\n\\0'; lookup rows 'key<TAB>accession<TAB>0'."""
+    import pathlib
+    from .io import mmseqsdb
+    from .io.fasta import parse_fasta_header, read_fasta
+
+    entries = []
+    is_nucl_votes, samples = 0, 0
+    for fi, path in enumerate(args.fasta):
+        for name, seq in read_fasta(path):
+            seq = seq.decode() if isinstance(seq, bytes) else seq
+            if samples < 10 or (samples % 100) == 0:
+                if samples < 100:
+                    s = seq.upper()
+                    cnt = sum(s.count(c) for c in "TAGCUN")
+                    if len(seq) and cnt / len(seq) > 0.9:
+                        is_nucl_votes += 1
+                samples += 1
+            entries.append((name, seq, fi))
+    dbtype = mmseqsdb.DBTYPE_NUCL if is_nucl_votes == samples \
+        else mmseqsdb.DBTYPE_AA
+    mmseqsdb.write_db(args.out_db,
+                      ((i, s.encode() + b"\n")
+                       for i, (_, s, _) in enumerate(entries)), dbtype)
+    mmseqsdb.write_db(f"{args.out_db}_h",
+                      ((i, n.encode() + b"\n")
+                       for i, (n, _, _) in enumerate(entries)),
+                      mmseqsdb.DBTYPE_GENERIC)
+    with open(f"{args.out_db}.lookup", "w") as f:
+        for i, (n, _, fi) in enumerate(entries):
+            f.write(f"{i}\t{parse_fasta_header(n)}\t{fi}\n")
+    with open(f"{args.out_db}.source", "w") as f:
+        for fi, path in enumerate(args.fasta):
+            f.write(f"{fi}\t{pathlib.Path(path).name}\n")
+    print(f"wrote {args.out_db} ({len(entries)} seqs, "
+          f"type {'nucl' if dbtype == mmseqsdb.DBTYPE_NUCL else 'aa'})")
+    return 0
+
+
 def cmd_prefilter(args):
     """k-mer prefilter: query DB vs target DB -> prefilter result DB."""
     import numpy as np
@@ -607,6 +672,19 @@ def main(argv=None):
     rp.add_argument("--diff", type=int, default=1000)
     rp.add_argument("--filter-min-enable", type=int, default=0)
     rp.set_defaults(fn=cmd_result2profile)
+
+    for tool in ("reverseseq", "sortresult", "tsv2db", "mergedbs",
+                 "createsubdb"):
+        dt = sub.add_parser(tool, help=f"{tool} DB utility")
+        dt.add_argument("args", nargs="+")
+        dt.add_argument("--output-dbtype", type=int, default=12)
+        dt.add_argument("--prefixes", type=str, default="")
+        dt.set_defaults(fn=cmd_dbtool, tool=tool)
+
+    cd = sub.add_parser("createdb", help="FASTA -> sequence DB")
+    cd.add_argument("fasta", nargs="+")
+    cd.add_argument("out_db")
+    cd.set_defaults(fn=cmd_createdb)
 
     pr = sub.add_parser("prefilter", help="k-mer prefilter -> result DB")
     pr.add_argument("query_db")

@@ -1,0 +1,128 @@
+"""DB-toolkit commands: the relational-algebra utilities over DB triples.
+
+Ports of lib/mmseqs/src/util/{reverseseq,tsv2db,mergedbs,createsubdb,
+sortresult}.cpp for the flag configurations MetaEuk's workflows use.
+"""
+
+import numpy as np
+
+from ..io import mmseqsdb
+
+
+def reverseseq(in_db, out_db):
+    """reverseseq.cpp: reverse residues (25-byte records for profiles)."""
+    dbtype = mmseqsdb.read_dbtype(in_db)
+    is_profile = dbtype == mmseqsdb.DBTYPE_HMM_PROFILE
+    out = []
+    for key, payload in mmseqsdb.read_db(in_db):
+        if is_profile:
+            rec = np.frombuffer(payload, np.uint8).reshape(-1, 25)
+            out.append((key, rec[::-1].tobytes()))
+        else:
+            # getSeqLen excludes the trailing newline
+            seq = payload[:-1] if payload.endswith(b"\n") else payload
+            out.append((key, seq[::-1] + b"\n"))
+    mmseqsdb.write_db(out_db, out, dbtype)
+    return out_db
+
+
+def tsv2db(tsv_path, out_db, output_dbtype=mmseqsdb.DBTYPE_GENERIC,
+           include_identity=False):
+    """tsv2db.cpp: group a 'key<TAB>rest' TSV by key; one entry per key
+    holding the rest-of-line payloads."""
+    groups = []
+    last_key = None
+    buf = []
+    with open(tsv_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            key, _, rest = line.partition("\t")
+            if key != last_key and last_key is not None:
+                groups.append((last_key, buf))
+                buf = []
+            buf.append(rest)
+            last_key = key
+    if last_key is not None:
+        groups.append((last_key, buf))
+    out = []
+    for key, rows in groups:
+        payload = "".join(r + "\n" for r in rows)
+        if include_identity:
+            payload = f"{key}\n" + payload
+        out.append((int(key), payload.encode()))
+    mmseqsdb.write_db(out_db, out, output_dbtype)
+    return out_db
+
+
+def mergedbs(query_db, out_db, in_dbs, prefixes=()):
+    """mergedbs.cpp: concatenate per-key payloads of in_dbs in the query
+    DB's key order, with optional per-db prefixes."""
+    with open(f"{query_db}.index") as f:
+        qkeys = [int(line.split("\t")[0]) for line in f]
+    maps = [dict(mmseqsdb.read_db(db)) for db in in_dbs]
+    dbtype = mmseqsdb.read_dbtype(in_dbs[0])
+    out = []
+    for key in qkeys:
+        parts = []
+        for i, m in enumerate(maps):
+            if key not in m:
+                continue
+            if i < len(prefixes):
+                parts.append(prefixes[i].encode())
+            parts.append(m[key])
+        out.append((key, b"".join(parts)))
+    mmseqsdb.write_db(out_db, out, dbtype)
+    return out_db
+
+
+def createsubdb(keys, in_db, out_db):
+    """createsubdb.cpp (hard mode, id key mode): subset by key list,
+    preserving list order; missing keys skipped with a warning."""
+    src = dict(mmseqsdb.read_db(in_db))
+    dbtype = mmseqsdb.read_dbtype(in_db)
+    out = []
+    for key in keys:
+        key = int(key)
+        if key not in src:
+            continue
+        out.append((key, src[key]))
+    mmseqsdb.write_db(out_db, out, dbtype)
+    # data stays in list order, but DBWriter::close sorts the index by key
+    # when the key list was unordered (createsubdb.cpp:85-88)
+    with open(f"{out_db}.index") as f:
+        lines = [ln.split("\t") for ln in f]
+    lines.sort(key=lambda c: int(c[0]))
+    with open(f"{out_db}.index", "w") as f:
+        for c in lines:
+            f.write("\t".join(c))
+    return out_db
+
+
+def sortresult(in_db, out_db):
+    """sortresult.cpp: per-entry re-sort; alignment records by
+    Matcher::compareHits (score desc, seqId asc... Matcher.h), prefilter
+    records by hit_t::compareHitsByScoreAndId."""
+    dbtype = mmseqsdb.read_dbtype(in_db)
+    out = []
+    for key, payload in mmseqsdb.read_db(in_db):
+        lines = [ln for ln in payload.decode().split("\n") if ln]
+        if not lines:
+            out.append((key, b""))
+            continue
+        ncols = len(lines[0].split("\t"))
+        if ncols == 3:
+            # prefilter: |score| desc, id asc
+            def pkey(ln):
+                c = ln.split("\t")
+                return (-abs(int(c[1])), int(c[0]))
+            lines.sort(key=pkey)
+        else:
+            # Matcher::compareHits (Matcher.h:157-168): eval asc,
+            # score desc, dbLen asc, dbKey asc
+            def akey(ln):
+                c = ln.split("\t")
+                return (float(c[3]), -int(c[1]), int(c[9]), int(c[0]))
+            lines.sort(key=akey)
+        out.append((key, "".join(ln + "\n" for ln in lines).encode()))
+    mmseqsdb.write_db(out_db, out, dbtype)
+    return out_db
