@@ -394,9 +394,27 @@ def cmd_createdb(args):
     return 0
 
 
+def cmd_createindex(args):
+    """Build and persist the k-mer target index (createindex artifact)."""
+    import numpy as np
+    from .data.submat import AA2NUM
+    from .io import mmseqsdb
+    from .search.prefilter_kmer import KmerPrefilter
+
+    db = mmseqsdb.read_seqdb(args.target_db)
+    encs = [AA2NUM[np.asarray(db.seq(i), np.uint8)] for i in range(len(db))]
+    pf = KmerPrefilter(encs, sensitivity=args.s,
+                       mask_targets=bool(args.mask))
+    out = args.out if args.out else f"{args.target_db}.kidx"
+    pf.save_index(out)
+    print(f"wrote {out} ({len(encs)} targets)")
+    return 0
+
+
 def cmd_prefilter(args):
     """k-mer prefilter: query DB vs target DB -> prefilter result DB."""
     import numpy as np
+    import pathlib
     from .data.submat import AA2NUM
     from .io import mmseqsdb
     from .search.prefilter_kmer import KmerPrefilter, hits_to_pref_lines
@@ -406,14 +424,26 @@ def cmd_prefilter(args):
         return [AA2NUM[np.asarray(db.seq(i), np.uint8)]
                 for i in range(len(db))], db
 
-    tencs, tdb = encs(args.target_db)
     same = args.query_db == args.target_db
-    qencs, qdb = (tencs, tdb) if same else encs(args.query_db)
-    pf = KmerPrefilter(tencs, sensitivity=args.s,
-                       mask_targets=bool(args.mask),
-                       max_res_list_len=args.max_seqs,
-                       min_diag_score=args.min_ungapped_score,
-                       comp_bias_correction=bool(args.comp_bias_corr))
+    idx = pathlib.Path(f"{args.target_db}.kidx")
+    if idx.exists() and args.mask:
+        pf = KmerPrefilter(None, sensitivity=args.s,
+                           max_res_list_len=args.max_seqs,
+                           min_diag_score=args.min_ungapped_score,
+                           comp_bias_correction=bool(args.comp_bias_corr),
+                           index_path=idx)
+        tdb = mmseqsdb.read_seqdb(args.target_db)
+        qencs, qdb = encs(args.query_db) if not same else (
+            [AA2NUM[np.asarray(tdb.seq(i), np.uint8)]
+             for i in range(len(tdb))], tdb)
+    else:
+        tencs, tdb = encs(args.target_db)
+        qencs, qdb = (tencs, tdb) if same else encs(args.query_db)
+        pf = KmerPrefilter(tencs, sensitivity=args.s,
+                           mask_targets=bool(args.mask),
+                           max_res_list_len=args.max_seqs,
+                           min_diag_score=args.min_ungapped_score,
+                           comp_bias_correction=bool(args.comp_bias_corr))
     entries = []
     for qi, q in enumerate(qencs):
         ids, sc, dg = pf.match(q, identity_id=qi if same else None)
@@ -685,6 +715,13 @@ def main(argv=None):
     cd.add_argument("fasta", nargs="+")
     cd.add_argument("out_db")
     cd.set_defaults(fn=cmd_createdb)
+
+    ci = sub.add_parser("createindex", help="persist the k-mer target index")
+    ci.add_argument("target_db")
+    ci.add_argument("--out", default="")
+    ci.add_argument("-s", type=float, default=4.0)
+    ci.add_argument("--mask", type=int, default=1)
+    ci.set_defaults(fn=cmd_createindex)
 
     pr = sub.add_parser("prefilter", help="k-mer prefilter -> result DB")
     pr.add_argument("query_db")

@@ -61,6 +61,10 @@ def _bind(lib):
     lib.pf_match.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64, f32p,
                              ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
                              u32p, i32p, i16op]
+    lib.pf_save_index.restype = ctypes.c_int64
+    lib.pf_save_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pf_load_index.restype = ctypes.c_int64
+    lib.pf_load_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib._pf_bound = True
 
 
@@ -69,7 +73,8 @@ class KmerPrefilter:
 
     def __init__(self, target_encs, sensitivity=4.0, mask_targets=True,
                  max_res_list_len=300, min_diag_score=15,
-                 comp_bias_correction=True, kmer_score=None):
+                 comp_bias_correction=True, kmer_score=None,
+                 index_path=None):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("k-mer prefilter requires the native library")
@@ -80,10 +85,18 @@ class KmerPrefilter:
         self.max_hits = max_res_list_len
         self.min_diag_score = min_diag_score
         self.comp_bias_correction = comp_bias_correction
-        self.n_targets = len(target_encs)
         vt = np.ascontiguousarray(VTML80_SCORES_8BIT, np.int16)
         bl = np.ascontiguousarray(UNGAPPED_SCORES, np.int16)
         self._h = lib.pf_create(vt, bl, self.kmer_thr)
+        if target_encs is None:
+            # load a createindex artifact instead of building
+            n = lib.pf_load_index(self._h, str(index_path).encode())
+            if n < 0:
+                raise RuntimeError(f"cannot load index {index_path} "
+                                   f"(rc {n}; threshold mismatch?)")
+            self.n_targets = int(n)
+            return
+        self.n_targets = len(target_encs)
         masked = []
         for enc in target_encs:
             enc = np.asarray(enc, np.uint8)
@@ -96,6 +109,12 @@ class KmerPrefilter:
         data = np.concatenate(masked) if masked else np.zeros(0, np.uint8)
         lib.pf_add_targets(self._h, np.ascontiguousarray(data, np.uint8),
                            offs, len(masked))
+
+    def save_index(self, path):
+        """Serialize the built index (the createindex artifact role)."""
+        rc = self._lib.pf_save_index(self._h, str(path).encode())
+        if rc != 0:
+            raise RuntimeError(f"cannot write index {path}")
 
     def __del__(self):
         if getattr(self, "_h", None):

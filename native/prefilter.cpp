@@ -548,3 +548,102 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Persistent index serialization (the createindex artifact role,
+// workflow/CreateIndex.cpp + PrefilteringIndexReader — own compact format,
+// not the reference's versioned binary): header + masked sequences +
+// entries + sparse (kmer, start) ranges for non-empty k-mers.
+// ---------------------------------------------------------------------------
+#include <cstdio>
+
+namespace {
+constexpr uint64_t PF_IDX_MAGIC = 0x4d45554b49445831ULL;  // "MEUKIDX1"
+}
+
+extern "C" {
+
+int64_t pf_save_index(void *h, const char *path) {
+    PF *pf = static_cast<PF *>(h);
+    FILE *f = fopen(path, "wb");
+    if (!f) return -1;
+    uint64_t hdr[5] = {PF_IDX_MAGIC, (uint64_t)pf->kmer_thr,
+                       (uint64_t)pf->nseq, (uint64_t)pf->tdata.size(),
+                       (uint64_t)pf->entries.size()};
+    fwrite(hdr, sizeof(hdr), 1, f);
+    fwrite(pf->toff.data(), sizeof(int64_t), pf->nseq + 1, f);
+    fwrite(pf->tdata.data(), 1, pf->tdata.size(), f);
+    fwrite(pf->entries.data(), sizeof(IndexEntry), pf->entries.size(), f);
+    // sparse ranges
+    std::vector<uint64_t> sparse;
+    for (size_t k = 0; k < KSPACE; k++) {
+        if (pf->offsets[k + 1] != pf->offsets[k]) {
+            sparse.push_back(((uint64_t)k << 32) | pf->offsets[k]);
+        }
+    }
+    uint64_t nsparse = sparse.size();
+    fwrite(&nsparse, sizeof(nsparse), 1, f);
+    fwrite(sparse.data(), sizeof(uint64_t), nsparse, f);
+    fclose(f);
+    return 0;
+}
+
+int64_t pf_load_index(void *h, const char *path) {
+    PF *pf = static_cast<PF *>(h);
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    uint64_t hdr[5];
+    if (fread(hdr, sizeof(hdr), 1, f) != 1 || hdr[0] != PF_IDX_MAGIC ||
+        (int64_t)hdr[1] != pf->kmer_thr) {
+        fclose(f);
+        return -2;  // wrong magic or index built with other kmer threshold
+    }
+    pf->nseq = (int64_t)hdr[2];
+    pf->toff.resize(pf->nseq + 1);
+    pf->tdata.resize(hdr[3]);
+    pf->entries.resize(hdr[4]);
+    if (fread(pf->toff.data(), sizeof(int64_t), pf->nseq + 1, f) !=
+            (size_t)(pf->nseq + 1) ||
+        fread(pf->tdata.data(), 1, hdr[3], f) != hdr[3] ||
+        fread(pf->entries.data(), sizeof(IndexEntry), hdr[4], f) != hdr[4]) {
+        fclose(f);
+        return -3;
+    }
+    uint64_t nsparse = 0;
+    if (fread(&nsparse, sizeof(nsparse), 1, f) != 1) { fclose(f); return -3; }
+    std::vector<uint64_t> sparse(nsparse);
+    if (nsparse && fread(sparse.data(), sizeof(uint64_t), nsparse, f)
+            != nsparse) {
+        fclose(f);
+        return -3;
+    }
+    fclose(f);
+    pf->offsets.assign(KSPACE + 1, 0);
+    // reconstruct flat offsets: fill starts, then forward-fill ends
+    for (uint64_t sv : sparse) {
+        pf->offsets[sv >> 32] = (uint32_t)sv;
+    }
+    uint32_t total = (uint32_t)pf->entries.size();
+    pf->offsets[KSPACE] = total;
+    uint32_t next = total;
+    size_t si = sparse.size();
+    for (size_t k = KSPACE; k-- > 0;) {
+        if (si > 0 && (sparse[si - 1] >> 32) == k) {
+            next = (uint32_t)sparse[si - 1];
+            si--;
+            // offsets[k] already set to start
+        } else {
+            pf->offsets[k] = next;
+        }
+    }
+    pf->bincount = pick_bincount((size_t)pf->nseq);
+    pf->binbits = 0;
+    while ((1u << pf->binbits) < pf->bincount) pf->binbits++;
+    size_t sz = 1;
+    while (sz < (size_t)pf->nseq) sz <<= 1;
+    sz = std::max(sz >> pf->binbits, (size_t)1);
+    pf->byteArr.assign(sz + 2, 0);
+    return (int64_t)pf->nseq;
+}
+
+}  // extern "C"

@@ -56,3 +56,17 @@ def test_prefilter_byte_parity(seqs, tag, kw, identity):
         ids, sc, dg = pf.match(q, identity_id=qi if identity else None)
         assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
             f"{tag} q{qi}"
+
+
+def test_index_save_load_roundtrip(seqs, tmp_path):
+    """createindex artifact: saved+loaded index gives identical results
+    and rejects threshold mismatches."""
+    T, Q = seqs
+    pf = KmerPrefilter(T)
+    pf.save_index(tmp_path / "t.kidx")
+    pf2 = KmerPrefilter(None, index_path=tmp_path / "t.kidx")
+    ref = dict(mmseqsdb.read_db(str(GOLDEN / "pfres_s4")))
+    for qi, q in enumerate(Q):
+        assert hits_to_pref_lines(*pf2.match(q)).encode() == ref.get(qi, b"")
+    with pytest.raises(RuntimeError):
+        KmerPrefilter(None, sensitivity=7.5, index_path=tmp_path / "t.kidx")
