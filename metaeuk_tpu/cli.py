@@ -346,6 +346,15 @@ def cmd_dbtool(args):
     elif args.tool == "createsubdb":
         keys = [int(x) for x in open(args.args[0]).read().split()]
         dbtools.createsubdb(keys, args.args[1], args.args[2])
+    elif args.tool == "extractframes":
+        dbtools.extractframes(args.args[0], args.args[1],
+                              translate=bool(args.translate))
+    elif args.tool == "splitsequence":
+        dbtools.splitsequence(args.args[0], args.args[1],
+                              max_seq_len=args.max_seq_len,
+                              overlap=args.sequence_overlap)
+    elif args.tool == "convert2fasta":
+        dbtools.convert2fasta(args.args[0], args.args[1])
     print(f"{args.tool} done")
     return 0
 
@@ -704,11 +713,15 @@ def main(argv=None):
     rp.set_defaults(fn=cmd_result2profile)
 
     for tool in ("reverseseq", "sortresult", "tsv2db", "mergedbs",
-                 "createsubdb"):
+                 "createsubdb", "extractframes", "splitsequence",
+                 "convert2fasta"):
         dt = sub.add_parser(tool, help=f"{tool} DB utility")
         dt.add_argument("args", nargs="+")
         dt.add_argument("--output-dbtype", type=int, default=12)
         dt.add_argument("--prefixes", type=str, default="")
+        dt.add_argument("--translate", type=int, default=0)
+        dt.add_argument("--max-seq-len", type=int, default=10000)
+        dt.add_argument("--sequence-overlap", type=int, default=300)
         dt.set_defaults(fn=cmd_dbtool, tool=tool)
 
     cd = sub.add_parser("createdb", help="FASTA -> sequence DB")

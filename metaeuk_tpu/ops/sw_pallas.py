@@ -34,7 +34,7 @@ NEG = -(10 ** 6)
 BIG = 10 ** 6
 GO = 11
 GE = 1
-TB = 128          # pairs per tile (lanes)
+TB = int(__import__("os").environ.get("METAEUK_SW_TB", "128"))  # pairs per tile (lanes)
 
 
 def _tj_for(Lq):

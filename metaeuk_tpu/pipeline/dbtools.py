@@ -126,3 +126,99 @@ def sortresult(in_db, out_db):
         out.append((key, "".join(ln + "\n" for ln in lines).encode()))
     mmseqsdb.write_db(out_db, out, dbtype)
     return out_db
+
+
+def _orf_header(key, from_pos, to_pos, complete=0):
+    """Orf::writeOrfHeader text (Orf.cpp:440-457):
+    'key<TAB>from{+|-}len[<TAB>complete]\\n'."""
+    sign = "+" if from_pos < to_pos else "-"
+    length = abs(int(from_pos) - int(to_pos))
+    s = f"{key}\t{from_pos}{sign}{length}"
+    if complete:
+        s += f"\t{complete}"
+    return s + "\n"
+
+
+def extractframes(in_db, out_db, forward_frames=(1, 2, 3),
+                  reverse_frames=(1, 2, 3), translate=False,
+                  translation_table=1):
+    """extractframes.cpp: per nucleotide sequence, emit the 3 forward and
+    3 reverse-complement frame subsequences (optionally translated), with
+    Orf-style headers and renumbered keys."""
+    from ..data.gencode import GeneticCode, REVCOMP_TABLE
+    import numpy as np
+    gc = GeneticCode(translation_table) if translate else None
+    seqs, headers = [], []
+    for key, payload in mmseqsdb.read_db(in_db):
+        seq = payload[:-1] if payload.endswith(b"\n") else payload
+        L = len(seq)
+        arr = np.frombuffer(seq, np.uint8)
+        rc = REVCOMP_TABLE[arr[::-1]].tobytes()
+
+        def emit(data, frame, reverse):
+            sub = data[frame:]
+            slen = L - frame
+            if translate:
+                if slen < 3:
+                    return
+                codon_len = (slen // 3) * 3
+                aa = gc.translate_ascii(sub[:codon_len])
+                seqs.append(aa + b"\n")
+                if reverse:
+                    headers.append(_orf_header(key, frame + codon_len, frame))
+                else:
+                    headers.append(_orf_header(key, frame, frame + codon_len))
+            else:
+                seqs.append(sub + b"\n")
+                if reverse:
+                    headers.append(_orf_header(key, slen - 1, frame))
+                else:
+                    headers.append(_orf_header(key, frame, slen - 1))
+
+        for f in (1, 2, 3):
+            if f in forward_frames:
+                emit(seq, f - 1, False)
+        for f in (1, 2, 3):
+            if f in reverse_frames:
+                emit(rc, f - 1, True)
+    dbtype = mmseqsdb.DBTYPE_AA if translate else mmseqsdb.read_dbtype(in_db)
+    mmseqsdb.write_db(out_db, list(enumerate(seqs)), dbtype)
+    mmseqsdb.write_db(f"{out_db}_h",
+                      [(i, h.encode()) for i, h in enumerate(headers)],
+                      mmseqsdb.DBTYPE_GENERIC)
+    return out_db
+
+
+def splitsequence(in_db, out_db, max_seq_len=10000, overlap=300):
+    """splitsequence.cpp (hard mode): overlapping chunks (defaults
+    --max-seq-len 10000 --sequence-overlap 300, splitsequence.cpp:20-22)
+    with Orf-style coordinate headers; renumbered keys."""
+    import math
+    seqs, headers = [], []
+    for key, payload in mmseqsdb.read_db(in_db):
+        seq = payload[:-1] if payload.endswith(b"\n") else payload
+        L = len(seq)
+        n_split = max(1, math.ceil(L / float(max_seq_len - overlap)))
+        for sp in range(n_split):
+            start = sp * max_seq_len - sp * overlap
+            ln = min(max_seq_len, L - start)
+            seqs.append(seq[start:start + ln] + b"\n")
+            headers.append(_orf_header(key, start, start + ln - 1))
+    dbtype = mmseqsdb.read_dbtype(in_db)
+    mmseqsdb.write_db(out_db, list(enumerate(seqs)), dbtype)
+    mmseqsdb.write_db(f"{out_db}_h",
+                      [(i, h.encode()) for i, h in enumerate(headers)],
+                      mmseqsdb.DBTYPE_GENERIC)
+    return out_db
+
+
+def convert2fasta(in_db, out_fasta):
+    """convert2fasta.cpp: DB + headers -> FASTA."""
+    headers = dict(mmseqsdb.read_db(f"{in_db}_h"))
+    with open(out_fasta, "wb") as f:
+        for key, payload in mmseqsdb.read_db(in_db):
+            h = headers[key]
+            h = h[:-1] if h.endswith(b"\n") else h
+            b = payload[:-1] if payload.endswith(b"\n") else payload
+            f.write(b">" + h + b"\n" + b + b"\n")
+    return out_fasta

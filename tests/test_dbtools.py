@@ -87,3 +87,33 @@ def test_createdb_byte_parity(tmp_path):
                         str(fasta), str(out)], check=True,
                        capture_output=True)
         _eq(out, ref, sufs)
+
+
+def _contigs_db(td):
+    subprocess.run([sys.executable, "-m", "metaeuk_tpu.cli", "createdb",
+                    str(DATA / "contigs.fna"), str(td / "contigsDB")],
+                   check=True, capture_output=True)
+    return td / "contigsDB"
+
+
+def test_extractframes(tmp_path):
+    from metaeuk_tpu.pipeline.dbtools import extractframes
+    cdb = _contigs_db(tmp_path)
+    extractframes(str(cdb), str(tmp_path / "ef"))
+    _eq(tmp_path / "ef", G / "refef", ("", ".index", "_h", "_h.index"))
+    extractframes(str(cdb), str(tmp_path / "eft"), translate=True)
+    _eq(tmp_path / "eft", G / "refeft", ("", ".index", "_h", "_h.index"))
+
+
+def test_splitsequence(tmp_path):
+    from metaeuk_tpu.pipeline.dbtools import splitsequence
+    cdb = _contigs_db(tmp_path)
+    splitsequence(str(cdb), str(tmp_path / "sp"), max_seq_len=500)
+    _eq(tmp_path / "sp", G / "refsplit", ("", ".index", "_h", "_h.index"))
+
+
+def test_convert2fasta(tmp_path):
+    from metaeuk_tpu.pipeline.dbtools import convert2fasta
+    tdb = _targets_db(tmp_path)
+    convert2fasta(str(tdb), str(tmp_path / "o.faa"))
+    _eq(tmp_path / "o.faa", G / "reffasta.faa", ("",))
