@@ -70,9 +70,27 @@ def _params_from_args(args):
 
 def cmd_easy_predict(args):
     from .pipeline.predict import EasyPredict
+    contig_range = None
+    if args.contig_split:
+        i, n = (int(x) for x in args.contig_split.split(":"))
+        from .io.seqdb import SeqDB, DBTYPE_NUCL
+        from .parallel.multihost import contig_partition
+        total = len(SeqDB.from_fasta(args.contigs, DBTYPE_NUCL)) \
+            if not pathlib_exists(f"{args.contigs}.dbtype") else \
+            sum(1 for _ in open(f"{args.contigs}.index"))
+        contig_range = contig_partition(total, i, n)
     EasyPredict(_params_from_args(args)).run(
-        args.contigs, args.targets, args.out_prefix, tmp_dir=args.tmp)
+        args.contigs, args.targets, args.out_prefix, tmp_dir=args.tmp,
+        contig_range=contig_range)
     print(f"wrote {args.out_prefix}.fas / .codon.fas / .headersMap.tsv / .gff")
+    return 0
+
+
+def cmd_mergepredictions(args):
+    """Concatenate contig-partitioned easy-predict outputs."""
+    from .parallel.multihost import merge_predictions
+    merge_predictions(args.out_prefix, args.parts)
+    print(f"merged {len(args.parts)} partitions -> {args.out_prefix}.*")
     return 0
 
 
@@ -621,6 +639,10 @@ def main(argv=None):
     ep.add_argument("contigs")
     ep.add_argument("targets")
     ep.add_argument("out_prefix")
+    ep.add_argument("--contig-split", default="",
+                    help="I:N — process contiguous contig partition I of N "
+                         "(multi-host data parallelism; merge with "
+                         "mergepredictions)")
     ep.add_argument("tmp", nargs="?", default=None,
                     help="checkpoint dir (stage artifacts, resumable)")
     _add_predict_flags(ep)
@@ -723,6 +745,12 @@ def main(argv=None):
         dt.add_argument("--max-seq-len", type=int, default=10000)
         dt.add_argument("--sequence-overlap", type=int, default=300)
         dt.set_defaults(fn=cmd_dbtool, tool=tool)
+
+    mg = sub.add_parser("mergepredictions",
+                        help="merge contig-partitioned easy-predict outputs")
+    mg.add_argument("out_prefix")
+    mg.add_argument("parts", nargs="+")
+    mg.set_defaults(fn=cmd_mergepredictions)
 
     cd = sub.add_parser("createdb", help="FASTA -> sequence DB")
     cd.add_argument("fasta", nargs="+")

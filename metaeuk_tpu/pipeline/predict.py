@@ -66,10 +66,16 @@ class EasyPredict:
     def __init__(self, params=None):
         self.params = params or Params()
 
-    def run(self, contigs_path, targets_path, out_prefix, tmp_dir=None):
+    def run(self, contigs_path, targets_path, out_prefix, tmp_dir=None,
+            contig_range=None):
         """Full easy-predict. With tmp_dir set, the DP-predictions stage
         artifact is checkpointed and reused on re-runs (the reference's
-        notExists-guarded resumability, data/predictexons.sh:40-88)."""
+        notExists-guarded resumability, data/predictexons.sh:40-88).
+
+        contig_range=(lo, hi) processes only that contiguous contig block
+        (the multi-host data-parallel partition: per-contig results are
+        independent, so partition outputs concatenate byte-identically to
+        a single run -- parallel/multihost.py + mergepredictions)."""
         p = self.params
         timer = log.StageTimer()
         with timer.stage("load contigs+targets"):
@@ -87,7 +93,8 @@ class EasyPredict:
                 log.info(f"resumed {dp_ckpt}")
         else:
             with timer.stage("predictexons"):
-                preds_per_contig = self.predict_exons(contigs, targets)
+                preds_per_contig = self.predict_exons(contigs, targets,
+                                                      contig_range)
             if dp_ckpt:
                 os.makedirs(tmp_dir, exist_ok=True)
                 from ..io import mmseqsdb
@@ -111,8 +118,9 @@ class EasyPredict:
             pos += len(s) + 2
         db_buffer = np.frombuffer(b"".join(chunks), dtype=np.uint8)
         n_written = 0
+        lo, hi = contig_range if contig_range else (0, len(contigs))
         with timer.stage("reduceredundancy+write"):
-            for ci in range(len(contigs)):
+            for ci in range(lo, hi):
                 preds = preds_per_contig.get(ci, [])
                 if not preds:
                     continue
@@ -129,9 +137,10 @@ class EasyPredict:
         timer.report()
         return out_prefix
 
-    def predict_exons(self, contigs, targets):
+    def predict_exons(self, contigs, targets, contig_range=None):
         """contig_idx -> list[Prediction] (collectoptimalset emission order)."""
         p = self.params
+        lo, hi = contig_range if contig_range else (0, len(contigs))
         timer = log.StageTimer()
         extractor = OrfExtractor(p)
         # --- extractorfs + translatenucs ---
@@ -139,7 +148,7 @@ class EasyPredict:
         orf_locs = []          # global fragment records, key = index
         orf_aa = []
         orf_contig = []
-        for ci in range(len(contigs)):
+        for ci in range(lo, hi):
             locs, frags = extractor.extract_contig(contigs.seq_bytes(ci), ci)
             for loc, frag in zip(locs, frags):
                 orf_locs.append(loc)

@@ -25,3 +25,33 @@ def test_sharded_search_matches_oracle():
         for j in range(Nt):
             ref = sw_align(q_enc[i], t_enc[j])
             assert score[i, j] == ref["score"], (i, j)
+
+
+def test_contig_partition_merge_byte_identical(tmp_path):
+    """Multi-host data parallelism: 2-partition run + merge equals the
+    single-run easy-predict goldens byte-for-byte."""
+    import pathlib
+    from metaeuk_tpu.params import Params
+    from metaeuk_tpu.pipeline.predict import EasyPredict
+    from metaeuk_tpu.parallel.multihost import contig_partition, \
+        merge_predictions
+    data = pathlib.Path(__file__).parent / "data"
+    golden = pathlib.Path(__file__).parent / "golden"
+    for i in range(2):
+        rng = contig_partition(2, i, 2)
+        EasyPredict(Params()).run(data / "contigs.fna", data / "proteins.faa",
+                                  str(tmp_path / f"part{i}"),
+                                  contig_range=rng)
+    merge_predictions(str(tmp_path / "merged"),
+                      [str(tmp_path / f"part{i}") for i in range(2)])
+    for s in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        assert (tmp_path / f"merged.{s}").read_bytes() \
+            == (golden / f"easypredict.{s}").read_bytes(), s
+
+
+def test_contig_partition_bounds():
+    from metaeuk_tpu.parallel.multihost import contig_partition
+    parts = [contig_partition(10, i, 3) for i in range(3)]
+    assert parts == [(0, 4), (4, 7), (7, 10)]
+    assert contig_partition(2, 1, 4) == (1, 2)
+    assert contig_partition(2, 3, 4) == (2, 2)  # empty partition ok
