@@ -86,6 +86,15 @@ def cmd_easy_predict(args):
     return 0
 
 
+def cmd_linclust(args):
+    """Sequence DB -> cluster DB via hash-selected k-mer groups."""
+    from .search.linclust import linclust_db
+    linclust_db(args.seq_db, args.out_db, min_seq_id=args.min_seq_id,
+                cov_thr=args.c)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_mergepredictions(args):
     """Concatenate contig-partitioned easy-predict outputs."""
     from .parallel.multihost import merge_predictions
@@ -745,6 +754,13 @@ def main(argv=None):
         dt.add_argument("--max-seq-len", type=int, default=10000)
         dt.add_argument("--sequence-overlap", type=int, default=300)
         dt.set_defaults(fn=cmd_dbtool, tool=tool)
+
+    lc = sub.add_parser("linclust", help="linear-time clustering")
+    lc.add_argument("seq_db")
+    lc.add_argument("out_db")
+    lc.add_argument("--min-seq-id", type=float, default=0.9)
+    lc.add_argument("-c", type=float, default=0.8)
+    lc.set_defaults(fn=cmd_linclust)
 
     mg = sub.add_parser("mergepredictions",
                         help="merge contig-partitioned easy-predict outputs")
