@@ -86,6 +86,25 @@ def cmd_easy_predict(args):
     return 0
 
 
+def cmd_besthitperset(args):
+    from .pipeline.multihit import besthitperset
+    besthitperset(args.result_db, f"{args.target_db}_member_to_set",
+                  f"{args.target_db}_set_size", args.out_db,
+                  simple_best_hit=bool(args.simple_best_hit))
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_combinepvalperset(args):
+    from .pipeline.multihit import combinepvalperset
+    combinepvalperset(args.result_db, f"{args.query_db}_set_size",
+                      f"{args.target_db}_member_to_set",
+                      f"{args.target_db}_set_size", args.out_db,
+                      alpha=args.alpha, aggregation_mode=args.aggregation_mode)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_linclust(args):
     """Sequence DB -> cluster DB via hash-selected k-mer groups."""
     from .search.linclust import linclust_db
@@ -754,6 +773,24 @@ def main(argv=None):
         dt.add_argument("--max-seq-len", type=int, default=10000)
         dt.add_argument("--sequence-overlap", type=int, default=300)
         dt.set_defaults(fn=cmd_dbtool, tool=tool)
+
+    bh = sub.add_parser("besthitperset", help="best hit per target set")
+    bh.add_argument("query_db")
+    bh.add_argument("target_db")
+    bh.add_argument("result_db")
+    bh.add_argument("out_db")
+    bh.add_argument("--simple-best-hit", type=int, default=1)
+    bh.set_defaults(fn=cmd_besthitperset)
+
+    cp = sub.add_parser("combinepvalperset",
+                        help="combined p-value per target set")
+    cp.add_argument("query_db")
+    cp.add_argument("target_db")
+    cp.add_argument("result_db")
+    cp.add_argument("out_db")
+    cp.add_argument("--alpha", type=float, default=1.0)
+    cp.add_argument("--aggregation-mode", type=int, default=0)
+    cp.set_defaults(fn=cmd_combinepvalperset)
 
     lc = sub.add_parser("linclust", help="linear-time clustering")
     lc.add_argument("seq_db")
