@@ -37,7 +37,8 @@ def _add_predict_flags(p):
                    help="search E-value threshold")
     p.add_argument("--max-seqs", type=int, default=300)
     p.add_argument("--prefilter-mode", choices=["exhaustive", "ungapped", "kmer"],
-                   default="exhaustive")
+                   default="kmer",
+                   help="kmer = the reference default (sens-calibrated)")
     p.add_argument("--min-ungapped-score", type=int, default=15)
     p.add_argument("--comp-bias-corr", type=int, default=1)
 
@@ -101,6 +102,15 @@ def cmd_combinepvalperset(args):
                       f"{args.target_db}_member_to_set",
                       f"{args.target_db}_set_size", args.out_db,
                       alpha=args.alpha, aggregation_mode=args.aggregation_mode)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_rescorediagonal(args):
+    from .pipeline.rescorediagonal import rescorediagonal
+    rescorediagonal(args.query_db, args.target_db, args.result_db,
+                    args.out_db, rescore_mode=args.rescore_mode,
+                    eval_thr=args.e, add_backtrace=bool(args.a))
     print(f"wrote {args.out_db}")
     return 0
 
@@ -791,6 +801,16 @@ def main(argv=None):
     cp.add_argument("--alpha", type=float, default=1.0)
     cp.add_argument("--aggregation-mode", type=int, default=0)
     cp.set_defaults(fn=cmd_combinepvalperset)
+
+    rd = sub.add_parser("rescorediagonal", help="ungapped diagonal rescore")
+    rd.add_argument("query_db")
+    rd.add_argument("target_db")
+    rd.add_argument("result_db")
+    rd.add_argument("out_db")
+    rd.add_argument("--rescore-mode", type=int, default=0)
+    rd.add_argument("-e", type=float, default=1e-3)
+    rd.add_argument("-a", type=int, default=0)
+    rd.set_defaults(fn=cmd_rescorediagonal)
 
     lc = sub.add_parser("linclust", help="linear-time clustering")
     lc.add_argument("seq_db")
