@@ -549,6 +549,63 @@ def cmd_search(args):
     queries = load_sequence_input(args.queries, DBTYPE_AA)
     targets = load_target_input(args.targets)
     query_seqs = [queries.seq_bytes(i) for i in range(len(queries))]
+
+    def _looks_nucl(seqs):
+        import numpy as np
+        votes = samples = 0
+        for s_ in seqs[:10]:
+            if not len(s_):
+                continue
+            u = bytes(s_).upper()
+            cnt = sum(u.count(c) for c in b"TAGCUN")
+            votes += (cnt / len(u)) > 0.9
+            samples += 1
+        return samples > 0 and votes == samples
+
+    from .io.seqdb import SeqDB
+    if isinstance(targets, SeqDB) and _looks_nucl(query_seqs) and \
+            _looks_nucl([targets.seq_bytes(i) for i in range(len(targets))]):
+        # nucleotide/nucleotide: the blastn.sh path (search/nucl_search.py)
+        from .data.nucl import encode_nucl
+        from .search.nucl_search import NuclSearch
+        ns = NuclSearch([encode_nucl(targets.seq_bytes(i))
+                         for i in range(len(targets))],
+                        max_evalue=p.search_evalue_thr,
+                        max_seqs=p.max_res_list_len)
+        results = ns.search([encode_nucl(s_) for s_ in query_seqs])
+        entries = []
+        m8 = []
+        for qi, hits_ in enumerate(results):
+            lines = []
+            for h in hits_:
+                lines.append(f"{h['target']}\t{h['bit_score']}\t"
+                             f"{h['strand']}\t{'%.3E' % h['evalue']}\t"
+                             f"{h['q_start']}\t{h['q_end']}\t"
+                             f"{len(query_seqs[qi])}\t{h['t_start']}\t"
+                             f"{h['t_end']}\t"
+                             f"{len(targets.seq_bytes(h['target']))}\n")
+                if args.m8:
+                    qn = queries.accession(qi)
+                    tn = targets.accession(h["target"])
+                    ql = len(query_seqs[qi])
+                    qs, qe = h["q_start"], h["q_end"]
+                    if h["strand"] < 0:
+                        qs, qe = ql - 1 - qs, ql - 1 - qe
+                    m8.append(
+                        f"{qn}\t{tn}\t0.000\t"
+                        f"{abs(h['t_end'] - h['t_start']) + 1}\t0\t0\t"
+                        f"{qs + 1}\t{qe + 1}\t{h['t_start'] + 1}\t"
+                        f"{h['t_end'] + 1}\t{'%.3E' % h['evalue']}\t"
+                        f"{h['bit_score']}\n")
+            entries.append((qi, "".join(lines).encode()))
+        mmseqsdb.write_db(args.out_db, entries,
+                          mmseqsdb.DBTYPE_ALIGNMENT_RES)
+        if args.m8:
+            with open(args.m8, "w") as f:
+                f.write("".join(m8))
+        print(f"wrote {args.out_db} (nucleotide search, "
+              f"{sum(len(r) for r in results)} hits)")
+        return 0
     from .io.profiledb import ProfileDB
     if isinstance(targets, ProfileDB):
         from .search.profile_search import ProfileSearchDriver

@@ -31,10 +31,11 @@ GO = 11
 GE = 1
 
 
-def _scan_columns(S, t_mask):
+def _scan_columns(S, t_mask, go=GO, ge=GE):
     """Run the column scan over S: (B, Lq, Lt) int32 (padded cells NEG).
 
     Returns (best, q_end, t_end) per pair, with reference tie-breaking.
+    go/ge parametrize the affine gap costs (11/1 protein, 5/2 nucleotide).
     """
     B, Lq, Lt = S.shape
     idx = jnp.arange(Lq, dtype=jnp.int32)
@@ -44,17 +45,17 @@ def _scan_columns(S, t_mask):
         s_col, j = inp
         Hd = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
         G = jnp.maximum(0, jnp.maximum(Hd + s_col, E))
-        A = G + idx[None, :] * GE
+        A = G + idx[None, :] * ge
         M = jax.lax.cummax(A, axis=1)
         F = jnp.pad(M[:, :-1], ((0, 0), (1, 0)), constant_values=NEG) \
-            - GO - (idx[None, :] - 1) * GE
+            - go - (idx[None, :] - 1) * ge
         Hn = jnp.maximum(G, F)
         col_max = jnp.max(Hn, axis=1)
         improved = col_max > best
         best = jnp.where(improved, col_max, best)
         t_end = jnp.where(improved, j, t_end)
         q_end = jnp.where(improved, jnp.argmax(Hn, axis=1).astype(jnp.int32), q_end)
-        E = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
+        E = jnp.maximum(jnp.maximum(E - ge, Hn - go), 0)
         return (Hn, E, best, q_end, t_end), None
 
     H0 = jnp.zeros((B, Lq), dtype=jnp.int32)
@@ -78,8 +79,9 @@ def _build_scores(prof, t_oh):
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=None):
+@functools.partial(jax.jit, static_argnums=(4, 5, 7, 8))
+def sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=None,
+                  go=GO, ge=GE, submat=None):
     """Forward SW for a batch of padded pairs.
 
     Args:
@@ -92,20 +94,23 @@ def sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=None):
       (score, q_end, t_end) each (B,) int32.
     """
     B = q_enc.shape[0]
-    submat = jnp.asarray(BLOSUM62_SCORES, dtype=jnp.int32)
-    prof = submat[q_enc] + q_bias[:, :, None]  # (B, Lq, 21)
+    submat = jnp.asarray(BLOSUM62_SCORES if submat is None else submat,
+                         dtype=jnp.int32)
+    alph = submat.shape[0]
+    prof = submat[q_enc] + q_bias[:, :, None]  # (B, Lq, alph)
     qmask = jnp.arange(Lq)[None, :] < q_len[:, None]
     prof = jnp.where(qmask[:, :, None], prof, NEG)
-    t_oh = jax.nn.one_hot(t_enc, 21, dtype=jnp.int32)  # (B, Lt, 21)
+    t_oh = jax.nn.one_hot(t_enc, alph, dtype=jnp.int32)  # (B, Lt, alph)
     S = _build_scores(prof, t_oh)  # (B, Lq, Lt)
     tmask = jnp.arange(Lt)[None, :] < t_len[:, None]
     S = jnp.where(tmask[:, None, :], S, NEG)
-    return _scan_columns(S, tmask)
+    return _scan_columns(S, tmask, go, ge)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 9, 10))
 def sw_batch_starts(q_enc, q_bias, q_len, t_enc, Lq, Lt,
-                    t_len=None, q_end=None, t_end=None):
+                    t_len=None, q_end=None, t_end=None, go=GO, ge=GE,
+                    submat=None):
     """Reverse-prefix SW: start positions for pairs with known ends.
 
     Runs the same column scan on reversed prefixes q[q_end::-1],
@@ -122,7 +127,8 @@ def sw_batch_starts(q_enc, q_bias, q_len, t_enc, Lq, Lt,
     tr = jnp.take_along_axis(t_enc, t_rev_idx, axis=1)
     qr_len = q_end + 1
     tr_len = t_end + 1
-    return sw_batch_ends(qr, br, qr_len, tr, Lq, Lt, t_len=tr_len)
+    return sw_batch_ends(qr, br, qr_len, tr, Lq, Lt, t_len=tr_len,
+                         go=go, ge=ge, submat=submat)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

@@ -39,6 +39,16 @@ _BLOSUM62_UNGAPPED = dict(
     sigma=4.5269915477182944841, tau=0.0,
 )
 
+_NUCL_GAPPED_7_1 = dict(
+    lam=1.0960171987681839,
+    K=0.33538787507026158,
+    a_J=2.0290734315292083, b_J=-0.46514786408422282,
+    a_I=2.0290734315292083, b_I=-0.46514786408422282,
+    alpha_J=5.0543294182155085, beta_J=15.130999712620039,
+    alpha_I=5.0543294182155085, beta_I=15.130999712620039,
+    sigma=5.0543962679167036, tau=15.129930117400917,
+)
+
 _NAT_CUT_OFF_IN_MAX = 2.0  # sls_pvalues.cpp:46
 _CONST_VAL = 1.0 / math.sqrt(2.0 * math.pi)
 
@@ -56,8 +66,11 @@ class EvalueComputation:
       gapped: True for the default gap-11/1 parameters.
     """
 
-    def __init__(self, db_res_count, gapped=True):
-        p = _BLOSUM62_GAPPED_11_1 if gapped else _BLOSUM62_UNGAPPED
+    def __init__(self, db_res_count, gapped=True, nucl=False):
+        if nucl:
+            p = _NUCL_GAPPED_7_1   # EvalueComputation.h:57-63 (gaps 7/1)
+        else:
+            p = _BLOSUM62_GAPPED_11_1 if gapped else _BLOSUM62_UNGAPPED
         self.p = p
         self.db_res_count = float(db_res_count)
         self.log_k = math.log(p["K"])
