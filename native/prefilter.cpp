@@ -71,8 +71,15 @@ struct PF {
     int64_t nseq = 0;
     uint32_t bincount = 2;
     uint32_t binbits = 1;
-    // scratch
+    // scratch (reused across pf_match calls; per-call allocation of the
+    // multi-MB buffers dominated runtime on many-query workloads)
     std::vector<int8_t> byteArr;
+    std::vector<Counter> found;
+    std::vector<uint32_t> klist;
+    std::vector<IndexEntry> hits;
+    std::vector<uint16_t> hitDiag;
+    std::vector<Counter> sorted;
+    std::vector<int8_t> qprof;
 };
 
 inline int kidx3(const uint8_t *s) {          // Indexer::int2index base 20
@@ -405,7 +412,8 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
 
     // query profile: biased BLOSUM62 2-bit + round(bias/4) per position
     // (UngappedAlignment::createProfile, UngappedAlignment.cpp:385-414)
-    std::vector<int8_t> qprof((size_t)qlen * A21);
+    std::vector<int8_t> &qprof = pf->qprof;
+    qprof.resize((size_t)qlen * A21);
     for (int64_t pos = 0; pos < qlen; pos++) {
         float b = comp_bias[pos];
         b = (b < 0.0f) ? b / 4 - 0.5f : b / 4 + 0.5f;
@@ -417,9 +425,11 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
     }
 
     // collect k-mer matches in stream order (QueryMatcher::match)
-    std::vector<IndexEntry> hits;
-    std::vector<uint16_t> hitDiag;
-    std::vector<uint32_t> klist(1 << 16);
+    std::vector<IndexEntry> &hits = pf->hits;
+    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    hits.clear();
+    hitDiag.clear();
+    std::vector<uint32_t> &klist = pf->klist;
     uint8_t w[KK];
     for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
         if (!extract_kmer(q, i, w)) continue;
@@ -443,7 +453,10 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
         }
     }
 
-    std::vector<Counter> found(std::max((size_t)1000000, (size_t)pf->nseq));
+    std::vector<Counter> &found = pf->found;
+    if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
+        found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
+    }
     size_t resultSize = hits.empty() ? 0
                                      : find_duplicates(pf, hits, hitDiag, found);
 
@@ -471,7 +484,8 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
     thr = std::max((unsigned int)min_diag_thr, thr);
 
     // stable bucket sort desc by score, keeping >= thr (radixSortByScoreSize)
-    std::vector<Counter> sorted;
+    std::vector<Counter> &sorted = pf->sorted;
+    sorted.clear();
     sorted.reserve(resultSize);
     const bool truncated = thr >= 255;
     for (int s = 255; s >= (int)thr; s--) {
