@@ -106,6 +106,15 @@ def cmd_combinepvalperset(args):
     return 0
 
 
+def cmd_kmermatcher(args):
+    from .search.kmermatcher import kmermatcher_db
+    kmermatcher_db(args.seq_db, args.out_db,
+                   kmers_per_seq=args.kmer_per_seq or 20,
+                   kmer_size=args.k or None)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_rescorediagonal(args):
     from .pipeline.rescorediagonal import rescorediagonal
     rescorediagonal(args.query_db, args.target_db, args.result_db,
@@ -858,6 +867,13 @@ def main(argv=None):
     cp.add_argument("--alpha", type=float, default=1.0)
     cp.add_argument("--aggregation-mode", type=int, default=0)
     cp.set_defaults(fn=cmd_combinepvalperset)
+
+    km = sub.add_parser("kmermatcher", help="hash-selected k-mer grouping")
+    km.add_argument("seq_db")
+    km.add_argument("out_db")
+    km.add_argument("--kmer-per-seq", type=int, default=0)
+    km.add_argument("-k", type=int, default=0)
+    km.set_defaults(fn=cmd_kmermatcher)
 
     rd = sub.add_parser("rescorediagonal", help="ungapped diagonal rescore")
     rd.add_argument("query_db")

@@ -1,0 +1,297 @@
+"""kmermatcher: linclust's hash-selected k-mer grouping, byte-exact.
+
+Port of lib/mmseqs/src/linclust/kmermatcher.cpp for amino-acid inputs
+(single hash split, no weight file):
+
+  - reduced 13-letter alphabet by iterative mutual-information-preserving
+    letter merging (prefiltering/ReducedMatrix.cpp)
+  - k = max(10, log(totalResidues)/log(8.7)); contiguous k-mers, X-free
+    (setKmerLengthAndAlphabet, kmermatcher.cpp:1277-1293; setLinear-
+    FilterDefault: covThr 0.8, no masking, kmersPerSequence 20)
+  - per sequence: select ~20 k-mers with the smallest 16-bit XXH64
+    hashes via the 65536-bin histogram + 128-bin hierarchical shortcut,
+    including the last-bin excess quirk (kmermatcher.cpp:205-240), plus
+    one whole-sequence identity hash entry (Util::hash * 31 chain
+    -> XXH64)
+  - global sort by (kmer, seqLen desc, id, pos); per-k-mer group keeps
+    the longest sequence as center, drops singletons, applies the
+    bidirectional 0.8 length-ratio filter (assignGroup)
+  - re-sort by (center, id, diagonal) and emit prefilter-format lines:
+    center self-hit, then per target the most frequent diagonal with the
+    k-mer match count as score (writeKmerMatcherResult); unmatched
+    sequences appended as singleton self-hits
+"""
+
+import math
+
+import numpy as np
+
+from ..data.submat import BLOSUM62_PROB
+from ..io import mmseqsdb
+
+_P1 = np.uint64(11400714785074694791)
+_P2 = np.uint64(14029467366897019727)
+_P3 = np.uint64(1609587929392839161)
+_P4 = np.uint64(9650029242287828579)
+_P5 = np.uint64(2870177450012600261)
+
+
+def _rotl(x, r):
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxh64_u64(x, seed=67):
+    """XXH64 of one little-endian uint64 (kmermatcher.cpp:35-40)."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(x, np.uint64)
+        h = np.uint64(seed) + _P5 + np.uint64(8)
+        k1 = _rotl(x * _P2, 31) * _P1
+        h = _rotl(h ^ k1, 27) * _P1 + _P4
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+        return h
+
+
+def _generate_sub_matrix(p):
+    """BaseMatrix::generateSubMatrix double variant (BaseMatrix.cpp:
+    110-139) without X handling: log2 odds over row-sum background."""
+    bg = p.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.log2(p / (bg[:, None] * bg[None, :]))
+
+
+def _mutual_information(p, s):
+    return float((p * s).sum())
+
+
+def reduced_aa_mapping(n_target=13):
+    """ReducedMatrix letter merging -> (aa2num 256-table, alphabet string).
+
+    Greedy: at each step couple the letter pair whose merged probability
+    matrix keeps the highest sum p*log2odds (ReducedMatrix.cpp:49-85,
+    coupleWithBestInfo:198-238)."""
+    from ..data.submat import ALPHABET, AA2NUM
+    p = BLOSUM62_PROB[:20, :20].astype(np.float64).copy()
+    alphabet = list(ALPHABET[:20])           # representative letters
+    # class of each original letter index (0..19)
+    cls = list(range(20))
+
+    size = 20
+    while size > n_target - 1:               # target includes X
+        best_info, bi, bj = 0.0, 0, 0
+        for i in range(size):
+            for j in range(i + 1, size):
+                merged = np.delete(np.delete(p, j, 0), j, 1).copy()
+                merged[i, :] = np.delete(p[i, :] + p[j, :], j)
+                merged[:, i] = np.delete(p[:, i] + p[:, j], j)
+                merged[i, i] = p[i, i] + p[i, j] + p[j, i] + p[j, j]
+                s = _generate_sub_matrix(merged)
+                info = _mutual_information(merged, s)
+                if info > best_info:
+                    best_info, bi, bj = info, i, j
+        # merge bj into bi
+        lost = alphabet[bj]
+        kept = alphabet[bi]
+        merged = np.delete(np.delete(p, bj, 0), bj, 1).copy()
+        merged[bi, :] = np.delete(p[bi, :] + p[bj, :], bj)
+        merged[:, bi] = np.delete(p[:, bi] + p[:, bj], bj)
+        merged[bi, bi] = p[bi, bi] + p[bi, bj] + p[bj, bi] + p[bj, bj]
+        p = merged
+        alphabet.pop(bj)
+        for k in range(20):
+            if cls[k] == ALPHABET.index(lost):
+                cls[k] = ALPHABET.index(kept)
+        # remap classes of letters previously merged into `lost`
+        for k in range(20):
+            if ALPHABET[cls[k]] == lost:
+                cls[k] = ALPHABET.index(kept)
+        size -= 1
+
+    # build the 256-entry mapping: representative order = remaining list,
+    # X last (ReducedMatrix.cpp:88-108)
+    rep_index = {ALPHABET.index(a): i for i, a in enumerate(alphabet)}
+    out = np.full(256, n_target - 1, np.uint8)   # default X
+    for k in range(20):
+        ri = rep_index[cls[k]]
+        ch = ALPHABET[k]
+        out[ord(ch)] = ri
+        out[ord(ch.lower())] = ri
+    # letter-mapping quirks follow setupLetterMapping (J->L etc.)
+    for src, dst in (("J", "L"), ("Z", "E"), ("B", "D")):
+        di = rep_index[cls[ALPHABET.index(dst)]]
+        out[ord(src)] = di
+        out[ord(src.lower())] = di
+    return out, "".join(alphabet) + "X"
+
+
+_REDUCED_CACHE = {}
+
+
+def _reduced(n_target=13):
+    if n_target not in _REDUCED_CACHE:
+        _REDUCED_CACHE[n_target] = reduced_aa_mapping(n_target)
+    return _REDUCED_CACHE[n_target]
+
+
+def _util_hash(arr):
+    """Util::hash (Util.h:344-352): h = h*31 + x over size_t."""
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for v in np.asarray(arr, np.uint64):
+            h = h * np.uint64(31) + v
+    return h
+
+
+def _select_kmers(enc_red, k, kmers_per_seq, alph):
+    """Per-sequence k-mer selection (kmermatcher.cpp:127-208, 240-333):
+    returns list of (kmer_idx, pos) in extraction order."""
+    L = len(enc_red)
+    x_idx = alph - 1
+    sel = []
+    if L < k:
+        return sel, 0
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.asarray(enc_red, np.int64), k)
+    valid = (win != x_idx).all(axis=1)
+    powers = ((alph - 1) ** np.arange(k)).astype(object)
+    # indices can exceed 2^63 for large k: compute in python ints exactly
+    # like size_t (mod 2^64)
+    kidx = np.zeros(len(win), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pw = np.array([(alph - 1) ** i % (1 << 64) for i in range(k)],
+                      dtype=np.uint64)
+        acc = np.zeros(len(win), np.uint64)
+        for i in range(k):
+            acc += win[:, i].astype(np.uint64) * pw[i]
+        kidx = acc
+    pos = np.flatnonzero(valid)
+    kidx = kidx[valid]
+    scores = (xxh64_u64(kidx) & np.uint64(0xFFFF)).astype(np.int64)
+    n = len(kidx)
+    if n == 0:
+        return [], 0
+    considered = min(kmers_per_seq - 1 + 0, n)   # aa scale = 0.0
+    hist = np.bincount(scores, minlength=65536)
+    hier = hist.reshape(128, 512).sum(axis=1)
+    in_bins = 0
+    ht = 0
+    while ht < 128 and in_bins < considered:
+        in_bins += int(hier[ht])
+        ht += 1
+    ht -= 1 if ht > 0 else 0
+    in_bins -= int(hier[ht])
+    thr = ht * 512
+    while thr <= 0xFFFF and in_bins < considered:
+        in_bins += int(hist[thr])
+        thr += 1
+    too_much = in_bins - considered
+    out = []
+    selected = 0
+    for i in range(n):
+        if selected >= considered:
+            break
+        sc = int(scores[i])
+        if sc < thr:
+            if sc == thr - 1 and too_much:
+                too_much -= 1
+                if too_much == 0:
+                    thr -= 1
+            selected += 1
+            out.append((int(kidx[i]), int(pos[i])))
+    return out, n
+
+
+def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
+                   n_alphabet=13, kmer_size=None):
+    db = mmseqsdb.read_seqdb(seq_db)
+    aa2red, _alpha = _reduced(n_alphabet)
+    total_res = int(db.lengths.sum())
+    k = kmer_size if kmer_size else max(
+        10, int(math.log(float(total_res)) / math.log(8.7)))
+
+    # --- fillKmerPositionArray ---
+    entries = []   # (kmer, id, pos, seqLen)
+    for i in range(len(db)):
+        key = int(db.keys[i])
+        enc = aa2red[np.asarray(db.seq(i), np.uint8)]
+        L = len(enc)
+        sel, _n = _select_kmers(enc, k, kmers_per_seq, n_alphabet)
+        seq_hash = int(xxh64_u64(_util_hash(enc)))
+        entries.append((seq_hash, key, 0, L))
+        for kidx, pos in sel:
+            entries.append((kidx, key, pos, L))
+
+    # --- sort by (kmer, seqLen desc, id, pos) ---
+    entries.sort(key=lambda e: (e[0], -e[3], e[1], e[2]))
+
+    # --- assignGroup ---
+    groups = []
+    out_rows = []
+    i = 0
+    n = len(entries)
+    while i < n:
+        j = i
+        while j < n and entries[j][0] == entries[i][0]:
+            j += 1
+        if j - i > 1:
+            rep_id = entries[i][1]
+            rep_len = entries[i][3]
+            rep_pos = entries[i][2]
+            for kmer, sid, pos, slen in entries[i:j]:
+                diagonal = rep_pos - pos
+                if (float(rep_len) / slen >= cov_thr
+                        and float(slen) / rep_len >= cov_thr):
+                    out_rows.append((rep_id, sid, diagonal, slen))
+        i = j
+
+    # --- sort by (rep, id, diag) + write ---
+    out_rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    rep_payloads = []
+    covered = set()
+    i = 0
+    n = len(out_rows)
+    while i < n:
+        rep = out_rows[i][0]
+        j = i
+        lines = [f"{rep}\t0\t0\n"]
+        wrote = 0
+        while j < n and out_rows[j][0] == rep:
+            tid = out_rows[j][1]
+            e = j
+            best_diag = out_rows[j][2]
+            prev_diag = best_diag
+            diag_cnt = 0
+            max_diag = 0
+            top = 0
+            while e < n and out_rows[e][0] == rep and out_rows[e][1] == tid:
+                d = out_rows[e][2]
+                diag_cnt = diag_cnt + 1 if d == prev_diag else 1
+                if diag_cnt >= max_diag:
+                    best_diag = d
+                    max_diag = diag_cnt
+                prev_diag = d
+                e += 1
+                top += 1
+            if tid != rep:
+                lines.append(f"{tid}\t{top}\t{best_diag}\n")
+                wrote += 1
+            j = e
+        if wrote > 0:
+            rep_payloads.append((rep, "".join(lines).encode()))
+            covered.add(rep)
+            for r in out_rows[i:j]:
+                covered.add(r[1])
+        i = j
+    # covered flags only reps that actually wrote + their members?  The
+    # reference marks repSequence[rep]=true only; members with no own rep
+    # entry get singleton lines
+    covered = {p[0] for p in rep_payloads}
+    singles = [(int(kk), f"{int(kk)}\t0\t0\n".encode())
+               for kk in db.keys if int(kk) not in covered]
+    mmseqsdb.write_db(out_db, rep_payloads + singles,
+                      mmseqsdb.DBTYPE_PREFILTER_RES)
+    return out_db
