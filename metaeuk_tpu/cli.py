@@ -125,10 +125,12 @@ def cmd_rescorediagonal(args):
 
 
 def cmd_linclust(args):
-    """Sequence DB -> cluster DB via hash-selected k-mer groups."""
-    from .search.linclust import linclust_db
-    linclust_db(args.seq_db, args.out_db, min_seq_id=args.min_seq_id,
-                cov_thr=args.c)
+    """Sequence DB -> cluster DB (full byte-parity linclust workflow)."""
+    import tempfile
+    from .search.kmermatcher import linclust_exact
+    tmp = args.tmp if args.tmp else tempfile.mkdtemp(prefix="linclust")
+    linclust_exact(args.seq_db, args.out_db, tmp,
+                   min_seq_id=args.min_seq_id, cov=args.c)
     print(f"wrote {args.out_db}")
     return 0
 
@@ -888,6 +890,7 @@ def main(argv=None):
     lc = sub.add_parser("linclust", help="linear-time clustering")
     lc.add_argument("seq_db")
     lc.add_argument("out_db")
+    lc.add_argument("tmp", nargs="?", default=None)
     lc.add_argument("--min-seq-id", type=float, default=0.9)
     lc.add_argument("-c", type=float, default=0.8)
     lc.set_defaults(fn=cmd_linclust)

@@ -222,3 +222,16 @@ def convert2fasta(in_db, out_fasta):
             b = payload[:-1] if payload.endswith(b"\n") else payload
             f.write(b">" + h + b"\n" + b + b"\n")
     return out_fasta
+
+
+def filterdb_by_file(in_db, out_db, keep_keys):
+    """filterdb --filter-file: keep only lines whose first column is in
+    the given key set (util/filterdb.cpp FILE_FILTER mode)."""
+    keep = {str(int(k)) for k in keep_keys}
+    out = []
+    for key, payload in mmseqsdb.read_db(in_db):
+        lines = [ln for ln in payload.decode().split("\n") if ln]
+        kept = [ln for ln in lines if ln.split("\t")[0] in keep]
+        out.append((key, "".join(ln + "\n" for ln in kept).encode()))
+    mmseqsdb.write_db(out_db, out, mmseqsdb.read_dbtype(in_db))
+    return out_db

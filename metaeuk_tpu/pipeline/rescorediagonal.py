@@ -91,13 +91,42 @@ def _compute_ungapped(q, t, diagonal_u16, mode, sm):
     return best
 
 
+def _parse_precision_lib(target_seqid, target_cov, target_precision=0.99,
+                         cov_mode=0):
+    """parsePrecisionLib (rescorediagonal.cpp:20-43): first row matching
+    the grid-rounded (cov, seqid) with precision >= target."""
+    import pathlib
+    name = "CovSeqidQscPercMinDiag.lib" if cov_mode == 0 \
+        else "CovSeqidQscPercMinDiagTargetCov.lib"
+    path = pathlib.Path(__file__).parent.parent / "data" / "resources" / name
+    int_seqid = int((target_seqid + 0.0001) * 100)
+    tgt_seqid = float(int_seqid - (int_seqid % 5)) / 100
+    tgt_cov = float(int((target_cov + 0.0001) * 10)) / 10
+    for line in path.read_text().splitlines():
+        vals = line.split(" ")
+        if len(vals) < 4:
+            continue
+        cov, seqid, spc, prec = (float(v) for v in vals[:4])
+        if abs(cov - tgt_cov) < 1e-6 and abs(seqid - tgt_seqid) < 1e-6 \
+                and prec >= target_precision:
+            return spc
+    return 0.0
+
+
 def rescorediagonal(query_db, target_db, result_db, out_db, rescore_mode=0,
                     eval_thr=1e-3, cov_thr=0.0, cov_mode=0, seq_id_thr=0.0,
                     aln_len_thr=0, include_identity=False,
-                    add_backtrace=False, sort_results=0):
+                    add_backtrace=False, sort_results=0, filter_hits=False):
     global _ASCII
     if _ASCII is None:
         _ASCII = _ascii_scores()
+    score_per_col_thr = 0.0
+    if filter_hits:
+        if rescore_mode == 0:
+            # HAMMING cannot filter; reference switches to SUBSTITUTION
+            rescore_mode = 1
+        score_per_col_thr = _parse_precision_lib(seq_id_thr, cov_thr,
+                                                 0.99, cov_mode)
     sm21 = BLOSUM62_SCORES.astype(np.int64)
     qdb = mmseqsdb.read_seqdb(query_db)
     same = query_db == target_db
@@ -164,7 +193,9 @@ def rescorediagonal(query_db, target_db, result_db, out_db, rescore_mode=0,
             eps = np.finfo(np.float32).eps
             ok = (aln_len >= aln_len_thr and has_cov
                   and seq_id >= seq_id_thr - eps and evalue <= eval_thr)
-            if not (is_identity or ok):
+            curr_spc = (float(score) / dlen) if dlen else 0.0
+            has_to_filter = filter_hits and curr_spc >= score_per_col_thr
+            if not (is_identity or has_to_filter or ok):
                 continue
             if rescore_mode == 2:
                 from .alnformat import format_seq_id, matcher_seq_id_text

@@ -248,9 +248,20 @@ class SearchDriver:
         # Alignment::checkCriteria (Alignment.cpp:548-567)
         aln_len = np.maximum(np.abs(hits["q_end"] - hits["q_start"]),
                              np.abs(hits["t_end"] - hits["t_start"])) + 1
+        q_cov = (np.abs(hits["q_end"] - hits["q_start"]) + 1) \
+            / np.maximum(hits["q_len"], 1)
+        t_cov = (np.abs(hits["t_end"] - hits["t_start"]) + 1) \
+            / np.maximum(hits["t_len"], 1)
+        if p.cov_mode == 1:
+            has_cov = q_cov >= p.cov_thr
+        elif p.cov_mode == 2:
+            has_cov = t_cov >= p.cov_thr
+        else:
+            has_cov = (q_cov >= p.cov_thr) & (t_cov >= p.cov_thr)
         ok = (aligned
               & (hits["evalue"] <= p.search_evalue_thr)
               & (hits["seq_id"] >= p.seq_id_thr)
+              & has_cov
               & (aln_len >= p.aln_len_thr))
         hits = hits[ok]
         # Matcher::compareHits order per query (Matcher.h:157-168):

@@ -206,10 +206,25 @@ def _select_kmers(enc_red, k, kmers_per_seq, alph):
 
 
 def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
-                   n_alphabet=13, kmer_size=None):
+                   n_alphabet=None, kmer_size=None, seq_id_thr=0.0):
+    """k/alphabet auto-selection follows setKmerLengthAndAlphabet
+    (kmermatcher.cpp:1277-1293): seqIdThr>=0.99 -> k=14/alph 21;
+    >=0.9 -> k=14/alph 13; else k=max(10, ln(res)/ln(8.7))/alph 13."""
     db = mmseqsdb.read_seqdb(seq_db)
-    aa2red, _alpha = _reduced(n_alphabet)
     total_res = int(db.lengths.sum())
+    if kmer_size is None and n_alphabet is None:
+        if seq_id_thr + 0.001 >= 0.99:
+            kmer_size, n_alphabet = 14, 21
+        elif seq_id_thr + 0.001 >= 0.9:
+            kmer_size, n_alphabet = 14, 13
+        else:
+            n_alphabet = 13
+    n_alphabet = 13 if n_alphabet is None else n_alphabet
+    if n_alphabet == 21:
+        from ..data.submat import AA2NUM
+        aa2red = AA2NUM
+    else:
+        aa2red, _alpha = _reduced(n_alphabet)
     k = kmer_size if kmer_size else max(
         10, int(math.log(float(total_res)) / math.log(8.7)))
 
@@ -294,4 +309,86 @@ def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
                for kk in db.keys if int(kk) not in covered]
     mmseqsdb.write_db(out_db, rep_payloads + singles,
                       mmseqsdb.DBTYPE_PREFILTER_RES)
+    return out_db
+
+
+def linclust_exact(seq_db, out_db, tmp_dir, min_seq_id=0.9, cov=0.8,
+                   cov_mode=0):
+    """The full linclust workflow (data/workflow/linclust.sh), chaining
+    the byte-parity components: kmermatcher -> Hamming rescore ->
+    set-cover pre-clustering -> representative subsetting -> filtered
+    ungapped rescore (--filter-hits precision table) -> gapped alignment
+    (the search driver) -> set-cover -> mergeclusters."""
+    import dataclasses
+    import os
+    import pathlib
+    from ..io import mmseqsdb
+    from ..params import Params
+    from ..pipeline.clust import clust_db, mergeclusters
+    from ..pipeline.dbtools import createsubdb, filterdb_by_file
+    from ..pipeline.rescorediagonal import rescorediagonal
+    from ..pipeline.alnformat import hit_to_matcher_line
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    t = pathlib.Path(tmp_dir)
+    pref = str(t / "pref")
+    # linclust does NOT apply kmermatcher's setLinearFilterDefault: the
+    # global --kmer-per-seq default 21 applies (Parameters.cpp:2627)
+    kmermatcher_db(seq_db, pref, kmers_per_seq=21, seq_id_thr=min_seq_id)
+    rescorediagonal(seq_db, seq_db, pref, str(t / "pref_rescore1"),
+                    rescore_mode=0, seq_id_thr=max(0.5, min_seq_id),
+                    cov_thr=max(0.5, cov), cov_mode=cov_mode)
+    clust_db(seq_db, str(t / "pref_rescore1"), str(t / "pre_clust"))
+    with open(str(t / "pre_clust.index")) as f:
+        order = [int(line.split("\t")[0]) for line in f]
+    red = str(t / "input_step_redundancy")
+    createsubdb(order, seq_db, red)
+    # subset DBs need their headers for read_seqdb
+    import shutil
+    for suf in ("_h", "_h.index", "_h.dbtype"):
+        src = f"{seq_db}{suf}"
+        if pathlib.Path(src).exists():
+            shutil.copy(src, f"{red}{suf}")
+    createsubdb(order, pref, str(t / "pref_filter1"))
+    filterdb_by_file(str(t / "pref_filter1"), str(t / "pref_filter2"),
+                     order)
+    rescorediagonal(red, red, str(t / "pref_filter2"),
+                    str(t / "pref_rescore2"), rescore_mode=1,
+                    filter_hits=True, seq_id_thr=min_seq_id, cov_thr=cov,
+                    cov_mode=cov_mode)
+
+    # gapped alignment of the filtered candidates (the 'align' module
+    # role; SearchDriver is byte-parity with it via the search suite)
+    from .driver import SearchDriver
+    db = mmseqsdb.read_seqdb(red)
+    key_of_idx = [int(k) for k in db.keys]
+    idx_of_key = {k: i for i, k in enumerate(key_of_idx)}
+    seqs = [db.seq_bytes(i) for i in range(len(db))]
+    pairs = []
+    cand = mmseqsdb.read_db(str(t / "pref_rescore2"))
+    for qkey, payload in cand:
+        qi = idx_of_key[qkey]
+        for ln in payload.decode().split("\n"):
+            if ln:
+                pairs.append((qi, idx_of_key[int(ln.split("\t")[0])]))
+    import numpy as np
+    p = Params(search_evalue_thr=1e-3, cov_thr=cov, cov_mode=cov_mode,
+               seq_id_thr=min_seq_id, aln_len_thr=0,
+               prefilter_mode="exhaustive")
+    driver = SearchDriver(p, db)
+    hits = driver.search(seqs, pair_generator=np.asarray(
+        pairs, np.int64) if pairs else np.zeros((0, 2), np.int64))
+    payloads = {}
+    for h in hits:
+        qkey = key_of_idx[int(h["orf_idx"])]
+        hh = h.copy()
+        hh["target_idx"] = key_of_idx[int(h["target_idx"])]
+        payloads.setdefault(qkey, []).append(hit_to_matcher_line(hh))
+    aln_entries = [(qkey, "".join(payloads.get(qkey, [])).encode())
+                   for qkey, _ in cand]
+    mmseqsdb.write_db(str(t / "aln"), aln_entries,
+                      mmseqsdb.DBTYPE_ALIGNMENT_RES)
+    clust_db(red, str(t / "aln"), str(t / "clust"))
+    mergeclusters(seq_db, out_db, [str(t / "pre_clust"),
+                                   str(t / "clust")])
     return out_db

@@ -34,3 +34,27 @@ def test_kmermatcher_byte_parity(tmp_path, src, tag, kw):
     assert out.read_bytes() == (G / tag).read_bytes()
     assert (tmp_path / f"{tag}.index").read_bytes() \
         == (G / f"{tag}.index").read_bytes()
+
+
+def test_linclust_full_workflow_byte_parity(tmp_path):
+    """Full linclust chain (kmermatcher -> Hamming rescore -> set-cover ->
+    filtered ungapped rescore -> gapped align -> set-cover ->
+    mergeclusters) vs the reference `linclust` final output."""
+    from metaeuk_tpu.search.kmermatcher import linclust_exact
+    out = tmp_path / "clu"
+    linclust_exact(str(G / "kmF"), str(out), str(tmp_path / "tmp"))
+    assert out.read_bytes() == (G / "reflc").read_bytes()
+    assert (tmp_path / "clu.index").read_bytes() \
+        == (G / "reflc.index").read_bytes()
+    # spot-check intermediates
+    for st in ("pref_rescore1", "pre_clust", "clust"):
+        assert (tmp_path / "tmp" / st).read_bytes() \
+            == (G / st).read_bytes(), st
+
+
+def test_clust_deterministic(tmp_path):
+    from metaeuk_tpu.pipeline.clust import clust_db
+    clust_db(str(G / "kmF"), str(G / "refkm2"), str(tmp_path / "c"))
+    a = (tmp_path / "c").read_bytes()
+    clust_db(str(G / "kmF"), str(G / "refkm2"), str(tmp_path / "c2"))
+    assert a == (tmp_path / "c2").read_bytes()
