@@ -426,6 +426,55 @@ def cmd_dbtool(args):
     return 0
 
 
+def cmd_dbtool2(args):
+    """Second util batch (pipeline/dbtools2.py)."""
+    from .pipeline import dbtools2 as d2
+    a = args.args
+    t = args.tool
+    if t == "swapdb":
+        d2.swapdb(a[0], a[1])
+    elif t == "swapresults":
+        d2.swapresults(a[0], a[1], a[2], a[3], eval_thr=args.evalue)
+    elif t == "prefixid":
+        d2.prefixid(a[0], a[1], prefix=args.prefix or None,
+                    mapping_db=args.mapping_file or None, tsv=args.tsv)
+    elif t == "suffixid":
+        d2.prefixid(a[0], a[1], prefix=args.prefix or None,
+                    mapping_db=args.mapping_file or None, tsv=args.tsv,
+                    is_prefix=False)
+    elif t == "subtractdbs":
+        d2.subtractdbs(a[0], a[1], a[2],
+                       eval_thr=min(args.evalue, args.e_profile))
+    elif t == "summarizeresult":
+        d2.summarizeresult(a[0], a[1], cov_thr=args.cov,
+                           overlap=args.overlap)
+    elif t == "result2flat":
+        d2.result2flat(a[0], a[1], a[2], a[3],
+                       use_header=args.use_fasta_header)
+    elif t == "createseqfiledb":
+        d2.createseqfiledb(a[0], a[1], a[2], hh_format=args.hh_format)
+    elif t == "splitdb":
+        d2.splitdb(a[0], a[1], args.split, split_aa=args.split_aa)
+    elif t == "orftocontig":
+        d2.orftocontig(a[0], a[1], a[2])
+    elif t == "renamedbkeys":
+        d2.renamedbkeys(a[0], a[1], a[2])
+    elif t == "concatdbs":
+        d2.concatdbs(a[0], a[1], a[2], preserve_keys_b=args.preserve_keys)
+    elif t == "rmdb":
+        d2.rmdb(a[0])
+    elif t == "mvdb":
+        d2.mvdb(a[0], a[1])
+    elif t == "cpdb":
+        d2.cpdb(a[0], a[1])
+    elif t == "lndb":
+        d2.lndb(a[0], a[1])
+    elif t == "touchdb":
+        d2.touchdb(a[0])
+    print(f"{t} done")
+    return 0
+
+
 def cmd_createdb(args):
     """FASTA -> sequence DB triple + headers + .lookup + .source.
 
@@ -851,6 +900,27 @@ def main(argv=None):
         dt.add_argument("--max-seq-len", type=int, default=10000)
         dt.add_argument("--sequence-overlap", type=int, default=300)
         dt.set_defaults(fn=cmd_dbtool, tool=tool)
+
+    for tool in ("swapdb", "swapresults", "prefixid", "suffixid",
+                 "subtractdbs", "summarizeresult", "result2flat",
+                 "createseqfiledb", "splitdb", "orftocontig",
+                 "renamedbkeys", "concatdbs", "rmdb", "mvdb", "cpdb",
+                 "lndb", "touchdb"):
+        dt = sub.add_parser(tool, help=f"{tool} DB utility")
+        dt.add_argument("args", nargs="+")
+        dt.add_argument("-e", "--evalue", type=float, default=0.001)
+        dt.add_argument("--e-profile", type=float, default=0.1)
+        dt.add_argument("--prefix", type=str, default="")
+        dt.add_argument("--mapping-file", type=str, default="")
+        dt.add_argument("--tsv", action="store_true")
+        dt.add_argument("-c", "--cov", type=float, default=0.0)
+        dt.add_argument("--overlap", type=float, default=0.0)
+        dt.add_argument("--use-fasta-header", action="store_true")
+        dt.add_argument("--hh-format", action="store_true")
+        dt.add_argument("--split", type=int, default=2)
+        dt.add_argument("--split-aa", action="store_true")
+        dt.add_argument("--preserve-keys", action="store_true")
+        dt.set_defaults(fn=cmd_dbtool2, tool=tool)
 
     bh = sub.add_parser("besthitperset", help="best hit per target set")
     bh.add_argument("query_db")

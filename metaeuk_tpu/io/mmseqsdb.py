@@ -39,16 +39,23 @@ def read_db(path):
     return entries
 
 
-def write_db(path, entries, dbtype=DBTYPE_GENERIC):
+def write_db(path, entries, dbtype=DBTYPE_GENERIC, sort_index=False):
     """entries: iterable of (key, payload_bytes); appends the NUL terminator
-    and writes index/dbtype like DBWriter."""
-    with open(path, "wb") as data_f, open(f"{path}.index", "w") as idx_f:
+    and writes index/dbtype like DBWriter. sort_index replicates
+    DBWriter::sortIndex (key-ascending index, data kept in write order)."""
+    index = []
+    with open(path, "wb") as data_f:
         offset = 0
         for key, payload in entries:
             blob = bytes(payload) + b"\x00"
             data_f.write(blob)
-            idx_f.write(f"{key}\t{offset}\t{len(blob)}\n")
+            index.append((int(key), offset, len(blob)))
             offset += len(blob)
+    if sort_index:
+        index.sort(key=lambda e: e[0])
+    with open(f"{path}.index", "w") as idx_f:
+        for key, off, length in index:
+            idx_f.write(f"{key}\t{off}\t{length}\n")
     with open(f"{path}.dbtype", "wb") as f:
         f.write(struct.pack("<i", dbtype))
 
