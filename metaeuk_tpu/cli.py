@@ -475,6 +475,40 @@ def cmd_dbtool2(args):
     return 0
 
 
+def _cmd_offsetaln(args):
+    from .pipeline.offsetaln import offsetalignment
+    offsetalignment(*args.args, search_type=args.search_type)
+    print("offsetalignment done")
+    return 0
+
+
+def _cmd_p2n(args):
+    from .pipeline.offsetaln import proteinaln2nucl
+    proteinaln2nucl(*args.args)
+    print("proteinaln2nucl done")
+    return 0
+
+
+def cmd_filterdb(args):
+    from .pipeline.filterdb import filterdb
+    filterdb(args.in_db, args.out_db, filter_column=args.filter_column,
+             filter_regex=args.filter_regex or None,
+             filter_file=args.filter_file or None,
+             positive_filter=bool(args.positive_filter),
+             mapping_file=args.mapping_file or None,
+             extract_lines=args.extract_lines,
+             comp_operator=args.comparison_operator,
+             comp_value=args.comparison_value,
+             sort_entries=args.sort_entries, beats_first=args.beats_first,
+             join_db=args.join_db or None,
+             column_to_take=args.column_to_take,
+             filter_expression=args.filter_expression or None,
+             trim_to_one_column=args.trim_to_one_column,
+             include_identity=bool(args.include_identity))
+    print("filterdb done")
+    return 0
+
+
 def cmd_createdb(args):
     """FASTA -> sequence DB triple + headers + .lookup + .source.
 
@@ -921,6 +955,37 @@ def main(argv=None):
         dt.add_argument("--split-aa", action="store_true")
         dt.add_argument("--preserve-keys", action="store_true")
         dt.set_defaults(fn=cmd_dbtool2, tool=tool)
+
+    fd = sub.add_parser("filterdb", help="filter result-DB lines")
+    fd.add_argument("in_db")
+    fd.add_argument("out_db")
+    fd.add_argument("--filter-column", type=int, default=1)
+    fd.add_argument("--filter-regex", type=str, default="")
+    fd.add_argument("--filter-file", type=str, default="")
+    fd.add_argument("--positive-filter", type=int, default=1)
+    fd.add_argument("--mapping-file", type=str, default="")
+    fd.add_argument("--extract-lines", type=int, default=0)
+    fd.add_argument("--comparison-operator", type=str, default="")
+    fd.add_argument("--comparison-value", type=float, default=0.0)
+    fd.add_argument("--sort-entries", type=int, default=0)
+    fd.add_argument("--beats-first", action="store_true")
+    fd.add_argument("--join-db", type=str, default="")
+    fd.add_argument("--column-to-take", type=int, default=-1)
+    fd.add_argument("--filter-expression", type=str, default="")
+    fd.add_argument("--trim-to-one-column", action="store_true")
+    fd.add_argument("--include-identity", type=int, default=0)
+    fd.set_defaults(fn=cmd_filterdb)
+
+    oa = sub.add_parser("offsetalignment",
+                        help="ORF coords -> source coords")
+    oa.add_argument("args", nargs=6)
+    oa.add_argument("--search-type", type=int, default=0)
+    oa.set_defaults(fn=lambda a: _cmd_offsetaln(a))
+
+    pn = sub.add_parser("proteinaln2nucl",
+                        help="rescore protein alignment at nucl level")
+    pn.add_argument("args", nargs=6)
+    pn.set_defaults(fn=lambda a: _cmd_p2n(a))
 
     bh = sub.add_parser("besthitperset", help="best hit per target set")
     bh.add_argument("query_db")

@@ -49,6 +49,20 @@ _NUCL_GAPPED_7_1 = dict(
     sigma=5.0543962679167036, tau=15.129930117400917,
 )
 
+# ALP initGapped output (seed 42) for NucleotideMatrix at scale 1.0 with
+# the default nucleotide gap costs 5/2 (Parameters.cpp:2423-2424) — the
+# configuration proteinaln2nucl builds (proteinaln2nucl.cpp:55-59).
+# Extracted once from the vendored ALP library; deterministic.
+_NUCL_SCALE1_GAPPED_5_2 = dict(
+    lam=0.62092274139392822363,
+    K=0.35177597988201619872,
+    a_J=0.74528059208662511548, b_J=-0.71027220445456995535,
+    a_I=0.74528059208662511548, b_I=-0.71027220445456995535,
+    alpha_J=1.0135243407674570104, beta_J=-2.5226486486783059604,
+    alpha_I=1.0135243407674570104, beta_I=-2.5226486486783059604,
+    sigma=1.0031949332622873694, tau=-2.3780369436059309862,
+)
+
 _NAT_CUT_OFF_IN_MAX = 2.0  # sls_pvalues.cpp:46
 _CONST_VAL = 1.0 / math.sqrt(2.0 * math.pi)
 
@@ -66,8 +80,11 @@ class EvalueComputation:
       gapped: True for the default gap-11/1 parameters.
     """
 
-    def __init__(self, db_res_count, gapped=True, nucl=False):
-        if nucl:
+    def __init__(self, db_res_count, gapped=True, nucl=False,
+                 params=None):
+        if params is not None:
+            p = params
+        elif nucl:
             p = _NUCL_GAPPED_7_1   # EvalueComputation.h:57-63 (gaps 7/1)
         else:
             p = _BLOSUM62_GAPPED_11_1 if gapped else _BLOSUM62_UNGAPPED
