@@ -659,46 +659,32 @@ def cmd_search(args):
     from .io.seqdb import SeqDB
     if isinstance(targets, SeqDB) and _looks_nucl(query_seqs) and \
             _looks_nucl([targets.seq_bytes(i) for i in range(len(targets))]):
-        # nucleotide/nucleotide: the blastn.sh path (search/nucl_search.py)
-        from .data.nucl import encode_nucl
-        from .search.nucl_search import NuclSearch
-        ns = NuclSearch([encode_nucl(targets.seq_bytes(i))
-                         for i in range(len(targets))],
-                        max_evalue=p.search_evalue_thr,
-                        max_seqs=p.max_res_list_len)
-        results = ns.search([encode_nucl(s_) for s_ in query_seqs])
-        entries = []
-        m8 = []
-        for qi, hits_ in enumerate(results):
-            lines = []
-            for h in hits_:
-                lines.append(f"{h['target']}\t{h['bit_score']}\t"
-                             f"{h['strand']}\t{'%.3E' % h['evalue']}\t"
-                             f"{h['q_start']}\t{h['q_end']}\t"
-                             f"{len(query_seqs[qi])}\t{h['t_start']}\t"
-                             f"{h['t_end']}\t"
-                             f"{len(targets.seq_bytes(h['target']))}\n")
-                if args.m8:
-                    qn = queries.accession(qi)
-                    tn = targets.accession(h["target"])
-                    ql = len(query_seqs[qi])
-                    qs, qe = h["q_start"], h["q_end"]
-                    if h["strand"] < 0:
-                        qs, qe = ql - 1 - qs, ql - 1 - qe
-                    m8.append(
-                        f"{qn}\t{tn}\t0.000\t"
-                        f"{abs(h['t_end'] - h['t_start']) + 1}\t0\t0\t"
-                        f"{qs + 1}\t{qe + 1}\t{h['t_start'] + 1}\t"
-                        f"{h['t_end'] + 1}\t{'%.3E' % h['evalue']}\t"
-                        f"{h['bit_score']}\n")
-            entries.append((qi, "".join(lines).encode()))
-        mmseqsdb.write_db(args.out_db, entries,
-                          mmseqsdb.DBTYPE_ALIGNMENT_RES)
+        # nucleotide/nucleotide: the blastn.sh path at byte parity
+        # (search/nucl_search.py)
+        import tempfile
+        from .search.nucl_search import nucl_search_workflow
+        td = tempfile.mkdtemp(prefix="nuclsearch")
+        q_db, t_db = f"{td}/queryDB", f"{td}/targetDB"
+        mmseqsdb.write_seqdb(q_db, queries, dbtype=mmseqsdb.DBTYPE_NUCL)
+        mmseqsdb.write_seqdb(t_db, targets, dbtype=mmseqsdb.DBTYPE_NUCL)
+        nucl_search_workflow(q_db, t_db, args.out_db, f"{td}/tmp",
+                             evalue=p.search_evalue_thr,
+                             max_seqs=p.max_res_list_len,
+                             add_backtrace=True)
         if args.m8:
+            from .pipeline.dbtools2 import parse_aln_record, _lines
             with open(args.m8, "w") as f:
-                f.write("".join(m8))
-        print(f"wrote {args.out_db} (nucleotide search, "
-              f"{sum(len(r) for r in results)} hits)")
+                for key, payload in mmseqsdb.read_db(args.out_db):
+                    for ln in _lines(payload):
+                        r = parse_aln_record(ln)
+                        f.write(f"{queries.accession(key)}\t"
+                                f"{targets.accession(r['dbKey'])}\t"
+                                f"{r['seqId']:.3f}\t"
+                                f"{max(abs(r['qEnd'] - r['qStart']), abs(r['dbEnd'] - r['dbStart'])) + 1}\t0\t0\t"
+                                f"{r['qStart'] + 1}\t{r['qEnd'] + 1}\t"
+                                f"{r['dbStart'] + 1}\t{r['dbEnd'] + 1}\t"
+                                f"{'%.3E' % r['eval']}\t{r['score']}\n")
+        print(f"wrote {args.out_db} (nucleotide search)")
         return 0
     from .io.profiledb import ProfileDB
     if isinstance(targets, ProfileDB):

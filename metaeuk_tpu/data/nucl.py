@@ -40,18 +40,37 @@ def _build(bit_factor):
 NUCL_SCORES = _build(2.0)          # alignment units (bitFactor 2.0)
 NUCL_X = 4
 
+
+def _prob_and_pback():
+    """BaseMatrix pBack (file background scaled by 1-p(X)) and probMatrix
+    (exp(lambda*S)*pb_i*pb_j, SubstitutionMatrix.cpp:406-414)."""
+    p_back = np.array(_NUCL_BACK, dtype=np.float64)
+    p_back[:4] = p_back[:4] * (1.0 - p_back[4])
+    prob = np.exp(_NUCL_LAMBDA * _NUCL_HALFBIT) \
+        * p_back[:, None] * p_back[None, :]
+    return prob, p_back
+
+
+NUCL_PROB, NUCL_PBACK = _prob_and_pback()
+# tantan likelihood ratios for the nucleotide Masker (ProbabilityMatrix,
+# BaseMatrix.h:83-96)
+NUCL_LR = NUCL_PROB / (NUCL_PBACK[:, None] * NUCL_PBACK[None, :])
+
 REVCOMP_IDX = np.array([2, 3, 0, 1, 4], dtype=np.uint8)
 
 
 def _build_nucl2num():
-    """ASCII -> index; ambiguity codes (RYSWKMBDHVN...) -> X
-    (NucleotideMatrix::setupLetterMapping)."""
+    """ASCII -> index per NucleotideMatrix::setupLetterMapping
+    (NucleotideMatrix.cpp:17-60): U/W -> T, K/B/D/V/R/S -> G,
+    M/Y/H -> C, everything else (incl. N) -> X."""
     m = np.full(256, NUCL_X, dtype=np.uint8)
-    for i, ch in enumerate(NUCL_ALPHABET):
-        m[ord(ch)] = i
-        m[ord(ch.lower())] = i
-    m[ord("U")] = NUCL_ALPHABET.index("T")
-    m[ord("u")] = NUCL_ALPHABET.index("T")
+    groups = {"A": "A", "C": "C", "G": "G", "T": "T",
+              "U": "T", "W": "T",
+              "K": "G", "B": "G", "D": "G", "V": "G", "R": "G", "S": "G",
+              "M": "C", "Y": "C", "H": "C"}
+    for ch, base in groups.items():
+        m[ord(ch)] = NUCL_ALPHABET.index(base)
+        m[ord(ch.lower())] = NUCL_ALPHABET.index(base)
     return m
 
 

@@ -60,6 +60,21 @@ def write_db(path, entries, dbtype=DBTYPE_GENERIC, sort_index=False):
         f.write(struct.pack("<i", dbtype))
 
 
+def read_seq_entries(path):
+    """(key, residue_bytes) with DBReader::getSeqLen semantics: sequence
+    length = index length - 2. Required for soft/overlapping indexes
+    (e.g. splitsequence windows into the parent data file) where entries
+    have no own newline/NUL."""
+    out = []
+    with open(f"{path}.index") as f:
+        index = [tuple(int(x) for x in ln.split("\t")) for ln in f]
+    with open(path, "rb") as f:
+        data = f.read()
+    for key, offset, length in index:
+        out.append((key, data[offset:offset + max(length - 2, 0)]))
+    return out
+
+
 def read_seqdb(path):
     """Read a sequence DB (+_h headers) into a SeqDB."""
     from .seqdb import SeqDB

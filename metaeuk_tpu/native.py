@@ -16,7 +16,8 @@ _LIB = None
 _TRIED = False
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
-_SRCS = [_NATIVE_DIR / "host_ops.cpp", _NATIVE_DIR / "prefilter.cpp"]
+_SRCS = [_NATIVE_DIR / "host_ops.cpp", _NATIVE_DIR / "prefilter.cpp",
+         _NATIVE_DIR / "nucl_align.cpp", _NATIVE_DIR / "prefilter_nucl.cpp"]
 _SRC = _SRCS[0]
 _SO = _NATIVE_DIR / "libmetaeuk_host.so"
 

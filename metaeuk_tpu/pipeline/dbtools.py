@@ -192,18 +192,52 @@ def extractframes(in_db, out_db, forward_frames=(1, 2, 3),
 def splitsequence(in_db, out_db, max_seq_len=10000, overlap=300):
     """splitsequence.cpp (hard mode): overlapping chunks (defaults
     --max-seq-len 10000 --sequence-overlap 300, splitsequence.cpp:20-22)
-    with Orf-style coordinate headers; renumbered keys."""
+    with Orf-style coordinate headers and renumbered keys. If no sequence
+    exceeds max_seq_len the whole DB is passed through unchanged
+    (softlinkDb, splitsequence.cpp:36-41). ORF-format input headers are
+    re-expressed in source coordinates (dbKey = contig id, offsets
+    shifted; splitsequence.cpp:83-122)."""
     import math
+
+    entries = mmseqsdb.read_seq_entries(in_db)
+    if all(len(p) <= max_seq_len for _, p in entries):
+        from .dbtools2 import cpdb
+        cpdb(in_db, out_db)
+        return out_db
+
+    hdrs = dict(mmseqsdb.read_db(f"{in_db}_h"))
     seqs, headers = [], []
-    for key, payload in mmseqsdb.read_db(in_db):
-        seq = payload[:-1] if payload.endswith(b"\n") else payload
+    for key, seq in entries:
         L = len(seq)
-        n_split = max(1, math.ceil(L / float(max_seq_len - overlap)))
+        loc_id = None
+        hdr_fields = hdrs.get(key, b"").decode().split()
+        if len(hdr_fields) >= 2:
+            try:
+                from .dbtools2 import parse_orf_location
+                frm, to = parse_orf_location(hdr_fields[1])
+                loc_id = int(hdr_fields[0])
+                minus = frm > to
+            except (ValueError, IndexError):
+                loc_id = None
+        if loc_id is not None:
+            from0 = to if minus else frm
+            db_key = loc_id
+        else:
+            from0 = 0
+            db_key = key
+            minus = False
+        n_split = max(1, math.ceil(np.float32(L)
+                                   / np.float32(max_seq_len - overlap)))
         for sp in range(n_split):
             start = sp * max_seq_len - sp * overlap
             ln = min(max_seq_len, L - start)
             seqs.append(seq[start:start + ln] + b"\n")
-            headers.append(_orf_header(key, start, start + ln - 1))
+            from_pos = from0 + start
+            to_pos = from_pos + ln - 1
+            if loc_id is not None and minus:
+                from_pos = (L - 1) - (from0 + start)
+                to_pos = from_pos - min(from_pos, ln)
+            headers.append(_orf_header(db_key, from_pos, to_pos))
     dbtype = mmseqsdb.read_dbtype(in_db)
     mmseqsdb.write_db(out_db, list(enumerate(seqs)), dbtype)
     mmseqsdb.write_db(f"{out_db}_h",

@@ -86,8 +86,16 @@ def offsetalignment(q_db, q_orf_db, t_db, t_orf_db, aln_db, out_db,
             r.update(qOrfStart=-1, qOrfEnd=-1, dbOrfStart=-1, dbOrfEnd=-1)
             if target_update or qloc is None:
                 hdr = t_orf_hdr[r["dbKey"]].decode().split()
-                tfrom, tto = parse_orf_location(hdr[1])
-                tkey = int(hdr[0])
+                try:
+                    tfrom, tto = parse_orf_location(hdr[1])
+                    tkey = int(hdr[0])
+                except (ValueError, IndexError):
+                    # unparseable header (tloc.id == UINT_MAX,
+                    # updateOffset:105-110): key unchanged, plus strand
+                    # assumed. The reference reads UNINITIALIZED
+                    # SequenceLocation fields here and emits stack
+                    # garbage in dbOrfStart/End — we write 0/0.
+                    tfrom, tto, tkey = 0, 0, r["dbKey"]
                 r["dbKey"] = tkey
                 minus = tfrom > tto
                 db_s = r["dbStart"] if is_nucl_nucl else r["dbStart"] * 3

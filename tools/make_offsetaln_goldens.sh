@@ -60,3 +60,6 @@ $REF offsetalignment "$TMP/cdb" "$TMP/qs" "$TMP/cdb" "$TMP/ts" \
   "$TMP/naln" "$TMP/noff" --search-type 3 $T $V
 for s in "" .index .dbtype; do cp "$TMP/noff$s" "$OUT/nucl_offaln$s"; done
 echo "nucl offsetaln goldens written"
+for s in "" .index .dbtype; do cp "$TMP/npref$s" "$OUT/nucl_pref$s"; done
+$REF prefilter "$TMP/qs" "$TMP/ts" "$TMP/npref15" -k 15 $T $V
+for s in "" .index .dbtype; do cp "$TMP/npref15$s" "$OUT/nucl_pref15$s"; done
