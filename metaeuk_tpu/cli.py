@@ -475,6 +475,29 @@ def cmd_dbtool2(args):
     return 0
 
 
+def cmd_dbtool3(args):
+    from .pipeline import dbtools3 as d3
+    a = args.args
+    t = args.tool
+    if t == "result2repseq":
+        d3.result2repseq(a[0], a[1], a[2])
+    elif t == "masksequence":
+        d3.masksequence(a[0], a[1], mask_prob=args.mask_prob)
+    elif t == "gff2db":
+        d3.gff2db(a[:-2], a[-2], a[-1], gff_type=args.gff_type)
+    elif t == "maskbygff":
+        d3.maskbygff(a[0], a[1], a[2], gff_type=args.gff_type)
+    elif t == "result2stats":
+        d3.result2stats(a[0], a[1], args.stat, tsv=args.tsv)
+    elif t == "apply":
+        d3.apply_cmd(a[0], a[1], a[2:])
+    elif t == "diffseqdbs":
+        d3.diffseqdbs(a[0], a[1], a[2], a[3], a[4],
+                      use_seq_id=args.use_seq_id)
+    print(f"{t} done")
+    return 0
+
+
 def _cmd_offsetaln(args):
     from .pipeline.offsetaln import offsetalignment
     offsetalignment(*args.args, search_type=args.search_type)
@@ -941,6 +964,17 @@ def main(argv=None):
         dt.add_argument("--split-aa", action="store_true")
         dt.add_argument("--preserve-keys", action="store_true")
         dt.set_defaults(fn=cmd_dbtool2, tool=tool)
+
+    for tool in ("result2repseq", "masksequence", "gff2db", "maskbygff",
+                 "result2stats", "apply", "diffseqdbs"):
+        dt = sub.add_parser(tool, help=f"{tool} DB utility")
+        dt.add_argument("args", nargs="+")
+        dt.add_argument("--mask-prob", type=float, default=0.9)
+        dt.add_argument("--gff-type", type=str, default="")
+        dt.add_argument("--stat", type=str, default="linecount")
+        dt.add_argument("--tsv", action="store_true")
+        dt.add_argument("--use-seq-id", action="store_true")
+        dt.set_defaults(fn=cmd_dbtool3, tool=tool)
 
     fd = sub.add_parser("filterdb", help="filter result-DB lines")
     fd.add_argument("in_db")

@@ -1,0 +1,89 @@
+"""Byte parity for the third util batch vs the reference binary.
+
+Goldens from tools/make_util3_goldens.sh.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+from metaeuk_tpu.pipeline import dbtools3
+
+HERE = pathlib.Path(__file__).parent
+U = HERE / "golden" / "utils"
+DATA = HERE / "data"
+
+
+def _eq(out, ref, suffixes=("", ".index", ".dbtype")):
+    for s in suffixes:
+        assert pathlib.Path(f"{out}{s}").read_bytes() \
+            == pathlib.Path(f"{ref}{s}").read_bytes(), f"{ref}{s}"
+
+
+def _mkdb(td, fasta, name):
+    subprocess.run([sys.executable, "-m", "metaeuk_tpu.cli", "createdb",
+                    str(fasta), str(td / name)],
+                   check=True, capture_output=True)
+    return str(td / name)
+
+
+@pytest.fixture(scope="module")
+def dbs(tmp_path_factory):
+    td = tmp_path_factory.mktemp("dbt3")
+    _mkdb(td, DATA / "proteins.faa", "qdb")
+    _mkdb(td, DATA / "contigs.fna", "cdb")
+    return td
+
+
+def test_result2repseq(tmp_path, dbs):
+    dbtools3.result2repseq(str(dbs / "qdb"), str(U / "selfres"),
+                           str(tmp_path / "o"))
+    _eq(tmp_path / "o", U / "repseq")
+
+
+def test_masksequence_aa(tmp_path, dbs):
+    dbtools3.masksequence(str(dbs / "qdb"), str(tmp_path / "o"))
+    _eq(tmp_path / "o", U / "maskaa")
+
+
+def test_masksequence_nucl(tmp_path, dbs):
+    dbtools3.masksequence(str(dbs / "cdb"), str(tmp_path / "o"))
+    _eq(tmp_path / "o", U / "masknt")
+
+
+def test_gff2db(tmp_path, dbs):
+    dbtools3.gff2db([str(U / "test.gff")], str(dbs / "cdb"),
+                    str(tmp_path / "o"))
+    _eq(tmp_path / "o", U / "gffdb",
+        ("", ".index", ".dbtype", "_h", "_h.index", ".lookup", ".source"))
+
+
+def test_gff2db_typed(tmp_path, dbs):
+    dbtools3.gff2db([str(U / "test.gff")], str(dbs / "cdb"),
+                    str(tmp_path / "o"), gff_type="CDS")
+    _eq(tmp_path / "o", U / "gffcds",
+        ("", ".index", ".dbtype", "_h", "_h.index", ".lookup", ".source"))
+
+
+@pytest.mark.parametrize("stat", ["linecount", "firstline", "mean", "sum",
+                                  "max", "min"])
+def test_result2stats(tmp_path, stat):
+    dbtools3.result2stats(str(U / "selfres"), str(tmp_path / "o"), stat)
+    _eq(tmp_path / "o", U / f"st_{stat}", ("", ".index"))
+
+
+def test_apply(tmp_path):
+    dbtools3.apply_cmd(str(U / "selfres"), str(tmp_path / "o"),
+                       ["head", "-n", "1"])
+    _eq(tmp_path / "o", U / "applied", ("", ".index"))
+
+
+def test_diffseqdbs(tmp_path, dbs):
+    ndb = _mkdb(tmp_path, U / "diff_sub.faa", "ndb")
+    dbtools3.diffseqdbs(str(dbs / "qdb"), ndb, str(tmp_path / "rm"),
+                        str(tmp_path / "kept"), str(tmp_path / "new"))
+    for mine, ref in (("rm", "d.removed"), ("kept", "d.kept"),
+                      ("new", "d.new")):
+        assert (tmp_path / mine).read_bytes() == (U / ref).read_bytes(), ref
