@@ -494,6 +494,12 @@ def cmd_dbtool3(args):
     elif t == "diffseqdbs":
         d3.diffseqdbs(a[0], a[1], a[2], a[3], a[4],
                       use_seq_id=args.use_seq_id)
+    elif t == "result2msa":
+        from .pipeline.result2msa import result2msa_db
+        result2msa_db(a[0], a[1], a[2], a[3],
+                      msa_format_mode=args.msa_format_mode,
+                      filter_msa=bool(args.filter_msa),
+                      skip_query=args.skip_query)
     print(f"{t} done")
     return 0
 
@@ -663,6 +669,29 @@ def cmd_search(args):
     p = _params_from_args(args)
     # mmseqs search defaults: no minimum alignment length
     p = dataclasses.replace(p, aln_len_thr=0)
+    if getattr(args, "num_iterations", 1) > 1:
+        import tempfile
+        from .search.iterative import iterative_search
+        import os
+        td = args.tmp or tempfile.mkdtemp(prefix="itersearch")
+        os.makedirs(td, exist_ok=True)
+        q_db, t_db = args.queries, args.targets
+        if not pathlib_exists(f"{q_db}.dbtype"):
+            from .io.seqdb import SeqDB
+            q_db = f"{td}/queryDB"
+            mmseqsdb.write_seqdb(q_db, SeqDB.from_fasta(args.queries,
+                                                        DBTYPE_AA))
+        if not pathlib_exists(f"{t_db}.dbtype"):
+            from .io.seqdb import SeqDB
+            t_db = f"{td}/targetDB"
+            mmseqsdb.write_seqdb(t_db, SeqDB.from_fasta(args.targets,
+                                                        DBTYPE_AA))
+        iterative_search(q_db, t_db, args.out_db, td,
+                         num_iterations=args.num_iterations,
+                         evalue=p.search_evalue_thr,
+                         e_profile=args.e_profile, params=p)
+        print(f"wrote {args.out_db} ({args.num_iterations} iterations)")
+        return 0
     queries = load_sequence_input(args.queries, DBTYPE_AA)
     targets = load_target_input(args.targets)
     query_seqs = [queries.seq_bytes(i) for i in range(len(queries))]
@@ -966,7 +995,7 @@ def main(argv=None):
         dt.set_defaults(fn=cmd_dbtool2, tool=tool)
 
     for tool in ("result2repseq", "masksequence", "gff2db", "maskbygff",
-                 "result2stats", "apply", "diffseqdbs"):
+                 "result2stats", "apply", "diffseqdbs", "result2msa"):
         dt = sub.add_parser(tool, help=f"{tool} DB utility")
         dt.add_argument("args", nargs="+")
         dt.add_argument("--mask-prob", type=float, default=0.9)
@@ -974,6 +1003,9 @@ def main(argv=None):
         dt.add_argument("--stat", type=str, default="linecount")
         dt.add_argument("--tsv", action="store_true")
         dt.add_argument("--use-seq-id", action="store_true")
+        dt.add_argument("--msa-format-mode", type=int, default=2)
+        dt.add_argument("--filter-msa", type=int, default=0)
+        dt.add_argument("--skip-query", action="store_true")
         dt.set_defaults(fn=cmd_dbtool3, tool=tool)
 
     fd = sub.add_parser("filterdb", help="filter result-DB lines")
@@ -1099,6 +1131,9 @@ def main(argv=None):
     se.add_argument("--m8", default=None, help="also write BLAST-m8 TSV")
     se.add_argument("-a", "--backtrace", action="store_true",
                     help="compute backtraces (alignment mode 3)")
+    se.add_argument("--num-iterations", type=int, default=1,
+                    help=">1 = iterative profile search (blastpgp role)")
+    se.add_argument("--e-profile", type=float, default=0.1)
     _add_predict_flags(se)
     se.set_defaults(fn=cmd_search)
 

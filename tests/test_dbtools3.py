@@ -87,3 +87,24 @@ def test_diffseqdbs(tmp_path, dbs):
     for mine, ref in (("rm", "d.removed"), ("kept", "d.kept"),
                       ("new", "d.new")):
         assert (tmp_path / mine).read_bytes() == (U / ref).read_bytes(), ref
+
+
+def test_result2msa_fasta(tmp_path, dbs):
+    from metaeuk_tpu.pipeline.result2msa import result2msa_db
+    result2msa_db(str(dbs / "qdb"), str(dbs / "qdb"), str(U / "selfres"),
+                  str(tmp_path / "o"))
+    _eq(tmp_path / "o", U / "msa_fasta")
+
+
+def test_result2msa_stockholm(tmp_path, dbs):
+    from metaeuk_tpu.pipeline.result2msa import result2msa_db
+    result2msa_db(str(dbs / "qdb"), str(dbs / "qdb"), str(U / "selfres"),
+                  str(tmp_path / "o"), msa_format_mode=4)
+    assert (tmp_path / "o").read_bytes() == (U / "msa_sto").read_bytes()
+
+
+def test_result2msa_filtered(tmp_path, dbs):
+    from metaeuk_tpu.pipeline.result2msa import result2msa_db
+    result2msa_db(str(dbs / "qdb"), str(dbs / "qdb"), str(U / "selfres"),
+                  str(tmp_path / "o"), filter_msa=True)
+    _eq(tmp_path / "o", U / "msa_filt")

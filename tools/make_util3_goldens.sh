@@ -64,3 +64,13 @@ $REF diffseqdbs "$TMP/qdb" "$TMP/ndb" "$TMP/d.removed" "$TMP/d.kept" "$TMP/d.new
 for f in d.removed d.kept d.new; do cp "$TMP/$f" "$OUT/$f"; done
 cp "$TMP/sub.faa" "$OUT/diff_sub.faa"
 echo "util3 goldens written"
+
+# --- result2msa goldens (appended)
+$REF result2msa "$TMP/qdb" "$TMP/qdb" "$RES" "$TMP/msa_fasta" $T $V
+$REF result2msa "$TMP/qdb" "$TMP/qdb" "$RES" "$TMP/msa_sto" --msa-format-mode 4 $T $V
+$REF result2msa "$TMP/qdb" "$TMP/qdb" "$RES" "$TMP/msa_filt" --filter-msa 1 $T $V
+for s in "" .index .dbtype; do
+  cp "$TMP/msa_fasta$s" "$OUT/msa_fasta$s"
+  [ -f "$TMP/msa_filt$s" ] && cp "$TMP/msa_filt$s" "$OUT/msa_filt$s"
+done
+cp "$TMP/msa_sto" "$OUT/msa_sto"
