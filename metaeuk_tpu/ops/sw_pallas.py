@@ -35,18 +35,20 @@ BIG = 10 ** 6
 GO = 11
 GE = 1
 TB = int(__import__("os").environ.get("METAEUK_SW_TB", "128"))  # pairs per tile (lanes)
+UNROLL = 8  # columns per register-carried block (TJ must divide by it)
 
 
 def _tj_for(Lq):
     """Target columns per grid step, sized so the streamed int8 score
     block (TJ, Lq, TB) stays ~<=4MB of VMEM (double-buffered by the grid
     pipeline within the ~16MB budget)."""
-    return max(8, min(256, (1 << 22) // (Lq * TB)))
+    tj = min(256, (1 << 22) // (Lq * TB))
+    return max(UNROLL, tj // UNROLL * UNROLL)
 
 
 def _dp_kernel(Lq, Lt, TJ, s_ref, qlen_ref, tlen_ref,
                best_out, qend_out, tend_out,
-               h_ref, e_ref, best_ref, qend_ref, tend_ref):
+               h_ref, e_ref, rowbest_ref, rowcol_ref):
     j_chunk = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -54,29 +56,25 @@ def _dp_kernel(Lq, Lt, TJ, s_ref, qlen_ref, tlen_ref,
     def _():
         h_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
         e_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        best_ref[:] = jnp.zeros((8, TB), jnp.int32)
-        qend_ref[:] = jnp.full((8, TB), Lq - 1, jnp.int32)
-        tend_ref[:] = jnp.full((8, TB), -1, jnp.int32)
+        rowbest_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
+        rowcol_ref[:] = jnp.full((Lq, TB), -1, jnp.int32)
 
     iq = jax.lax.broadcasted_iota(jnp.int32, (Lq, TB), 0)
-    q_mask = iq < qlen_ref[0:1, :]
     f_base = -GO - (iq - 1) * GE
+    igge = iq * GE
     t_len = tlen_ref[0:1, :]
 
     # number of shift steps for the cumulative max
     n_steps = max(1, (Lq - 1).bit_length())
 
-    def col_body(jj, carry):
-        del carry
-        j_global = j_chunk * TJ + jj
-        s = jnp.where(q_mask, s_ref[jj].astype(jnp.int32), NEG)
-        H = h_ref[:]
-        E = e_ref[:]
+    def one_col(j_global, jj, H, E, RB, RC):
+        # padding query rows carry -128 in S (premasked at build time)
+        s = s_ref[jj].astype(jnp.int32)
         Hd = jnp.concatenate(
             [jnp.zeros((1, TB), jnp.int32), H[:-1]], axis=0)
         G = jnp.maximum(0, jnp.maximum(Hd + s, E))
         # shifted cumulative max of A = G + i*ge along sublanes
-        A = G + iq * GE
+        A = G + igge
         shift = 1
         for _ in range(n_steps):
             A = jnp.maximum(
@@ -85,36 +83,66 @@ def _dp_kernel(Lq, Lt, TJ, s_ref, qlen_ref, tlen_ref,
             shift *= 2
         M = jnp.concatenate(
             [jnp.full((1, TB), NEG, jnp.int32), A[:-1]], axis=0)
-        F = M + f_base
-        Hn = jnp.maximum(G, F)
-        col_max = jnp.max(Hn, axis=0, keepdims=True)        # (1, TB)
-        improved = (col_max > best_ref[0:1, :]) & (j_global < t_len)
-        # first query row attaining the column max
-        qe_col = jnp.min(jnp.where(Hn == col_max, iq, BIG), axis=0, keepdims=True)
-        best_ref[0:1, :] = jnp.where(improved, col_max, best_ref[0:1, :])
-        tend_ref[0:1, :] = jnp.where(improved, j_global, tend_ref[0:1, :])
-        qend_ref[0:1, :] = jnp.where(improved, qe_col, qend_ref[0:1, :])
-        e_ref[:] = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
-        h_ref[:] = Hn
+        Hn = jnp.maximum(G, M + f_base)
+        # per-row running max + column of its latest strict improvement;
+        # global endpoints (first improving column, then smallest row)
+        # are reconstructed once at the end — saves two sublane
+        # reductions per column
+        strict = (Hn > RB) & (j_global < t_len)
+        RC = jnp.where(strict, j_global, RC)
+        RB = jnp.where(strict, Hn, RB)
+        E = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
+        return Hn, E, RB, RC
+
+    def col_block(blk, carry):
+        del carry
+        # DP state carried in registers across an unrolled block of
+        # columns: one scratch load/store per UNROLL columns
+        H, E, RB, RC = h_ref[:], e_ref[:], rowbest_ref[:], rowcol_ref[:]
+        for u in range(UNROLL):
+            jj = blk * UNROLL + u
+            H, E, RB, RC = one_col(j_chunk * TJ + jj, jj, H, E, RB, RC)
+        h_ref[:], e_ref[:] = H, E
+        rowbest_ref[:], rowcol_ref[:] = RB, RC
         return 0
 
-    jax.lax.fori_loop(0, TJ, col_body, 0)
+    jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
 
     @pl.when(j_chunk == n_chunks - 1)
     def _():
-        best_out[:] = best_ref[0:1, :]
-        qend_out[:] = qend_ref[0:1, :]
-        tend_out[:] = tend_ref[0:1, :]
+        rb = rowbest_ref[:]
+        rc = rowcol_ref[:]
+        M = jnp.max(rb, axis=0, keepdims=True)
+        cand = rb == M
+        js = jnp.min(jnp.where(cand, rc, BIG), axis=0, keepdims=True)
+        qe = jnp.min(jnp.where(cand & (rc == js), iq, BIG), axis=0,
+                     keepdims=True)
+        has = M > 0
+        best_out[:] = jnp.where(has, M, 0)
+        tend_out[:] = jnp.where(has, js, -1)
+        qend_out[:] = jnp.where(has, qe, Lq - 1)
 
 
-def _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad):
-    """S[j, i, b] = blosum[q_i, t_j] + bias_i via batched MXU matmul."""
+def _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=None):
+    """S[j, i, b] = blosum[q_i, t_j] + bias_i via batched MXU matmul.
+    Padding query rows (i >= q_len) are scored -128 so the DP kernels
+    need no per-column row mask (derived values stay strictly below any
+    real maximum)."""
     submat = jnp.asarray(BLOSUM62_SCORES, dtype=jnp.int32)
-    prof = (submat[q_enc] + q_bias[:, :, None]).astype(jnp.float32)  # (B,Lq,21)
-    t_oh = jax.nn.one_hot(t_enc, 21, dtype=jnp.float32)              # (B,Lt,21)
+    prof = submat[q_enc] + q_bias[:, :, None]                        # (B,Lq,21)
+    if q_len is not None:
+        iq = jnp.arange(Lq)[None, :]
+        valid = (iq < jnp.asarray(q_len)[:, None])[:, :, None]
+        prof = jnp.where(valid, prof, -128)
+    # bf16 is exact for the int8-range scores and halves the MXU cost;
+    # pad the target BEFORE the one-hot so no big S copy is needed
+    prof = prof.astype(jnp.bfloat16)
+    t_pad = jnp.pad(t_enc, ((0, 0), (0, Lt_pad - Lt)),
+                    constant_values=20)                              # X
+    t_oh = jax.nn.one_hot(t_pad, 21, dtype=jnp.bfloat16)             # (B,Ltp,21)
     S = jnp.einsum("bia,bja->jib", prof, t_oh,
-                   preferred_element_type=jnp.float32).astype(jnp.int8)
-    return jnp.pad(S, ((0, Lt_pad - Lt), (0, 0), (0, 0)))
+                   preferred_element_type=jnp.bfloat16).astype(jnp.int8)
+    return S
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
@@ -127,7 +155,7 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
     assert B % TB == 0, B
     TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
-    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad)
+    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len)
     qlen2 = q_len.reshape(1, B).astype(jnp.int32)
     tlen2 = t_len.reshape(1, B).astype(jnp.int32)
 
@@ -152,9 +180,8 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((Lq, TB), jnp.int32),   # H
             pltpu.VMEM((Lq, TB), jnp.int32),   # E
-            pltpu.VMEM((8, TB), jnp.int32),    # best
-            pltpu.VMEM((8, TB), jnp.int32),    # q_end
-            pltpu.VMEM((8, TB), jnp.int32),    # t_end
+            pltpu.VMEM((Lq, TB), jnp.int32),   # per-row best
+            pltpu.VMEM((Lq, TB), jnp.int32),   # per-row column
         ],
         interpret=interpret,
     )(S, qlen2, tlen2)
@@ -163,12 +190,13 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
 
 def _dp_kernel_rev(Lq, Lt, TJ, s_ref, qe_ref, te_ref,
                    score_out, qstart_out, tstart_out,
-                   h_ref, e_ref, best_ref, qs_ref, ts_ref):
+                   h_ref, e_ref, rowbest_ref, rowcol_ref):
     """Reverse-prefix DP on the SAME streamed score matrix: columns walk
     te..0 and rows are mirrored, which is exactly the reference's
     reversed-prefix pass (ssw_align_private:398-482) without any host or
     device gathers. Tie-breaking: first strict improvement in the reversed
-    scan (largest original column), then the largest query row."""
+    scan (largest original column), then the largest query row — both
+    reconstructed from per-row maxima at the end."""
     j_chunk = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -176,9 +204,8 @@ def _dp_kernel_rev(Lq, Lt, TJ, s_ref, qe_ref, te_ref,
     def _():
         h_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
         e_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        best_ref[:] = jnp.zeros((8, TB), jnp.int32)
-        qs_ref[:] = jnp.zeros((8, TB), jnp.int32)
-        ts_ref[:] = jnp.full((8, TB), -1, jnp.int32)
+        rowbest_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
+        rowcol_ref[:] = jnp.full((Lq, TB), -1, jnp.int32)
 
     iq = jax.lax.broadcasted_iota(jnp.int32, (Lq, TB), 0)
     q_mask = iq <= qe_ref[0:1, :]
@@ -186,14 +213,9 @@ def _dp_kernel_rev(Lq, Lt, TJ, s_ref, qe_ref, te_ref,
     te = te_ref[0:1, :]
     n_steps = max(1, (Lq - 1).bit_length())
 
-    def col_body(jj, carry):
-        del carry
-        # grid chunks and columns both run high -> low
-        j_global = (n_chunks - 1 - j_chunk) * TJ + (TJ - 1 - jj)
+    def one_col(j_global, jj, H, E, RB, RC):
         s = jnp.where(q_mask & (j_global <= te),
-                      s_ref[TJ - 1 - jj].astype(jnp.int32), NEG)
-        H = h_ref[:]
-        E = e_ref[:]
+                      s_ref[jj].astype(jnp.int32), NEG)
         # diagonal predecessor is one row BELOW (i+1)
         Hd = jnp.concatenate([H[1:], jnp.zeros((1, TB), jnp.int32)], axis=0)
         G = jnp.maximum(0, jnp.maximum(Hd + s, E))
@@ -206,27 +228,42 @@ def _dp_kernel_rev(Lq, Lt, TJ, s_ref, qe_ref, te_ref,
                     [A[shift:], jnp.full((shift, TB), NEG, jnp.int32)], axis=0))
             shift *= 2
         M = jnp.concatenate([A[1:], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
-        F = M + f_base
-        Hn = jnp.maximum(G, F)
-        col_max = jnp.max(Hn, axis=0, keepdims=True)
-        improved = col_max > best_ref[0:1, :]
-        # LARGEST query row attaining the column max (reversed-row order)
-        qs_col = jnp.max(jnp.where(Hn == col_max, iq, -BIG), axis=0,
-                         keepdims=True)
-        best_ref[0:1, :] = jnp.where(improved, col_max, best_ref[0:1, :])
-        ts_ref[0:1, :] = jnp.where(improved, j_global, ts_ref[0:1, :])
-        qs_ref[0:1, :] = jnp.where(improved, qs_col, qs_ref[0:1, :])
-        e_ref[:] = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
-        h_ref[:] = Hn
+        Hn = jnp.maximum(G, M + f_base)
+        # scan order is decreasing j, so the scan-first improving column
+        # is the LARGEST rowcol among rows attaining the global max
+        strict = Hn > RB
+        RC = jnp.where(strict, j_global, RC)
+        RB = jnp.where(strict, Hn, RB)
+        E = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
+        return Hn, E, RB, RC
+
+    def col_block(blk, carry):
+        del carry
+        H, E, RB, RC = h_ref[:], e_ref[:], rowbest_ref[:], rowcol_ref[:]
+        for u in range(UNROLL):
+            # grid chunks and columns both run high -> low
+            jj = TJ - 1 - (blk * UNROLL + u)
+            j_global = (n_chunks - 1 - j_chunk) * TJ + jj
+            H, E, RB, RC = one_col(j_global, jj, H, E, RB, RC)
+        h_ref[:], e_ref[:] = H, E
+        rowbest_ref[:], rowcol_ref[:] = RB, RC
         return 0
 
-    jax.lax.fori_loop(0, TJ, col_body, 0)
+    jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
 
     @pl.when(j_chunk == n_chunks - 1)
     def _():
-        score_out[:] = best_ref[0:1, :]
-        qstart_out[:] = qs_ref[0:1, :]
-        tstart_out[:] = ts_ref[0:1, :]
+        rb = rowbest_ref[:]
+        rc = rowcol_ref[:]
+        Mx = jnp.max(rb, axis=0, keepdims=True)
+        cand = rb == Mx
+        js = jnp.max(jnp.where(cand, rc, -BIG), axis=0, keepdims=True)
+        qs = jnp.max(jnp.where(cand & (rc == js), iq, -BIG), axis=0,
+                     keepdims=True)
+        has = Mx > 0
+        score_out[:] = jnp.where(has, Mx, 0)
+        tstart_out[:] = jnp.where(has, js, -1)
+        qstart_out[:] = jnp.where(has, qs, 0)
 
 
 def _sw_pallas_starts_from_S(S, q_end, t_end, Lq, Lt_pad, B, interpret):
@@ -255,9 +292,8 @@ def _sw_pallas_starts_from_S(S, q_end, t_end, Lq, Lt_pad, B, interpret):
         scratch_shapes=[
             pltpu.VMEM((Lq, TB), jnp.int32),
             pltpu.VMEM((Lq, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
+            pltpu.VMEM((Lq, TB), jnp.int32),
+            pltpu.VMEM((Lq, TB), jnp.int32),
         ],
         interpret=interpret,
     )(S, qe2, te2)
@@ -289,7 +325,7 @@ def _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret):
     B = q_enc.shape[0]
     TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
-    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad)
+    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len)
     qlen2 = q_len.reshape(1, B).astype(jnp.int32)
     tlen2 = t_len.reshape(1, B).astype(jnp.int32)
     nb = B // TB
@@ -311,9 +347,8 @@ def _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret):
         scratch_shapes=[
             pltpu.VMEM((Lq, TB), jnp.int32),
             pltpu.VMEM((Lq, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
+            pltpu.VMEM((Lq, TB), jnp.int32),
+            pltpu.VMEM((Lq, TB), jnp.int32),
         ],
         interpret=interpret,
     )(S, qlen2, tlen2)
