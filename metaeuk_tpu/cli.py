@@ -1135,7 +1135,9 @@ def main(argv=None):
                     help=">1 = iterative profile search (blastpgp role)")
     se.add_argument("--e-profile", type=float, default=0.1)
     _add_predict_flags(se)
-    se.set_defaults(fn=cmd_search)
+    # mmseqs search default -e is 0.001 (metaeuk's predictexons search
+    # raises it to 100, PredictExons.cpp:15 — that path sets it itself)
+    se.set_defaults(fn=cmd_search, evalue=0.001)
 
     ca = sub.add_parser("convertalis", help="alignment DB -> BLAST-m8 TSV")
     ca.add_argument("queries")

@@ -165,8 +165,10 @@ def composition_bias(encoded_seq, scale=1.0, scores=None, pback=None):
     return (np.float64(scale) * delta.astype(np.float64)).astype(np.float32)
 
 
-def composition_bias_rounded(encoded_seq, scale=1.0):
+def composition_bias_rounded(encoded_seq, scale=1.0, scores=None):
     """int8-rounded bias as applied to the SW profile (ssw_init,
-    StripedSmithWaterman.cpp:1230-1236): round half away from zero."""
-    b = composition_bias(encoded_seq, scale)
+    StripedSmithWaterman.cpp:1230-1236): round half away from zero.
+    scores: substitution matrix override (the --realign pass computes
+    bias with the scoreBias -0.2 matrix, Alignment.cpp:158-162)."""
+    b = composition_bias(encoded_seq, scale, scores=scores)
     return np.where(b < 0.0, b - 0.5, b + 0.5).astype(np.int8)

@@ -19,12 +19,15 @@ class ProfileDB:
     """A set of profiles: per entry a PSSM (L, 21) int32 + consensus seq."""
 
     def __init__(self, pssms, consensus, query_seqs, headers, keys,
-                 data_size=None):
+                 data_size=None, raw_scores=None):
         self.pssms = pssms
         self.consensus = consensus
         self.query_seqs = query_seqs
         self.headers = headers
         self.keys = keys
+        # per entry (L, 20) int16 stored PSSM scores (4x-scaled), kept for
+        # the profile-query k-mer prefilter's rankedDescSort20 rows
+        self.raw_scores = raw_scores
         self.dbtype = DBTYPE_HMM_PROFILE
         # raw DB data size incl. per-entry NUL (DBReader dataSize)
         self.data_size = (data_size if data_size is not None
@@ -49,7 +52,7 @@ class ProfileDB:
     def from_db(cls, path):
         if read_dbtype(path) != DBTYPE_HMM_PROFILE:
             raise ValueError(f"{path} is not an HMM-profile DB")
-        pssms, consensus, query_seqs, keys = [], [], [], []
+        pssms, consensus, query_seqs, keys, raws = [], [], [], [], []
         for key, payload in read_db(path):
             raw = np.frombuffer(payload, dtype=np.int8)
             n = len(raw) // PROFILE_READIN_SIZE
@@ -60,6 +63,7 @@ class ProfileDB:
             pssm = np.zeros((n, 21), dtype=np.int32)
             pssm[:, :20] = pssm20
             pssms.append(pssm)
+            raws.append(scores.astype(np.int16))
             query_seqs.append(rec[:, PROFILE_AA_SIZE].astype(np.uint8))
             consensus.append(rec[:, PROFILE_AA_SIZE + 1].astype(np.uint8))
             keys.append(key)
@@ -69,4 +73,5 @@ class ProfileDB:
                        for k in keys]
         except FileNotFoundError:
             headers = [str(k) for k in keys]
-        return cls(pssms, consensus, query_seqs, headers, keys)
+        return cls(pssms, consensus, query_seqs, headers, keys,
+                   raw_scores=raws)

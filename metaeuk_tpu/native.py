@@ -60,9 +60,10 @@ def get_lib():
 
 
 def banded_sw_traceback(q_enc, bias, t_enc, score, band_width,
-                        go=11, ge=1):
+                        go=11, ge=1, submat=None):
     """CIGAR op string (M/I/D bytes) for an accepted alignment window
-    (native banded_sw port); None when the library is unavailable."""
+    (native banded_sw port); None when the library is unavailable.
+    submat: 21x21 int32 override (the --realign -0.2-biased matrix)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -77,6 +78,8 @@ def banded_sw_traceback(q_enc, bias, t_enc, score, band_width,
             i32p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib._bt_bound = True
     from .data.submat import BLOSUM62_SCORES
+    if submat is None:
+        submat = BLOSUM62_SCORES
     q = np.ascontiguousarray(q_enc, np.uint8)
     b = np.ascontiguousarray(bias, np.int8)
     t = np.ascontiguousarray(t_enc, np.uint8)
@@ -84,7 +87,36 @@ def banded_sw_traceback(q_enc, bias, t_enc, score, band_width,
     out = np.zeros(cap, np.uint8)
     n = lib.banded_sw_traceback(
         q, b, t, len(q), len(t), int(score), go, ge, int(band_width),
-        np.ascontiguousarray(BLOSUM62_SCORES, np.int32), 21, out, cap)
+        np.ascontiguousarray(submat, np.int32), 21, out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes().decode()
+
+
+def banded_sw_traceback_prof(prof, t_enc, score, band_width, go=11, ge=1):
+    """Profile-query CIGAR ops (the PROFILE_SEQ banded_sw path,
+    StripedSmithWaterman.cpp:1474): prof = (L, 21) int32 PSSM window
+    rows. None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_btp_bound", False):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.banded_sw_traceback_prof.restype = ctypes.c_int64
+        lib.banded_sw_traceback_prof.argtypes = [
+            i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p, ctypes.c_int64]
+        lib._btp_bound = True
+    prof = np.ascontiguousarray(prof, np.int32)
+    t = np.ascontiguousarray(t_enc, np.uint8)
+    q_len = prof.shape[0]
+    cap = q_len + len(t) + 4
+    out = np.zeros(cap, np.uint8)
+    n = lib.banded_sw_traceback_prof(
+        prof.reshape(-1), t, q_len, len(t), int(score), go, ge,
+        int(band_width), prof.shape[1], out, cap)
     if n < 0:
         return None
     return out[:n].tobytes().decode()

@@ -105,21 +105,33 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
                       qid="0.0", qsc=-20.0, filter_max_seq_id=0.9,
                       ndiff=1000, filter_min_enable=0):
     """File-level driver: mmseqs-format seq DBs + alignment DB (with
-    backtraces) -> profile DB. sameDatabase = identical paths."""
-    qdb = mmseqsdb.read_seqdb(query_db)
-    same = (query_db == target_db)
-    tdb = qdb if same else mmseqsdb.read_seqdb(target_db)
+    backtraces) -> profile DB. sameDatabase = identical paths. A profile
+    query DB is accepted too (iterative search steps >= 2): the center is
+    then the profile's query-letter sequence (Sequence::mapProfile sets
+    numSequence[l] = queryLetter, Sequence.cpp:252-254)."""
     from ..data.submat import AA2NUM
 
     def enc(arr):
         return AA2NUM[np.asarray(arr, np.uint8)]
 
+    same = (query_db == target_db)
+    if mmseqsdb.read_dbtype(query_db) == mmseqsdb.DBTYPE_HMM_PROFILE:
+        from ..io.profiledb import ProfileDB
+        pq = ProfileDB.from_db(query_db)
+        centers_by_key = {int(k): np.asarray(pq.query_seqs[i], np.uint8)
+                          for i, k in enumerate(pq.keys)}
+        tdb = mmseqsdb.read_seqdb(target_db)
+    else:
+        qdb = mmseqsdb.read_seqdb(query_db)
+        tdb = qdb if same else mmseqsdb.read_seqdb(target_db)
+        centers_by_key = {int(k): enc(qdb.seq(i))
+                          for i, k in enumerate(qdb.keys)}
+
     t_by_key = {int(k): i for i, k in enumerate(tdb.keys)}
-    q_by_key = {int(k): i for i, k in enumerate(qdb.keys)}
     aln_entries = mmseqsdb.read_db(aln_db)
     out = []
     for qkey, payload in aln_entries:
-        center = enc(qdb.seq(q_by_key[qkey]))
+        center = centers_by_key[qkey]
         members = []
         for line in payload.decode().splitlines():
             if not line:

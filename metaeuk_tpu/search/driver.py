@@ -270,6 +270,112 @@ class SearchDriver:
                             -hits["bit_score"], hits["evalue"], hits["orf_idx"]))
         return hits[order]
 
+    def realign(self, hits, orf_aa_seqs, realign_score_bias=-0.2,
+                realign_max_seqs=None, realign_cov=0.0, cov_mode=0):
+        """--realign pass (Alignment.cpp:298-446): recompute alignment
+        boundaries and backtraces with the scoreBias-shifted matrix
+        (default -0.2, Parameters.cpp:2437); scores and E-values keep
+        the first-pass values. Composition bias is recomputed with the
+        realign matrix (the realigner Matcher owns realign_m,
+        Alignment.cpp:158-162, 303).
+
+        Returns (hits_out, backtraces, seq_ids): coords replaced by the
+        realign pass; rows dropped only by the realign coverage gate,
+        and per query at most realign_max_seqs rows survive."""
+        from ..data.submat import scores_with_bias
+        from .. import native
+
+        p = self.params
+        sub = scores_with_bias(2.0, realign_score_bias)
+        enc_cache = {}
+
+        def q_arrays(oi):
+            if oi not in enc_cache:
+                e = encode_aa(orf_aa_seqs[oi])
+                b = composition_bias_rounded(
+                    e, p.comp_bias_correction_scale, scores=sub) \
+                    if p.comp_bias_correction else np.zeros(len(e), np.int8)
+                enc_cache[oi] = (e, b)
+            return enc_cache[oi]
+
+        n = len(hits)
+        score2 = np.zeros(n, np.int32)
+        qs2 = np.zeros(n, np.int32)
+        qe2 = np.zeros(n, np.int32)
+        ts2 = np.zeros(n, np.int32)
+        te2 = np.zeros(n, np.int32)
+        # bucket hit pairs and realign in dense batches
+        ol = np.array([len(q_arrays(int(h["orf_idx"]))[0]) for h in hits],
+                      np.int64)
+        tl = hits["t_len"].astype(np.int64)
+        lq_b = np.array([_bucket(max(l, 1)) for l in ol])
+        lt_b = np.array([_bucket(max(l, 1)) for l in tl])
+        for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
+            sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
+            qm = pad_rows([q_arrays(int(hits[i]["orf_idx"]))[0]
+                           for i in sel], Lq)
+            qb = pad_rows([q_arrays(int(hits[i]["orf_idx"]))[1]
+                           for i in sel], Lq)
+            tm = pad_rows([self.targets_enc[int(hits[i]["target_idx"])]
+                           for i in sel], Lt)
+            sc, qs, qe, ts, te = sw_align_batch(
+                qm, qb, ol[sel].astype(np.int32), tm,
+                tl[sel].astype(np.int32), submat=sub)
+            score2[sel], qs2[sel], qe2[sel] = sc, qs, qe
+            ts2[sel], te2[sel] = ts, te
+
+        keep = np.zeros(n, bool)
+        bts, seq_ids = [], []
+        per_query = {}
+        cap = realign_max_seqs if realign_max_seqs is not None else 1 << 62
+        for i in range(n):
+            oi = int(hits[i]["orf_idx"])
+            if per_query.get(oi, 0) >= cap:
+                continue
+            if score2[i] <= 0 or te2[i] < 0:
+                continue
+            q_cov = (abs(int(qe2[i]) - int(qs2[i])) + 1) / max(int(ol[i]), 1)
+            t_cov = (abs(int(te2[i]) - int(ts2[i])) + 1) / max(int(tl[i]), 1)
+            if cov_mode == 1:
+                cov_ok = q_cov >= realign_cov
+            elif cov_mode == 2:
+                cov_ok = t_cov >= realign_cov
+            else:
+                cov_ok = q_cov >= realign_cov and t_cov >= realign_cov
+            if not cov_ok:
+                continue
+            per_query[oi] = per_query.get(oi, 0) + 1
+            keep[i] = True
+            q_enc, q_bias = q_arrays(oi)
+            t_enc = self.targets_enc[int(hits[i]["target_idx"])]
+            qs, qe = int(qs2[i]), int(qe2[i])
+            ts, te = int(ts2[i]), int(te2[i])
+            band = abs((te - ts + 1) - (qe - qs + 1)) + 1
+            bt = native.banded_sw_traceback(
+                q_enc[qs:qe + 1], q_bias[qs:qe + 1], t_enc[ts:te + 1],
+                int(score2[i]), band, p.gap_open, p.gap_extend, submat=sub)
+            if bt is None:
+                bt = ""
+            bts.append(bt)
+            if bt:
+                qp, tp, ids = qs, ts, 0
+                for op in bt:
+                    if op == "M":
+                        ids += int(q_enc[qp] == t_enc[tp])
+                        qp += 1
+                        tp += 1
+                    elif op == "I":
+                        qp += 1
+                    else:
+                        tp += 1
+                seq_ids.append(np.float32(ids) / np.float32(len(bt)))
+            else:
+                seq_ids.append(np.float32(0.0))
+        out = hits[keep].copy()
+        out["q_start"], out["q_end"] = qs2[keep], qe2[keep]
+        out["t_start"], out["t_end"] = ts2[keep], te2[keep]
+        return out, bts, np.asarray(seq_ids, np.float32)
+
     def backtraces(self, hits, orf_aa_seqs):
         """M/I/D backtraces + exact seqIds for accepted hits — the reference's
         alignment-mode-3 path (banded_sw on the alignment window +

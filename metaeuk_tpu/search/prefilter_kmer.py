@@ -39,6 +39,20 @@ def kmer_threshold(sensitivity=4.0, kmer_size=6):
     return int(np.float32(base) - np.float32(sensitivity) * np.float32(per))
 
 
+def profile_kmer_threshold(sensitivity=4.0, kmer_size=6,
+                           context_pseudo_cnts=False):
+    """Prefiltering::getKmerThreshold, profile branch
+    (Prefiltering.cpp:1019-1048); context_pseudo_cnts reflects the
+    DBTYPE_EXTENDED_CONTEXT_PSEUDO_COUNTS bit on either side."""
+    if context_pseudo_cnts:
+        base = {5: 97.75, 6: 132.75, 7: 158.75}[kmer_size]
+        per = {5: 8.75, 6: 8.75, 7: 9.75}[kmer_size]
+    else:
+        base = {5: 108.8, 6: 134.35, 7: 149.15}[kmer_size]
+        per = {5: 4.7, 6: 6.15, 7: 6.85}[kmer_size]
+    return int(np.float32(base) - np.float32(sensitivity) * np.float32(per))
+
+
 def _bind(lib):
     if getattr(lib, "_pf_bound", False):
         return
@@ -65,6 +79,11 @@ def _bind(lib):
     lib.pf_save_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.pf_load_index.restype = ctypes.c_int64
     lib.pf_load_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.pf_match_profile.restype = ctypes.c_int64
+    lib.pf_match_profile.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int64, i16p, i8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32, u32p, i32p, i16op]
     lib._pf_bound = True
 
 
@@ -136,6 +155,42 @@ class KmerPrefilter:
         n = self._lib.pf_match(
             self._h, q, len(q), np.ascontiguousarray(bias, np.float32),
             self.max_hits, self.min_diag_score,
+            0xFFFFFFFF if identity_id is None else int(identity_id),
+            out_id, out_sc, out_dg)
+        if n < 0:
+            raise RuntimeError("prefilter match overflow (db too large for "
+                               "the non-overflow path)")
+        return out_id[:n].copy(), out_sc[:n].copy(), out_dg[:n].copy()
+
+    def match_profile(self, raw_scores, query_seq, kmer_thr=None,
+                      identity_id=None):
+        """Hits for one HMM-profile query (the blastpgp/profile-query
+        prefilter role). The index must have been built with
+        kmer_score=0 (Prefiltering.cpp:525-527: localKmerThr=0 for
+        profile queries).
+
+        raw_scores: (L, 20) int16 stored PSSM scores (4x-scaled);
+        query_seq: (L,) uint8 query letters (profile record byte 20).
+        kmer_thr defaults to the sens-4 profile threshold."""
+        rs = np.ascontiguousarray(raw_scores, np.int16)
+        qn = np.ascontiguousarray(query_seq, np.uint8)
+        L = len(qn)
+        if rs.shape != (L, 20):
+            raise ValueError("raw_scores must be (L, 20)")
+        if kmer_thr is None:
+            kmer_thr = profile_kmer_threshold()
+        # alignment profile: stored/4 truncated toward zero, X column 0
+        # (Sequence::mapProfile, Sequence.cpp:272-280)
+        qprof = np.zeros((L, 21), np.int8)
+        qprof[:, :20] = (rs.astype(np.int32) // 4 +
+                         (rs.astype(np.int32) % 4 != 0) * (rs < 0)).astype(np.int8)
+        cap = max(self.max_hits + 1, 1)
+        out_id = np.empty(cap, np.uint32)
+        out_sc = np.empty(cap, np.int32)
+        out_dg = np.empty(cap, np.int16)
+        n = self._lib.pf_match_profile(
+            self._h, qn, L, rs.reshape(-1), qprof.reshape(-1),
+            int(kmer_thr), self.max_hits, self.min_diag_score,
             0xFFFFFFFF if identity_id is None else int(identity_id),
             out_id, out_sc, out_dg)
         if n < 0:

@@ -279,24 +279,24 @@ void tantan_repeat_probs(const uint8_t* seq, int64_t n, int64_t alphabet,
 
 }  // extern "C"
 
-extern "C" {
-
 // ---------------------------------------------------------------------------
 // Banded Smith-Waterman traceback (CIGAR recovery).
 //
-// Port of SmithWaterman::banded_sw (StripedSmithWaterman.cpp:1348-1600,
-// SEQ_SEQ path): banded DP over the [start..end] window with direction
-// matrix, band doubling until the known score is reached, then traceback.
-// Emits the expanded M/I/D op string directly (computerBacktrace,
-// :548-581 applies cigar runs in order; we write the same expansion).
-// Returns the op count, or -1 on failure.
-int64_t banded_sw_traceback(const uint8_t* q, const int8_t* bias,
-                            const uint8_t* t,
-                            int64_t q_len, int64_t t_len,
-                            int64_t score, int64_t gap_open, int64_t gap_extend,
-                            int64_t band_width,
-                            const int32_t* submat, int64_t alphabet,
-                            uint8_t* out_ops, int64_t out_cap) {
+namespace {
+
+// Core of SmithWaterman::banded_sw (StripedSmithWaterman.cpp:1348-1600):
+// banded DP over the [start..end] window with direction matrix, band
+// doubling until the known score is reached, then traceback. Match score
+// at (i, j) = prof[i*alphabet + t[j]] — per-query-position rows cover
+// both the SEQ_SEQ path (submat row + bias, :1476) and the PROFILE_SEQ
+// path (PSSM row, :1474). Emits the expanded M/I/D op string directly
+// (computerBacktrace, :548-581 applies cigar runs in order; we write the
+// same expansion). Returns the op count, or -1 on failure.
+int64_t banded_core(const int32_t* prof, const uint8_t* t,
+                    int64_t q_len, int64_t t_len,
+                    int64_t score, int64_t gap_open, int64_t gap_extend,
+                    int64_t band_width, int64_t alphabet,
+                    uint8_t* out_ops, int64_t out_cap) {
     std::vector<int32_t> h_b, e_b, h_c;
     std::vector<int8_t> direction;
     int64_t width = 0, width_d = 0;
@@ -350,8 +350,7 @@ int64_t banded_sw_traceback(const uint8_t* q, const int8_t* bias,
                 int32_t f1 = f > 0 ? f : 0;
                 int32_t e1 = e_b[u] > 0 ? e_b[u] : 0;
                 temp1 = e1 > f1 ? e1 : f1;
-                temp2 = h_b[d] + submat[(int64_t)q[i] * alphabet + t[j]]
-                        + (int32_t)bias[i];
+                temp2 = h_b[d] + prof[i * alphabet + t[j]];
                 h_c[u] = temp1 > temp2 ? temp1 : temp2;
                 if (h_c[u] > max) max = h_c[u];
                 if (temp1 <= temp2) dline[dh] = 1;
@@ -387,6 +386,40 @@ int64_t banded_sw_traceback(const uint8_t* q, const int8_t* bias,
     if (n > out_cap) return -1;
     for (int64_t k2 = 0; k2 < n; k2++) out_ops[k2] = rev[n - 1 - k2];
     return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// SEQ_SEQ entry: per-position rows = submat[q[i]][:] + bias[i]
+int64_t banded_sw_traceback(const uint8_t* q, const int8_t* bias,
+                            const uint8_t* t,
+                            int64_t q_len, int64_t t_len,
+                            int64_t score, int64_t gap_open, int64_t gap_extend,
+                            int64_t band_width,
+                            const int32_t* submat, int64_t alphabet,
+                            uint8_t* out_ops, int64_t out_cap) {
+    std::vector<int32_t> prof((size_t)q_len * alphabet);
+    for (int64_t i = 0; i < q_len; i++) {
+        const int32_t* row = submat + (int64_t)q[i] * alphabet;
+        for (int64_t a = 0; a < alphabet; a++) {
+            prof[i * alphabet + a] = row[a] + (int32_t)bias[i];
+        }
+    }
+    return banded_core(prof.data(), t, q_len, t_len, score, gap_open,
+                       gap_extend, band_width, alphabet, out_ops, out_cap);
+}
+
+// PROFILE_SEQ entry: prof = the query PSSM window rows (L x alphabet)
+int64_t banded_sw_traceback_prof(const int32_t* prof, const uint8_t* t,
+                                 int64_t q_len, int64_t t_len,
+                                 int64_t score, int64_t gap_open,
+                                 int64_t gap_extend, int64_t band_width,
+                                 int64_t alphabet,
+                                 uint8_t* out_ops, int64_t out_cap) {
+    return banded_core(prof, t, q_len, t_len, score, gap_open, gap_extend,
+                       band_width, alphabet, out_ops, out_cap);
 }
 
 }  // extern "C"

@@ -80,6 +80,12 @@ struct PF {
     std::vector<uint16_t> hitDiag;
     std::vector<Counter> sorted;
     std::vector<int8_t> qprof;
+    // profile-query scratch: ping-pong (score, kmer) lists for the
+    // per-position KmerGenerator cascade + sorted PSSM rows
+    std::vector<int16_t> gscore[2];
+    std::vector<uint32_t> gindex[2];
+    std::vector<int16_t> psort_s;
+    std::vector<uint8_t> psort_i;
 };
 
 inline int kidx3(const uint8_t *s) {          // Indexer::int2index base 20
@@ -395,6 +401,218 @@ size_t keep_max_only(PF *pf, std::vector<Counter> &arr, size_t n) {
     return cnt;
 }
 
+// Shared back half of a prefilter match: duplicate detection over the
+// collected (seqId, diagonal) stream, ungapped diagonal rescoring with
+// the given query profile, histogram thresholding, 255-saturation
+// rescale, and the final (score desc, id asc) hit ordering. self_seq is
+// the residue string used for the saturation self-score
+// (QueryMatcher::rescoreHits uses numSequence for profiles too).
+int64_t finish_match(PF *pf, const int8_t *qprof, const uint8_t *self_seq,
+                     int64_t qlen, int64_t max_hits, int64_t min_diag_thr,
+                     uint32_t identity_id, uint32_t *out_id,
+                     int32_t *out_score, int16_t *out_diag) {
+    std::vector<IndexEntry> &hits = pf->hits;
+    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    std::vector<Counter> &found = pf->found;
+    if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
+        found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
+    }
+    size_t resultSize = hits.empty() ? 0
+                                     : find_duplicates(pf, hits, hitDiag, found);
+
+    // diagonal ungapped scoring for count==0 entries (ungappedAlignment->
+    // align); every entry here has count 0
+    for (size_t i = 0; i < resultSize; i++) {
+        const uint32_t id = found[i].id;
+        const uint8_t *t = pf->tdata.data() + pf->toff[id];
+        const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+        const int sc = diag_score_raw(pf, qprof, (int)qlen, t, tlen,
+                                      found[i].diagonal);
+        found[i].count = (uint8_t)std::min(255, sc);
+    }
+    resultSize = keep_max_only(pf, found, resultSize);
+
+    // threshold from score histogram (computeScoreThreshold)
+    uint64_t hist[256] = {0};
+    for (size_t i = 0; i < resultSize; i++) hist[found[i].count]++;
+    uint64_t acc = 0;
+    unsigned int thr = 0;
+    for (unsigned int s = 255; s > 0; s--) {
+        acc += hist[s];
+        if (acc >= (uint64_t)max_hits) { thr = s; break; }
+    }
+    thr = std::max((unsigned int)min_diag_thr, thr);
+
+    // stable bucket sort desc by score, keeping >= thr (radixSortByScoreSize)
+    std::vector<Counter> &sorted = pf->sorted;
+    sorted.clear();
+    sorted.reserve(resultSize);
+    const bool truncated = thr >= 255;
+    for (int s = 255; s >= (int)thr; s--) {
+        for (size_t i = 0; i < resultSize; i++) {
+            if (found[i].count == (uint8_t)s) sorted.push_back(found[i]);
+        }
+    }
+
+    int rescale = 0;
+    if (truncated) {
+        // rescoreHits (QueryMatcher.cpp:526-548)
+        int maxSelf = diag_score_raw(pf, qprof, (int)qlen, self_seq,
+                                     (int)qlen, 0);
+        maxSelf = std::max(1, std::min(maxSelf - 255, (int)UINT16_MAX));
+        rescale = maxSelf;
+        std::vector<Counter> rescored;
+        for (size_t i = 0; i < sorted.size() && sorted[i].count >= 255; i++) {
+            const uint32_t id = sorted[i].id;
+            const uint8_t *t = pf->tdata.data() + pf->toff[id];
+            const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+            unsigned int ns = (unsigned int)diag_score_raw(
+                pf, qprof, (int)qlen, t, tlen, sorted[i].diagonal);
+            ns -= 255;
+            const float score = (float)std::min(ns, (unsigned int)UINT16_MAX);
+            Counter c = sorted[i];
+            c.count = (uint8_t)((score / (float)maxSelf) * 255.0f + 0.5f);
+            rescored.push_back(c);
+        }
+        // re-bucket desc with thr 0
+        sorted.clear();
+        for (int s = 255; s >= 0; s--) {
+            for (auto &c : rescored) {
+                if (c.count == (uint8_t)s) sorted.push_back(c);
+            }
+        }
+        thr = 0;
+    }
+
+    // getResult<UNGAPPED_DIAGONAL_SCORE> (QueryMatcher.cpp:363-420)
+    std::vector<Hit> res;
+    if (identity_id != UINT32_MAX) {
+        res.push_back({identity_id, UINT16_MAX, 0});
+    }
+    for (size_t i = 0; i < sorted.size() && (int64_t)res.size() < max_hits;
+         i++) {
+        const uint32_t id = sorted[i].id;
+        const unsigned int sc = sorted[i].count;
+        if (sc < thr || id == identity_id) continue;
+        Hit hh{id, (int32_t)sc, sorted[i].diagonal};
+        if (rescale != 0) {
+            hh.prefScore = (int32_t)(255u + (sc * (unsigned int)rescale / 255u));
+        } else if ((int)sc >= 255) {
+            const uint8_t *t = pf->tdata.data() + pf->toff[id];
+            const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+            hh.prefScore = diag_score_raw(pf, qprof, (int)qlen, t, tlen,
+                                          sorted[i].diagonal);
+        }
+        res.push_back(hh);
+    }
+    // final sort by |score| desc, id asc (hit_t::compareHitsByScoreAndId)
+    const size_t from = (identity_id != UINT32_MAX) ? 1 : 0;
+    if (res.size() > 1) {
+        std::sort(res.begin() + from, res.end(), [](const Hit &a, const Hit &b) {
+            if (std::abs(a.prefScore) > std::abs(b.prefScore)) return true;
+            if (std::abs(b.prefScore) > std::abs(a.prefScore)) return false;
+            return a.seqId < b.seqId;
+        });
+    }
+    for (size_t i = 0; i < res.size(); i++) {
+        out_id[i] = res[i].seqId;
+        out_score[i] = res[i].prefScore;
+        out_diag[i] = (int16_t)res[i].diagonal;
+    }
+    return (int64_t)res.size();
+}
+
+// Util::rankedDescSort20's comparator network (Util.cpp:88-114): sorts a
+// 20-entry (score, residue) row descending by score. The exact exchange
+// sequence is replicated because its tie order decides similar-k-mer
+// enumeration order, which decides prefilter hit-stream order.
+constexpr uint8_t RANK20_NET[][2] = {
+    {0,16},{1,17},{2,18},{3,19},{4,12},{5,13},{6,14},{7,15},
+    {0,8},{1,9},{2,10},{3,11},
+    {8,16},{9,17},{10,18},{11,19},{0,4},{1,5},{2,6},{3,7},
+    {8,12},{9,13},{10,14},{11,15},{4,16},{5,17},{6,18},{7,19},{0,2},{1,3},
+    {4,8},{5,9},{6,10},{7,11},{12,16},{13,17},{14,18},{15,19},{0,1},
+    {4,6},{5,7},{8,10},{9,11},{12,14},{13,15},{16,18},{17,19},
+    {2,16},{3,17},{6,12},{7,13},{18,19},
+    {2,8},{3,9},{10,16},{11,17},
+    {2,4},{3,5},{6,8},{7,9},{10,12},{11,13},{14,16},{15,17},
+    {2,3},{4,5},{6,7},{8,9},{10,11},{12,13},{14,15},{16,17},
+    {1,16},{3,18},{5,12},{7,14},
+    {1,8},{3,10},{9,16},{11,18},
+    {1,4},{3,6},{5,8},{7,10},{9,12},{11,14},{13,16},{15,18},
+    {1,2},{3,4},{5,6},{7,8},{9,10},{11,12},{13,14},{15,16},{17,18},
+};
+
+void rank20(int16_t *val, uint8_t *idx) {
+    for (auto &p : RANK20_NET) {
+        const int x = p[0], y = p[1];
+        if (val[x] < val[y]) {
+            std::swap(val[x], val[y]);
+            std::swap(idx[x], idx[y]);
+        }
+    }
+}
+
+// KmerGenerator::generateKmerList with the per-position divide strategy
+// (profile queries: one sorted 20-entry PSSM row per spaced position,
+// KmerGenerator::setDivideStrategy(ScoreMatrix**) + generateKmerList,
+// KmerGenerator.cpp:30-38,106-185). srow/irow: KK sorted rows.
+size_t gen_profile_kmer_list(PF *pf, const int16_t *srow[KK],
+                             const uint8_t *irow[KK], int threshold,
+                             uint32_t *out) {
+    static const uint32_t POW20[KK] = {1, 20, 400, 8000, 160000, 3200000};
+    int possibleRest[KK];
+    possibleRest[KK - 1] = 0;
+    for (int k = KK - 1; k >= 1; k--) {
+        possibleRest[k - 1] = srow[k][0] + possibleRest[k];
+    }
+    for (int b = 0; b < 2; b++) {
+        if (pf->gscore[b].size() < MAX_KMER_RESULT_SIZE) {
+            pf->gscore[b].resize(MAX_KMER_RESULT_SIZE);
+            pf->gindex[b].resize(MAX_KMER_RESULT_SIZE);
+        }
+    }
+    int cutoff1 = threshold - possibleRest[0];
+    // first input: position 0's sorted row itself (width-1 indices)
+    int16_t s0[20];
+    uint32_t x0[20];
+    for (int j = 0; j < 20; j++) {
+        s0[j] = srow[0][j];
+        x0[j] = irow[0][j];
+    }
+    const int16_t *inScore = s0;
+    const uint32_t *inIndex = x0;
+    size_t inSize = 20;
+    size_t counter = 0;
+    for (int step = 0; step + 1 < KK; step++) {
+        int16_t *outScore = pf->gscore[step % 2].data();
+        uint32_t *outIndex = pf->gindex[step % 2].data();
+        const int16_t *ns = srow[step + 1];
+        const uint8_t *nx = irow[step + 1];
+        const uint32_t pw = POW20[step + 1];
+        counter = 0;
+        for (size_t a = 0; a < inSize; a++) {
+            const int score_a = inScore[a];
+            if (score_a < cutoff1) break;
+            const uint32_t kmer_a = inIndex[a];
+            const int cutoff2 = threshold - score_a - possibleRest[step + 1];
+            for (size_t j = 0; j < 20 && (counter + 1 < MAX_KMER_RESULT_SIZE)
+                               && ns[j] >= cutoff2; j++) {
+                outScore[counter] = (int16_t)(score_a + ns[j]);
+                outIndex[counter] = kmer_a + (uint32_t)nx[j] * pw;
+                counter++;
+            }
+            if (counter + 1 >= MAX_KMER_RESULT_SIZE) break;
+        }
+        inScore = outScore;
+        inIndex = outIndex;
+        inSize = counter;
+        cutoff1 = -1000;
+    }
+    memcpy(out, inIndex, counter * sizeof(uint32_t));
+    return counter;
+}
+
 }  // namespace
 
 extern "C" {
@@ -453,112 +671,78 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
         }
     }
 
-    std::vector<Counter> &found = pf->found;
-    if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
-        found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
-    }
-    size_t resultSize = hits.empty() ? 0
-                                     : find_duplicates(pf, hits, hitDiag, found);
+    return finish_match(pf, qprof.data(), q, qlen, max_hits, min_diag_thr,
+                        identity_id, out_id, out_score, out_diag);
+}
 
-    // diagonal ungapped scoring for count==0 entries (ungappedAlignment->
-    // align); every entry here has count 0
-    for (size_t i = 0; i < resultSize; i++) {
-        const uint32_t id = found[i].id;
-        const uint8_t *t = pf->tdata.data() + pf->toff[id];
-        const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
-        const int sc = diag_score_raw(pf, qprof.data(), (int)qlen, t, tlen,
-                                      found[i].diagonal);
-        found[i].count = (uint8_t)std::min(255, sc);
-    }
-    resultSize = keep_max_only(pf, found, resultSize);
+// One HMM-profile query against the index (blastpgp.sh / profile-query
+// role; the index must have been built with kmer threshold 0 —
+// Prefiltering.cpp:525-527 forces localKmerThr=0 for profile queries).
+//   qnum:       L query letters (Sequence::numSequence for profiles,
+//               data[pos*25+20]) — drives the X skip and the saturation
+//               self-score
+//   raw_scores: L*20 int16 stored PSSM scores (the 4x-scaled values)
+//   qprof:      L*21 int8 alignment profile (stored/4, X column 0)
+//   kmer_thr:   the profile k-mer list threshold (profile branch of
+//               Prefiltering::getKmerThreshold); composition bias is
+//               zero for profiles (QueryMatcher.cpp:92-99)
+int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
+                         const int16_t *raw_scores, const int8_t *qprof,
+                         int64_t kmer_thr, int64_t max_hits,
+                         int64_t min_diag_thr, uint32_t identity_id,
+                         uint32_t *out_id, int32_t *out_score,
+                         int16_t *out_diag) {
+    PF *pf = static_cast<PF *>(h);
+    const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
+    max_hits = std::min(max_hits, pf->nseq);
 
-    // threshold from score histogram (computeScoreThreshold)
-    uint64_t hist[256] = {0};
-    for (size_t i = 0; i < resultSize; i++) hist[found[i].count]++;
-    uint64_t acc = 0;
-    unsigned int thr = 0;
-    for (unsigned int s = 255; s > 0; s--) {
-        acc += hist[s];
-        if (acc >= (uint64_t)max_hits) { thr = s; break; }
-    }
-    thr = std::max((unsigned int)min_diag_thr, thr);
-
-    // stable bucket sort desc by score, keeping >= thr (radixSortByScoreSize)
-    std::vector<Counter> &sorted = pf->sorted;
-    sorted.clear();
-    sorted.reserve(resultSize);
-    const bool truncated = thr >= 255;
-    for (int s = 255; s >= (int)thr; s--) {
-        for (size_t i = 0; i < resultSize; i++) {
-            if (found[i].count == (uint8_t)s) sorted.push_back(found[i]);
+    // sorted PSSM rows (Sequence::mapProfile kmerSize!=0 branch:
+    // rankedDescSort20 per position)
+    pf->psort_s.resize((size_t)qlen * 20);
+    pf->psort_i.resize((size_t)qlen * 20);
+    for (int64_t pos = 0; pos < qlen; pos++) {
+        int16_t *sr = pf->psort_s.data() + pos * 20;
+        uint8_t *ir = pf->psort_i.data() + pos * 20;
+        for (int a = 0; a < 20; a++) {
+            sr[a] = raw_scores[pos * 20 + a];
+            ir[a] = (uint8_t)a;
         }
+        rank20(sr, ir);
     }
 
-    int rescale = 0;
-    if (truncated) {
-        // rescoreHits (QueryMatcher.cpp:526-548)
-        int maxSelf = diag_score_raw(pf, qprof.data(), (int)qlen, q, (int)qlen, 0);
-        maxSelf = std::max(1, std::min(maxSelf - 255, (int)UINT16_MAX));
-        rescale = maxSelf;
-        std::vector<Counter> rescored;
-        for (size_t i = 0; i < sorted.size() && sorted[i].count >= 255; i++) {
-            const uint32_t id = sorted[i].id;
-            const uint8_t *t = pf->tdata.data() + pf->toff[id];
-            const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
-            unsigned int ns = (unsigned int)diag_score_raw(
-                pf, qprof.data(), (int)qlen, t, tlen, sorted[i].diagonal);
-            ns -= 255;
-            const float score = (float)std::min(ns, (unsigned int)UINT16_MAX);
-            Counter c = sorted[i];
-            c.count = (uint8_t)((score / (float)maxSelf) * 255.0f + 0.5f);
-            rescored.push_back(c);
+    std::vector<IndexEntry> &hits = pf->hits;
+    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    hits.clear();
+    hitDiag.clear();
+    std::vector<uint32_t> &klist = pf->klist;
+    const int thr = std::max((int)kmer_thr, 0);
+    for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
+        bool hasX = false;
+        const int16_t *srow[KK];
+        const uint8_t *irow[KK];
+        for (int k = 0; k < KK; k++) {
+            const int64_t p = i + PAT_POS[k];
+            hasX |= (qnum[p] == ALPH);
+            srow[k] = pf->psort_s.data() + p * 20;
+            irow[k] = pf->psort_i.data() + p * 20;
         }
-        // re-bucket desc with thr 0
-        sorted.clear();
-        for (int s = 255; s >= 0; s--) {
-            for (auto &c : rescored) {
-                if (c.count == (uint8_t)s) sorted.push_back(c);
+        if (hasX) continue;
+        if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
+        const size_t nk = gen_profile_kmer_list(pf, srow, irow, thr,
+                                                klist.data());
+        for (size_t kp = 0; kp < nk; kp++) {
+            const uint64_t a = pf->offsets[klist[kp]];
+            const uint64_t b = pf->offsets[klist[kp] + 1];
+            if (hits.size() + (b - a) >= maxDbMatches) return -1;  // overflow
+            for (uint64_t e = a; e < b; e++) {
+                hits.push_back(pf->entries[e]);
+                hitDiag.push_back((uint16_t)((uint16_t)i -
+                                             pf->entries[e].pos_j));
             }
         }
-        thr = 0;
     }
-
-    // getResult<UNGAPPED_DIAGONAL_SCORE> (QueryMatcher.cpp:363-420)
-    std::vector<Hit> res;
-    if (identity_id != UINT32_MAX) {
-        res.push_back({identity_id, UINT16_MAX, 0});
-    }
-    for (size_t i = 0; i < sorted.size() && (int64_t)res.size() < max_hits;
-         i++) {
-        const uint32_t id = sorted[i].id;
-        const unsigned int sc = sorted[i].count;
-        if (sc < thr || id == identity_id) continue;
-        Hit hh{id, (int32_t)sc, sorted[i].diagonal};
-        if (rescale != 0) {
-            hh.prefScore = (int32_t)(255u + (sc * (unsigned int)rescale / 255u));
-        } else if ((int)sc >= 255) {
-            const uint8_t *t = pf->tdata.data() + pf->toff[id];
-            const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
-            hh.prefScore = diag_score_raw(pf, qprof.data(), (int)qlen, t, tlen,
-                                          sorted[i].diagonal);
-        }
-        res.push_back(hh);
-    }
-    // final sort by |score| desc, id asc (hit_t::compareHitsByScoreAndId)
-    const size_t from = (identity_id != UINT32_MAX) ? 1 : 0;
-    if (res.size() > 1) {
-        std::sort(res.begin() + from, res.end(), [](const Hit &a, const Hit &b) {
-            if (std::abs(a.prefScore) > std::abs(b.prefScore)) return true;
-            if (std::abs(b.prefScore) > std::abs(a.prefScore)) return false;
-            return a.seqId < b.seqId;
-        });
-    }
-    for (size_t i = 0; i < res.size(); i++) {
-        out_id[i] = res[i].seqId;
-        out_score[i] = res[i].prefScore;
-        out_diag[i] = (int16_t)res[i].diagonal;
-    }
-    return (int64_t)res.size();
+    return finish_match(pf, qprof, qnum, qlen, max_hits, min_diag_thr,
+                        identity_id, out_id, out_score, out_diag);
 }
 
 }  // extern "C"

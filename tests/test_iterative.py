@@ -95,3 +95,35 @@ def test_profile_gains_remote(family, tmp_path):
     assert 6 in hits3 or hits3 == hits1  # profile either gains it or not
     # decoys never show up
     assert not ({7, 8, 9, 10} & hits3)
+
+
+G = pathlib.Path(__file__).parent / "golden" / "pref"
+
+
+@pytest.mark.parametrize("tag,qdb,tdb,its", [
+    ("iter2", None, None, 2),
+    ("iter3", None, None, 3),
+    ("iterfam2", "pfQ", "pfT", 2),
+    ("iterfam3", "pfQ", "pfT", 3),
+])
+def test_iterative_byte_parity(tmp_path, tag, qdb, tdb, its):
+    """search --num-iterations N -a vs the reference binary: the full
+    blastpgp.sh chain (seq prefilter -> realigned align -> result2profile
+    -> profile prefilter -> subtractdbs -> profile align -> mergedbs)."""
+    if qdb is None:
+        from metaeuk_tpu.io.seqdb import SeqDB, DBTYPE_AA
+        data = pathlib.Path(__file__).parent / "data" / "proteins.faa"
+        q = str(tmp_path / "qdb")
+        t = str(tmp_path / "tdb")
+        db = SeqDB.from_fasta(data, DBTYPE_AA)
+        mmseqsdb.write_seqdb(q, db)
+        mmseqsdb.write_seqdb(t, db)
+    else:
+        q, t = str(G / qdb), str(G / tdb)
+    out = str(tmp_path / "res")
+    iterative_search(q, t, out, str(tmp_path / "tmp"), num_iterations=its)
+    mine = dict(mmseqsdb.read_db(out))
+    gold = dict(mmseqsdb.read_db(str(G / tag)))
+    assert set(mine) == set(gold)
+    for k in gold:
+        assert mine[k] == gold[k], f"{tag} key {k}"

@@ -70,3 +70,31 @@ def test_index_save_load_roundtrip(seqs, tmp_path):
         assert hits_to_pref_lines(*pf2.match(q)).encode() == ref.get(qi, b"")
     with pytest.raises(RuntimeError):
         KmerPrefilter(None, sensitivity=7.5, index_path=tmp_path / "t.kidx")
+
+
+def test_profile_query_prefilter_byte_parity():
+    """Profile-query prefilter (blastpgp/profile-query role): reference
+    `prefilter profileDB targetDB` vs match_profile over the committed
+    profile fixture. Index built at threshold 0
+    (Prefiltering.cpp:525-527), query threshold from the profile branch
+    of getKmerThreshold."""
+    from metaeuk_tpu.io.profiledb import ProfileDB
+    from metaeuk_tpu.search.prefilter_kmer import profile_kmer_threshold
+
+    from metaeuk_tpu.io.fasta import read_fasta
+
+    here = pathlib.Path(__file__).parent
+    # target DB = createdb --shuffle 0 over proteins.faa: keys in file order
+    recs = read_fasta(str(here / "data" / "proteins.faa"))
+    tencs = [AA2NUM[np.frombuffer(s.upper(), np.uint8)] for _, s in recs]
+    pf = KmerPrefilter(tencs, kmer_score=0)
+    pdb = ProfileDB.from_db(str(here / "golden" / "profile" / "profileDB"))
+    assert profile_kmer_threshold() == 109
+    thr = profile_kmer_threshold()
+    ref = dict(mmseqsdb.read_db(str(GOLDEN / "profq_pref")))
+    for i in range(len(pdb)):
+        ids, sc, dg = pf.match_profile(pdb.raw_scores[i], pdb.query_seqs[i],
+                                       kmer_thr=thr)
+        lines = "".join(f"{int(t)}\t{int(s)}\t{int(d)}\n"
+                        for t, s, d in zip(ids, sc, dg))
+        assert lines.encode() == ref.get(pdb.keys[i], b""), f"profile {i}"
