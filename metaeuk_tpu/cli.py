@@ -849,6 +849,63 @@ def cmd_taxtocontig(args):
     return 0
 
 
+def cmd_align(args):
+    """Standalone alignment module over an existing result DB."""
+    from .search.align_module import align_db
+    align_db(args.query_db, args.target_db, args.result_db, args.out_db,
+             evalue=args.e, add_backtrace=bool(args.a),
+             min_seq_id=args.min_seq_id, cov=args.c, cov_mode=args.cov_mode,
+             min_aln_len=args.min_aln_len,
+             comp_bias_corr=bool(args.comp_bias_corr),
+             realign=bool(args.realign))
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_clust(args):
+    from .pipeline.clust import clust_db
+    clust_db(args.seq_db, args.result_db, args.out_db)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_mergeclusters(args):
+    from .pipeline.clust import mergeclusters
+    mergeclusters(args.seq_db, args.out_db, args.clusterings)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_dbtool4(args):
+    from .pipeline import dbtools4 as d4
+    a = args.args
+    t = args.tool
+    if t == "translateaa":
+        d4.translateaa_db(a[0], a[1], translation_table=args.translation_table)
+    elif t == "dbtype":
+        print(d4.dbtype_name(a[0]))
+    elif t == "setextendeddbtype":
+        d4.setextendeddbtype(a[0], args.extended_dbtype)
+    elif t == "view":
+        d4.view(a[0], args.id_list.split(","))
+        return 0
+    elif t == "aliasdb":
+        d4.aliasdb(a[0], a[1])
+    elif t == "compress":
+        d4.compress_db(a[0], a[1])
+    elif t == "decompress":
+        d4.decompress_db(a[0], a[1])
+    elif t == "diskspaceavail":
+        print(d4.diskspaceavail(a[0]) if a else d4.diskspaceavail("."))
+        return 0
+    return 0
+
+
+def cmd_version(args):
+    print("metaeuk-tpu 1.0 (MetaEuk 7.bba0d80 capabilities, TPU-native)")
+    return 0
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -1170,6 +1227,46 @@ def main(argv=None):
                     default="approx-2blca")
     tc.add_argument("-e", "--evalue", type=float, default=1.0)
     tc.set_defaults(fn=cmd_taxtocontig)
+
+    al = sub.add_parser("align", help="alignment module over a result DB")
+    al.add_argument("query_db")
+    al.add_argument("target_db")
+    al.add_argument("result_db")
+    al.add_argument("out_db")
+    al.add_argument("-e", type=float, default=1e-3)
+    al.add_argument("-a", type=int, nargs="?", const=1, default=0)
+    al.add_argument("--min-seq-id", type=float, default=0.0)
+    al.add_argument("-c", type=float, default=0.0)
+    al.add_argument("--cov-mode", type=int, default=0)
+    al.add_argument("--min-aln-len", type=int, default=0)
+    al.add_argument("--comp-bias-corr", type=int, default=1)
+    al.add_argument("--realign", type=int, nargs="?", const=1, default=0)
+    al.set_defaults(fn=cmd_align)
+
+    cu = sub.add_parser("clust", help="set-cover clustering of a result DB")
+    cu.add_argument("seq_db")
+    cu.add_argument("result_db")
+    cu.add_argument("out_db")
+    cu.set_defaults(fn=cmd_clust)
+
+    mc = sub.add_parser("mergeclusters",
+                        help="splice cascaded clustering steps")
+    mc.add_argument("seq_db")
+    mc.add_argument("out_db")
+    mc.add_argument("clusterings", nargs="+")
+    mc.set_defaults(fn=cmd_mergeclusters)
+
+    for tool in ("translateaa", "dbtype", "setextendeddbtype", "view",
+                 "aliasdb", "compress", "decompress", "diskspaceavail"):
+        dt = sub.add_parser(tool, help=f"{tool} DB utility")
+        dt.add_argument("args", nargs="*")
+        dt.add_argument("--translation-table", type=int, default=1)
+        dt.add_argument("--extended-dbtype", type=int, default=0)
+        dt.add_argument("--id-list", type=str, default="")
+        dt.set_defaults(fn=cmd_dbtool4, tool=tool)
+
+    vs = sub.add_parser("version", help="print version")
+    vs.set_defaults(fn=cmd_version)
 
     bn = sub.add_parser("bench", help="run the SW throughput benchmark")
     bn.set_defaults(fn=cmd_bench)

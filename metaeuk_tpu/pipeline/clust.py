@@ -57,8 +57,9 @@ def _read_edges(seq_db, result_db, score_mode):
             elements[i].append(tid)
             if score_mode == "prefilter":
                 sim = int(float(cols[1])) if "." in cols[1] else int(cols[1])
-                # short cast then abs (AlignmentSymmetry.cpp:95-97)
-                sim = np.int16(sim)
+                # C short cast (wraparound) then abs
+                # (AlignmentSymmetry.cpp:95-97)
+                sim = ((sim & 0xFFFF) ^ 0x8000) - 0x8000
                 scores[i].append(int(sim if sim > 0 else -sim) & 0xFFFF)
             else:
                 scores[i].append(int(float(cols[2]) * 1000.0) & 0xFFFF)

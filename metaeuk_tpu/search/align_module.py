@@ -1,0 +1,85 @@
+"""Standalone `align` module: query DB x target DB x result DB -> alignment DB.
+
+The reference's alignment module (lib/mmseqs/src/alignment/Alignment.cpp,
+invoked as `mmseqs align qDB tDB resultDB alnDB`): for every (query,
+target) pair listed in the result DB (prefilter or alignment format —
+only column 0, the target key, is consumed here), run the vectorized
+Smith-Waterman, apply Alignment::checkCriteria (E-value, seq-id,
+coverage, min alignment length), sort per query by Matcher::compareHits,
+and write matcher-format lines (optionally with backtraces, -a).
+
+TPU-native path: candidate pairs are bucketed by padded lengths and
+aligned in dense device batches by SearchDriver (search/driver.py); the
+per-pair scalar loop of the reference becomes a handful of batched
+kernel launches.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from ..io import mmseqsdb
+from ..params import Params
+from ..pipeline.alnformat import hits_to_aln_db_entries
+from .driver import SearchDriver
+
+
+def _pairs_from_result_db(result_db, qkeys, t_by_key):
+    """(query_idx, target_idx) pairs in result-DB entry order, grouped by
+    query (the reference processes result entries per query in index
+    order)."""
+    q_by_key = {int(k): i for i, k in enumerate(qkeys)}
+    pairs = []
+    order = []
+    for qk, payload in mmseqsdb.read_db(result_db):
+        if int(qk) not in q_by_key:
+            continue
+        qi = q_by_key[int(qk)]
+        order.append(qi)
+        for ln in payload.decode().splitlines():
+            if ln:
+                pairs.append((qi, t_by_key[int(ln.split("\t", 1)[0])]))
+    pairs.sort(key=lambda x: x[0])
+    return pairs, order
+
+
+def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
+             add_backtrace=False, min_seq_id=0.0, cov=0.0, cov_mode=0,
+             min_aln_len=0, max_accept=None, comp_bias_corr=True,
+             realign=False, params=None):
+    qdb = mmseqsdb.read_seqdb(query_db)
+    tdb = mmseqsdb.read_seqdb(target_db)
+    tkeys = [int(k) for k in tdb.keys]
+    t_by_key = {k: i for i, k in enumerate(tkeys)}
+    pairs, _ = _pairs_from_result_db(result_db, qdb.keys, t_by_key)
+
+    p = params or Params()
+    p = dataclasses.replace(p, search_evalue_thr=evalue,
+                            seq_id_thr=min_seq_id, cov_thr=cov,
+                            cov_mode=cov_mode, aln_len_thr=min_aln_len,
+                            comp_bias_correction=comp_bias_corr)
+    driver = SearchDriver(p, tdb)
+    qseqs = [qdb.seq_bytes(i) for i in range(len(qdb))]
+    hits = driver.search(qseqs, pair_generator=pairs)
+    if max_accept is not None and len(hits):
+        keep = np.zeros(len(hits), bool)
+        counts = {}
+        for i, h in enumerate(hits):
+            oi = int(h["orf_idx"])
+            if counts.get(oi, 0) < max_accept:
+                counts[oi] = counts.get(oi, 0) + 1
+                keep[i] = True
+        hits = hits[keep]
+    bts = sids = None
+    if realign:
+        hits, bts, sids = driver.realign(hits, qseqs)
+    elif add_backtrace:
+        bts, sids = driver.backtraces(hits, qseqs)
+    mapped = hits.copy()
+    if len(hits):
+        mapped["target_idx"] = np.asarray(tkeys, np.int64)[hits["target_idx"]]
+    entries = hits_to_aln_db_entries(mapped, len(qdb), backtraces=bts,
+                                     seq_ids=sids)
+    out = [(int(qdb.keys[qi]), payload) for qi, payload in entries]
+    mmseqsdb.write_db(out_db, out, mmseqsdb.DBTYPE_ALIGNMENT_RES)
+    return out_db
