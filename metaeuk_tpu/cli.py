@@ -901,6 +901,32 @@ def cmd_dbtool4(args):
     return 0
 
 
+def cmd_createlinindex(args):
+    from .search.linsearch_lin import build_linindex
+    out = build_linindex(args.seq_db, kmer_size=args.k or None)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_kmersearch(args):
+    from .search.linsearch_lin import kmersearch_db
+    kmersearch_db(args.query_db, args.index_db, args.out_db,
+                  result_direction=args.result_direction)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_linsearch(args):
+    import tempfile
+    from .search.linsearch_lin import linsearch_workflow
+    tmp = args.tmp or tempfile.mkdtemp(prefix="linsearch")
+    linsearch_workflow(args.query_db, args.target_db, args.out_db, tmp,
+                       evalue=args.e, cov=args.c,
+                       cov_mode=args.cov_mode, min_seq_id=args.min_seq_id)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_version(args):
     print("metaeuk-tpu 1.0 (MetaEuk 7.bba0d80 capabilities, TPU-native)")
     return 0
@@ -1264,6 +1290,31 @@ def main(argv=None):
         dt.add_argument("--extended-dbtype", type=int, default=0)
         dt.add_argument("--id-list", type=str, default="")
         dt.set_defaults(fn=cmd_dbtool4, tool=tool)
+
+    li = sub.add_parser("createlinindex", help="build the linear k-mer index")
+    li.add_argument("seq_db")
+    li.add_argument("tmp", nargs="?")
+    li.add_argument("-k", type=int, default=0)
+    li.set_defaults(fn=cmd_createlinindex)
+
+    ks = sub.add_parser("kmersearch",
+                        help="query DB x lin-index -> prefilter DB")
+    ks.add_argument("query_db")
+    ks.add_argument("index_db")
+    ks.add_argument("out_db")
+    ks.add_argument("--result-direction", type=int, default=1)
+    ks.set_defaults(fn=cmd_kmersearch)
+
+    ls = sub.add_parser("linsearch", help="linear-time search workflow")
+    ls.add_argument("query_db")
+    ls.add_argument("target_db")
+    ls.add_argument("out_db")
+    ls.add_argument("tmp", nargs="?")
+    ls.add_argument("-e", type=float, default=0.001)
+    ls.add_argument("-c", type=float, default=0.0)
+    ls.add_argument("--cov-mode", type=int, default=None)
+    ls.add_argument("--min-seq-id", type=float, default=0.0)
+    ls.set_defaults(fn=cmd_linsearch)
 
     vs = sub.add_parser("version", help="print version")
     vs.set_defaults(fn=cmd_version)
