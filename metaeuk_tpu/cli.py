@@ -938,6 +938,67 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_taxcmd(args):
+    """Taxonomy module commands (lib/mmseqs/src/taxonomy/)."""
+    from .tax import mmtax
+    t = args.tool
+    if t in ("lca", "majoritylca"):
+        mmtax.lca_db(args.args[0], args.args[1], args.args[2],
+                     majority=(t == "majoritylca"),
+                     lca_ranks=args.lca_ranks, tax_lineage=args.tax_lineage,
+                     blacklist=args.blacklist, vote_mode=args.vote_mode,
+                     majority_thr=args.majority,
+                     compressed=bool(args.compressed))
+    elif t == "aggregatetax":
+        mmtax.aggregatetax_db(args.args[0], args.args[1], args.args[2],
+                              args.args[3], lca_ranks=args.lca_ranks,
+                              tax_lineage=args.tax_lineage,
+                              vote_mode=args.vote_mode,
+                              majority_thr=args.majority,
+                              compressed=bool(args.compressed))
+    elif t == "aggregatetaxweights":
+        mmtax.aggregatetax_db(args.args[0], args.args[1], args.args[2],
+                              args.args[4], aln_seq_db=args.args[3],
+                              lca_ranks=args.lca_ranks,
+                              tax_lineage=args.tax_lineage,
+                              vote_mode=args.vote_mode,
+                              majority_thr=args.majority,
+                              compressed=bool(args.compressed))
+    elif t == "addtaxonomy":
+        mmtax.addtaxonomy_db(args.args[0], args.args[1], args.args[2],
+                             pick_id_from=args.pick_id_from,
+                             lca_ranks=args.lca_ranks,
+                             tax_lineage=args.tax_lineage,
+                             compressed=bool(args.compressed))
+    elif t == "filtertaxdb":
+        mmtax.filtertaxdb_db(args.args[0], args.args[1], args.args[2],
+                             args.taxon_list,
+                             compressed=bool(args.compressed))
+    elif t == "filtertaxseqdb":
+        mmtax.filtertaxseqdb_db(args.args[0], args.args[1], args.taxon_list,
+                                subdb_mode=args.subdb_mode)
+    elif t == "taxonomyreport":
+        mmtax.taxonomyreport_db(args.args[0], args.args[1], args.args[2],
+                                report_mode=args.report_mode)
+    elif t == "createbintaxonomy":
+        mmtax.createbintaxonomy(args.args[0], args.args[1], args.args[2],
+                                args.args[3])
+    elif t == "createbintaxmapping":
+        mmtax.createbintaxmapping(args.args[0], args.args[1])
+    elif t == "createdmptaxonomy":
+        mmtax.createdmptaxonomy(args.args[0], args.args[1])
+    elif t == "createtaxdb":
+        mmtax.createtaxdb(args.args[0], args.args[1],
+                          ncbi_tax_dump=args.ncbi_tax_dump or None,
+                          tax_mapping_file=args.tax_mapping_file or None,
+                          tax_mapping_mode=args.tax_mapping_mode,
+                          tax_db_mode=args.tax_db_mode)
+    else:
+        raise SystemExit(f"unknown tax command {t}")
+    print(f"{t}: done")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="metaeuk-tpu",
@@ -1315,6 +1376,36 @@ def main(argv=None):
     ls.add_argument("--cov-mode", type=int, default=None)
     ls.add_argument("--min-seq-id", type=float, default=0.0)
     ls.set_defaults(fn=cmd_linsearch)
+
+    # taxonomy module commands (lib/mmseqs/src/taxonomy/)
+    for tool, nargs_ in (("lca", 3), ("majoritylca", 3),
+                         ("aggregatetax", 4), ("aggregatetaxweights", 5),
+                         ("addtaxonomy", 3), ("filtertaxdb", 3),
+                         ("filtertaxseqdb", 2), ("taxonomyreport", 3),
+                         ("createbintaxonomy", 4),
+                         ("createbintaxmapping", 2),
+                         ("createdmptaxonomy", 2), ("createtaxdb", 2)):
+        tp = sub.add_parser(tool, help=f"{tool} taxonomy command")
+        tp.add_argument("args", nargs=nargs_)
+        tp.add_argument("--lca-ranks", type=str, default="")
+        tp.add_argument("--tax-lineage", type=int, default=0)
+        tp.add_argument("--blacklist", type=str,
+                        default="12908:unclassified sequences,"
+                                "28384:other sequences")
+        tp.add_argument("--vote-mode", type=int, default=1)
+        tp.add_argument("--majority", type=float, default=0.5)
+        tp.add_argument("--pick-id-from", type=int, default=2)
+        tp.add_argument("--taxon-list", type=str, default="")
+        tp.add_argument("--subdb-mode", type=int, default=0)
+        tp.add_argument("--report-mode", type=int, default=0)
+        tp.add_argument("--ncbi-tax-dump", type=str, default="")
+        tp.add_argument("--tax-mapping-file", type=str, default="")
+        tp.add_argument("--tax-mapping-mode", type=int, default=0)
+        tp.add_argument("--tax-db-mode", type=int, default=1)
+        tp.add_argument("--compressed", type=int, default=0)
+        tp.add_argument("--threads", type=int, default=1)
+        tp.add_argument("-v", type=int, default=3)
+        tp.set_defaults(fn=cmd_taxcmd, tool=tool)
 
     vs = sub.add_parser("version", help="print version")
     vs.set_defaults(fn=cmd_version)
