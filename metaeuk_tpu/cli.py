@@ -999,6 +999,52 @@ def cmd_taxcmd(args):
     return 0
 
 
+def cmd_taxonomy(args):
+    """mmseqs taxonomy workflow (protein query branch)."""
+    from .tax.taxworkflow import taxonomy_workflow
+    taxonomy_workflow(args.query_db, args.target_db, args.out_db, args.tmp,
+                      lca_mode=args.lca_mode,
+                      tax_output_mode=args.tax_output_mode,
+                      sensitivity=args.s, evalue=args.e,
+                      max_accept=args.max_accept,
+                      max_rejected=args.max_rejected,
+                      max_seqs=args.max_seqs, lca_ranks=args.lca_ranks,
+                      tax_lineage=args.tax_lineage,
+                      blacklist=args.blacklist, vote_mode=args.vote_mode,
+                      majority_thr=args.majority)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_easy_taxonomy(args):
+    from .tax.taxworkflow import easy_taxonomy
+    easy_taxonomy(args.query_fasta, args.target_db, args.out_prefix,
+                  args.tmp, sensitivity=args.s, evalue=args.e,
+                  lca_mode=args.lca_mode, lca_ranks=args.lca_ranks,
+                  tax_lineage=args.tax_lineage, majority_thr=args.majority,
+                  vote_mode=args.vote_mode)
+    print(f"wrote {args.out_prefix}_lca.tsv/_report/_tophit_report/"
+          "_tophit_aln")
+    return 0
+
+
+def cmd_lcaalign(args):
+    from .search.lcaalign import lcaalign_db
+    lcaalign_db(args.query_db, args.target_db, args.result_db, args.out_db,
+                evalue=args.e, max_accept=args.max_accept,
+                max_rejected=args.max_rejected, cov=args.c,
+                cov_mode=args.cov_mode, seq_id_thr=args.min_seq_id)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_summarizealis(args):
+    from .tax.taxworkflow import summarizealis_db
+    summarizealis_db(args.in_db, args.out_db)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="metaeuk-tpu",
@@ -1406,6 +1452,54 @@ def main(argv=None):
         tp.add_argument("--threads", type=int, default=1)
         tp.add_argument("-v", type=int, default=3)
         tp.set_defaults(fn=cmd_taxcmd, tool=tool)
+
+    for tool, fn in (("taxonomy", cmd_taxonomy),
+                     ("easy-taxonomy", cmd_easy_taxonomy)):
+        tx = sub.add_parser(tool, help=f"{tool} workflow")
+        if tool == "taxonomy":
+            tx.add_argument("query_db")
+            tx.add_argument("target_db")
+            tx.add_argument("out_db")
+        else:
+            tx.add_argument("query_fasta")
+            tx.add_argument("target_db")
+            tx.add_argument("out_prefix")
+        tx.add_argument("tmp")
+        tx.add_argument("-s", type=float, default=2.0)
+        tx.add_argument("-e", type=float, default=1.0)
+        tx.add_argument("--max-accept", type=int, default=30)
+        tx.add_argument("--max-rejected", type=int, default=5)
+        tx.add_argument("--max-seqs", type=int, default=300)
+        tx.add_argument("--lca-mode", type=int, default=3,
+                        help="3 approx-2bLCA, 4 top-hit")
+        tx.add_argument("--tax-output-mode", type=int, default=0)
+        tx.add_argument("--lca-ranks", type=str, default="")
+        tx.add_argument("--tax-lineage", type=int, default=0)
+        tx.add_argument("--blacklist", type=str, default=None)
+        tx.add_argument("--vote-mode", type=int, default=1)
+        tx.add_argument("--majority", type=float, default=0.5)
+        tx.add_argument("--threads", type=int, default=1)
+        tx.add_argument("-v", type=int, default=3)
+        tx.set_defaults(fn=fn)
+
+    la = sub.add_parser("lcaalign", help="accelerated 2bLCA alignment")
+    la.add_argument("query_db")
+    la.add_argument("target_db")
+    la.add_argument("result_db")
+    la.add_argument("out_db")
+    la.add_argument("-e", type=float, default=1e-3)
+    la.add_argument("--max-accept", type=int, default=2 ** 31 - 1)
+    la.add_argument("--max-rejected", type=int, default=2 ** 31 - 1)
+    la.add_argument("-c", type=float, default=0.0)
+    la.add_argument("--cov-mode", type=int, default=0)
+    la.add_argument("--min-seq-id", type=float, default=0.0)
+    la.set_defaults(fn=cmd_lcaalign)
+
+    sa = sub.add_parser("summarizealis",
+                        help="per-query alignment summary stats")
+    sa.add_argument("in_db")
+    sa.add_argument("out_db")
+    sa.set_defaults(fn=cmd_summarizealis)
 
     vs = sub.add_parser("version", help="print version")
     vs.set_defaults(fn=cmd_version)

@@ -217,3 +217,34 @@ rm -f /tmp/interop_ptax* /tmp/interop_res*
 rm -rf /tmp/interop_tmp
 
 echo "tax goldens written to $OUT"
+
+# --- taxonomy / easy-taxonomy workflows + lcaalign + summarizealis
+$REF createdb $DATA/queries_lin.faa "$TMP/qdb" --shuffle 0 $V
+$REF taxonomy "$TMP/qdb" "$TMP/ptax" "$TMP/taxwf" "$TMP/taxwf_tmp" $T $V
+for s in "" .index .dbtype; do cp "$TMP/taxwf$s" "$OUT/taxwf$s"; done
+FIRST=$(find "$TMP/taxwf_tmp" -name "first" | head -1)
+for s in "" .index .dbtype; do cp "$FIRST$s" "$OUT/taxwf_first$s"; done
+PREF=$(find "$TMP/taxwf_tmp" -path "*tmp_hsp1*" -name "pref*" ! -name "*.index" ! -name "*.dbtype" | head -1)
+if [ -n "$PREF" ]; then
+  for s in "" .index .dbtype; do cp "$PREF$s" "$OUT/taxwf_pref$s" 2>/dev/null || true; done
+fi
+$REF taxonomy "$TMP/qdb" "$TMP/ptax" "$TMP/taxth" "$TMP/taxth_tmp" $T $V \
+    --lca-mode 4 --tax-output-mode 2
+for s in "" .index .dbtype; do
+  cp "$TMP/taxth$s" "$OUT/taxth$s"
+  cp "$TMP/taxth_aln$s" "$OUT/taxth_aln$s"
+done
+$REF easy-taxonomy $DATA/queries_lin.faa "$TMP/ptax" "$TMP/easytax" \
+    "$TMP/easytax_tmp" $T $V
+for f in _lca.tsv _report _tophit_report _tophit_aln; do
+  cp "$TMP/easytax$f" "$OUT/easytax$f"
+done
+$REF summarizealis "$TMP/res" "$TMP/sumali" $T $V
+for s in "" .index .dbtype; do cp "$TMP/sumali$s" "$OUT/sumali$s"; done
+for s in "" .index .dbtype; do
+  cp "tests/golden/utils/selfres$s" "$TMP/selfres$s"
+done
+$REF summarizealis "$TMP/selfres" "$TMP/sumali_self" $T $V
+for s in "" .index .dbtype; do
+  cp "$TMP/sumali_self$s" "$OUT/sumali_self$s"
+done
