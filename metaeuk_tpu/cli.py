@@ -1028,6 +1028,52 @@ def cmd_easy_taxonomy(args):
     return 0
 
 
+def cmd_rbh(args):
+    from .search.searchdb import rbh_db
+    rbh_db(args.query_db, args.target_db, args.out_db, args.tmp,
+           sensitivity=args.s, evalue=args.e, cov=args.c,
+           cov_mode=args.cov_mode, min_seq_id=args.min_seq_id,
+           max_seqs=args.max_seqs)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_map(args):
+    from .search.searchdb import map_db
+    map_db(args.query_db, args.target_db, args.out_db, args.tmp,
+           evalue=args.e, min_seq_id=args.min_seq_id, cov=args.c,
+           cov_mode=args.cov_mode, max_seqs=args.max_seqs)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_easy_search(args):
+    from .search.searchdb import easy_search
+    easy_search(args.query, args.target, args.out_m8, args.tmp,
+                sensitivity=args.s, evalue=args.e, max_seqs=args.max_seqs,
+                min_seq_id=args.min_seq_id, cov=args.c,
+                cov_mode=args.cov_mode,
+                greedy_best_hits=args.greedy_best_hits)
+    print(f"wrote {args.out_m8}")
+    return 0
+
+
+def cmd_easy_rbh(args):
+    from .search.searchdb import easy_rbh
+    easy_rbh(args.query, args.target, args.out_m8, args.tmp,
+             sensitivity=args.s, evalue=args.e, cov=args.c,
+             cov_mode=args.cov_mode, min_seq_id=args.min_seq_id)
+    print(f"wrote {args.out_m8}")
+    return 0
+
+
+def cmd_result2rbh(args):
+    from .search.searchdb import result2rbh_db
+    result2rbh_db(args.in_db, args.out_db)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_lcaalign(args):
     from .search.lcaalign import lcaalign_db
     lcaalign_db(args.query_db, args.target_db, args.result_db, args.out_db,
@@ -1481,6 +1527,51 @@ def main(argv=None):
         tx.add_argument("--threads", type=int, default=1)
         tx.add_argument("-v", type=int, default=3)
         tx.set_defaults(fn=fn)
+
+    for tool, fn in (("rbh", cmd_rbh), ("map", cmd_map)):
+        rp = sub.add_parser(tool, help=f"{tool} workflow")
+        rp.add_argument("query_db")
+        rp.add_argument("target_db")
+        rp.add_argument("out_db")
+        rp.add_argument("tmp")
+        rp.add_argument("-s", type=float, default=5.7 if tool == "rbh"
+                        else 2.0)
+        rp.add_argument("-e", type=float, default=1e-3)
+        rp.add_argument("-c", type=float,
+                        default=0.0 if tool == "rbh" else 0.95)
+        rp.add_argument("--cov-mode", type=int,
+                        default=0 if tool == "rbh" else 2)
+        rp.add_argument("--min-seq-id", type=float,
+                        default=0.0 if tool == "rbh" else 0.9)
+        rp.add_argument("--max-seqs", type=int, default=300)
+        rp.add_argument("--threads", type=int, default=1)
+        rp.add_argument("-v", type=int, default=3)
+        rp.set_defaults(fn=fn)
+
+    for tool, fn in (("easy-search", cmd_easy_search),
+                     ("easy-rbh", cmd_easy_rbh)):
+        ep = sub.add_parser(tool, help=f"{tool} workflow (FASTA in, m8 out)")
+        ep.add_argument("query", help="FASTA or MMseqs DB")
+        ep.add_argument("target", help="FASTA or MMseqs DB")
+        ep.add_argument("out_m8")
+        ep.add_argument("tmp")
+        ep.add_argument("-s", type=float, default=5.7)
+        ep.add_argument("-e", type=float, default=1e-3)
+        ep.add_argument("-c", type=float, default=0.0)
+        ep.add_argument("--cov-mode", type=int, default=0)
+        ep.add_argument("--min-seq-id", type=float, default=0.0)
+        if tool == "easy-search":
+            ep.add_argument("--max-seqs", type=int, default=300)
+            ep.add_argument("--greedy-best-hits", action="store_true")
+        ep.add_argument("--threads", type=int, default=1)
+        ep.add_argument("-v", type=int, default=3)
+        ep.set_defaults(fn=fn)
+
+    r2r = sub.add_parser("result2rbh", help="RBH pairs from a merged "
+                         "sorted best-hit DB")
+    r2r.add_argument("in_db")
+    r2r.add_argument("out_db")
+    r2r.set_defaults(fn=cmd_result2rbh)
 
     la = sub.add_parser("lcaalign", help="accelerated 2bLCA alignment")
     la.add_argument("query_db")

@@ -83,3 +83,55 @@ def hit_to_m8_line(hit, q_acc, t_acc):
             f"{int(hit['q_start']) + 1}\t{int(hit['q_end']) + 1}\t"
             f"{int(hit['t_start']) + 1}\t{int(hit['t_end']) + 1}\t"
             f"{'%.3E' % hit['evalue']}\t{int(hit['bit_score'])}\n")
+
+
+def blast_tab_line(r, q_acc, t_acc):
+    """One default-format convertalis row (convertalignments.cpp:405-460)
+    from a parsed alignment record: exact alnlen/mismatch/gapopen from the
+    backtrace when present, the documented estimate otherwise (adjusted
+    -1 starts, Matcher.cpp:231-234)."""
+    import re as _re
+    if r.get("backtrace"):
+        aln_len = match_count = gap_open = 0
+        for cnt, op in _re.findall(r"(\d+)([MID])", r["backtrace"]):
+            n = int(cnt)
+            aln_len += n
+            if op == "M":
+                match_count += n
+            else:
+                gap_open += 1
+        identical = int(np.float32(r["seqId"]) * np.float32(aln_len) +
+                        np.float32(0.5))
+        mismatch = match_count - identical
+    else:
+        adj_q = 0 if r["qStart"] == -1 else r["qStart"]
+        adj_d = 0 if r["dbStart"] == -1 else r["dbStart"]
+        aln_len = max(abs(r["qEnd"] - adj_q), abs(r["dbEnd"] - adj_d)) + 1
+        best = np.float32(min(abs(r["qEnd"] - adj_q),
+                              abs(r["dbEnd"] - adj_d)))
+        mismatch = int(best * (np.float32(1.0) - np.float32(r["seqId"])) +
+                       np.float32(0.5))
+        gap_open = 0
+    return (f"{q_acc}\t{t_acc}\t{r['seqId']:.3f}\t{aln_len}\t{mismatch}\t"
+            f"{gap_open}\t{r['qStart'] + 1}\t{r['qEnd'] + 1}\t"
+            f"{r['dbStart'] + 1}\t{r['dbEnd'] + 1}\t"
+            f"{'%.3E' % r['eval']}\t{r['score']}\n")
+
+
+def write_blast_tab(query_db, target_db, aln_db, out_path):
+    """convertalis default format over a whole alignment DB."""
+    from ..io import mmseqsdb
+
+    qdb = mmseqsdb.read_seqdb(query_db)
+    tdb = mmseqsdb.read_seqdb(target_db)
+    q_acc = {int(k): qdb.accession(i) for i, k in enumerate(qdb.keys)}
+    t_acc = {int(k): tdb.accession(i) for i, k in enumerate(tdb.keys)}
+    from .dbtools2 import _lines, parse_aln_record
+    with open(out_path, "w") as f:
+        for key, payload in mmseqsdb.read_db(aln_db):
+            for ln in _lines(payload):
+                r = parse_aln_record(ln)
+                f.write(blast_tab_line(r, q_acc.get(key, str(key)),
+                                       t_acc.get(r["dbKey"],
+                                                 str(r["dbKey"]))))
+    return out_path

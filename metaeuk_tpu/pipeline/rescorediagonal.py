@@ -188,8 +188,8 @@ def rescorediagonal(query_db, target_db, result_db, out_db, rescore_mode=0,
                            ts_, te, len(t), bt)
             has_cov = ((qcov >= cov_thr and tcov >= cov_thr)
                        if cov_mode == 0 else
-                       (qcov >= cov_thr) if cov_mode == 1 else
-                       (tcov >= cov_thr) if cov_mode == 2 else True)
+                       (tcov >= cov_thr) if cov_mode == 1 else
+                       (qcov >= cov_thr) if cov_mode == 2 else True)
             eps = np.finfo(np.float32).eps
             ok = (aln_len >= aln_len_thr and has_cov
                   and seq_id >= seq_id_thr - eps and evalue <= eval_thr)

@@ -46,7 +46,7 @@ def _pairs_from_result_db(result_db, qkeys, t_by_key):
 def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
              add_backtrace=False, min_seq_id=0.0, cov=0.0, cov_mode=0,
              min_aln_len=0, max_accept=None, comp_bias_corr=True,
-             realign=False, params=None):
+             realign=False, alignment_mode=2, params=None):
     qdb = mmseqsdb.read_seqdb(query_db)
     tdb = mmseqsdb.read_seqdb(target_db)
     tkeys = [int(k) for k in tdb.keys]
@@ -75,6 +75,11 @@ def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
         hits, bts, sids = driver.realign(hits, qseqs)
     elif add_backtrace:
         bts, sids = driver.backtraces(hits, qseqs)
+    elif alignment_mode >= 3:
+        # SCORE_COV_SEQID: true identities from the traceback, but the
+        # backtrace column itself is not written (Alignment.cpp mode 3)
+        bts, sids = driver.backtraces(hits, qseqs)
+        bts = None
     mapped = hits.copy()
     if len(hits):
         mapped["target_idx"] = np.asarray(tkeys, np.int64)[hits["target_idx"]]

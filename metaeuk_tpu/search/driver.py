@@ -252,10 +252,10 @@ class SearchDriver:
             / np.maximum(hits["q_len"], 1)
         t_cov = (np.abs(hits["t_end"] - hits["t_start"]) + 1) \
             / np.maximum(hits["t_len"], 1)
-        if p.cov_mode == 1:
-            has_cov = q_cov >= p.cov_thr
-        elif p.cov_mode == 2:
+        if p.cov_mode == 1:  # COV_MODE_TARGET (Util.cpp:496-511)
             has_cov = t_cov >= p.cov_thr
+        elif p.cov_mode == 2:  # COV_MODE_QUERY
+            has_cov = q_cov >= p.cov_thr
         else:
             has_cov = (q_cov >= p.cov_thr) & (t_cov >= p.cov_thr)
         ok = (aligned
@@ -336,10 +336,10 @@ class SearchDriver:
                 continue
             q_cov = (abs(int(qe2[i]) - int(qs2[i])) + 1) / max(int(ol[i]), 1)
             t_cov = (abs(int(te2[i]) - int(ts2[i])) + 1) / max(int(tl[i]), 1)
-            if cov_mode == 1:
-                cov_ok = q_cov >= realign_cov
-            elif cov_mode == 2:
+            if cov_mode == 1:  # COV_MODE_TARGET
                 cov_ok = t_cov >= realign_cov
+            elif cov_mode == 2:  # COV_MODE_QUERY
+                cov_ok = q_cov >= realign_cov
             else:
                 cov_ok = q_cov >= realign_cov and t_cov >= realign_cov
             if not cov_ok:

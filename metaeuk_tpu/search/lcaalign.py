@@ -36,10 +36,10 @@ def can_be_covered(cov_thr, cov_mode, q_len, t_len):
     q, t = float(q_len), float(t_len)
     if cov_mode == 0:
         return q / t >= cov_thr and t / q >= cov_thr
-    if cov_mode == 1:
-        return t / q >= cov_thr
-    if cov_mode == 2:
+    if cov_mode == 1:  # COV_MODE_TARGET
         return q / t >= cov_thr
+    if cov_mode == 2:  # COV_MODE_QUERY
+        return t / q >= cov_thr
     if cov_mode == 3:
         return cov_thr <= t / q <= 1.0
     if cov_mode == 4:
@@ -53,10 +53,10 @@ def has_coverage(cov_thr, cov_mode, q_cov, t_cov):
     """Util::hasCoverage (Util.cpp:496-511)."""
     if cov_mode == 0:
         return q_cov >= cov_thr and t_cov >= cov_thr
-    if cov_mode == 1:
-        return q_cov >= cov_thr
-    if cov_mode == 2:
+    if cov_mode == 1:  # COV_MODE_TARGET
         return t_cov >= cov_thr
+    if cov_mode == 2:  # COV_MODE_QUERY
+        return q_cov >= cov_thr
     return True
 
 

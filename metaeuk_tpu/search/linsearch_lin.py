@@ -167,7 +167,7 @@ def linsearch_workflow(query_db, target_db, out_db, tmp_dir, evalue=0.001,
     rescorediagonal(target_db, query_db, pref, reverse_ungap,
                     rescore_mode=2, eval_thr=evalue,
                     cov_thr=max(cov, 0.9),
-                    cov_mode=2 if cov_mode is None else cov_mode,
+                    cov_mode=1 if cov_mode is None else cov_mode,
                     seq_id_thr=min_seq_id)
     pref_filter = os.path.join(tmp_dir, "pref_filter")
     filterdb(pref, pref_filter, filter_file=reverse_ungap,

@@ -97,10 +97,10 @@ class ProfileQueryAligner:
             / np.maximum(hits["q_len"], 1)
         t_cov = (np.abs(hits["t_end"] - hits["t_start"]) + 1) \
             / np.maximum(hits["t_len"], 1)
-        if p.cov_mode == 1:
-            has_cov = q_cov >= p.cov_thr
-        elif p.cov_mode == 2:
+        if p.cov_mode == 1:  # COV_MODE_TARGET (Util.cpp:496-511)
             has_cov = t_cov >= p.cov_thr
+        elif p.cov_mode == 2:  # COV_MODE_QUERY
+            has_cov = q_cov >= p.cov_thr
         else:
             has_cov = (q_cov >= p.cov_thr) & (t_cov >= p.cov_thr)
         ok = (aligned & (hits["evalue"] <= thr) & has_cov

@@ -1,0 +1,209 @@
+"""DB->DB search workflows: plain search, rbh, map, easy-search/easy-rbh.
+
+Ports of lib/mmseqs/src/workflow/{Search,Rbh,Map,EasySearch,EasyRbh}.cpp
+and data/workflow/{blastp,rbh,map,easysearch}.sh at their workflow
+defaults (single sensitivity step). The compute path is the TPU k-mer
+prefilter + Pallas SW align engines; this module is the orchestration
+plus the text/DB plumbing around them.
+
+result2rbh: lib/mmseqs/src/util/result2rbh.cpp — over the merged,
+bitscore-sorted A->B + swapped B->A best-hit DB, keep the B->A lines
+whose bitscore equals the first (A->B) line's bitscore.
+"""
+
+import os
+
+import numpy as np
+
+from ..io import mmseqsdb
+
+
+def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
+                 max_seqs=300, min_ungapped_score=15,
+                 comp_bias_correction=True, mask_targets=True):
+    """The k-mer prefilter stage between two sequence-DB paths (the
+    byte-parity engine from search/prefilter_kmer.py)."""
+    from ..data.submat import AA2NUM
+    from ..search.prefilter_kmer import KmerPrefilter, hits_to_pref_lines
+
+    def encs(path):
+        db = mmseqsdb.read_seqdb(path)
+        return [AA2NUM[np.asarray(db.seq(i), np.uint8)]
+                for i in range(len(db))], db
+
+    same = str(query_db) == str(target_db)
+    tencs, tdb = encs(target_db)
+    qencs, qdb = (tencs, tdb) if same else encs(query_db)
+    pf = KmerPrefilter(tencs, sensitivity=sensitivity,
+                       max_res_list_len=max_seqs,
+                       min_diag_score=min_ungapped_score,
+                       mask_targets=mask_targets,
+                       comp_bias_correction=comp_bias_correction)
+    entries = []
+    for qi, q in enumerate(qencs):
+        ids, sc, dg = pf.match(q, identity_id=qi if same else None)
+        entries.append((int(qdb.keys[qi]),
+                        hits_to_pref_lines(ids, sc, dg).encode()))
+    mmseqsdb.write_db(out_db, entries, mmseqsdb.DBTYPE_PREFILTER_RES)
+    return out_db
+
+
+def search_db(query_db, target_db, out_db, tmp_dir, sensitivity=5.7,
+              evalue=1e-3, max_seqs=300, max_accept=None, min_seq_id=0.0,
+              cov=0.0, cov_mode=0, comp_bias_correction=True,
+              mask_targets=True, add_backtrace=False, alignment_mode=2,
+              params=None):
+    """blastp.sh single-step: prefilter -> align (Search.cpp defaults
+    -s 5.7 -e 1e-3 --max-seqs 300, checkpoint/resume via tmp_dir)."""
+    from .align_module import align_db
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    pref = os.path.join(tmp_dir, "pref_0")
+    if not os.path.exists(f"{pref}.dbtype"):
+        prefilter_db(query_db, target_db, pref, sensitivity=sensitivity,
+                     max_seqs=max_seqs, mask_targets=mask_targets,
+                     comp_bias_correction=comp_bias_correction)
+    if not os.path.exists(f"{out_db}.dbtype"):
+        align_db(query_db, target_db, pref, out_db, evalue=evalue,
+                 min_seq_id=min_seq_id, cov=cov, cov_mode=cov_mode,
+                 max_accept=max_accept, add_backtrace=add_backtrace,
+                 alignment_mode=alignment_mode,
+                 comp_bias_corr=comp_bias_correction, params=params)
+    return out_db
+
+
+def map_db(query_db, target_db, out_db, tmp_dir, evalue=1e-3,
+           min_seq_id=0.9, cov=0.95, cov_mode=2, max_seqs=300):
+    """mmseqs map (Map.cpp setMapWorkflowDefaults: -s 2, no masking, no
+    comp-bias, ungapped align module = rescorediagonal --rescore-mode 2
+    with cov 0.95/cov-mode 2/seq-id 0.9, sorted results)."""
+    from ..pipeline.rescorediagonal import rescorediagonal
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    pref = os.path.join(tmp_dir, "pref_0")
+    if not os.path.exists(f"{pref}.dbtype"):
+        prefilter_db(query_db, target_db, pref, sensitivity=2.0,
+                     max_seqs=max_seqs, mask_targets=False,
+                     comp_bias_correction=False)
+    if not os.path.exists(f"{out_db}.dbtype"):
+        rescorediagonal(query_db, target_db, pref, out_db, rescore_mode=2,
+                        eval_thr=evalue, cov_thr=cov, cov_mode=cov_mode,
+                        seq_id_thr=min_seq_id, sort_results=1)
+    return out_db
+
+
+def result2rbh_db(in_db, out_db, compressed=False):
+    """result2rbh.cpp: first line per entry is the best A->B hit; retain
+    the following (B->A) lines while their bitscore equals it."""
+    out = []
+    for key, payload in mmseqsdb.read_db(in_db):
+        lines = payload.decode().splitlines(keepends=True)
+        best = 0
+        kept = []
+        for ln in lines:
+            if not ln.strip():
+                continue
+            score = int(ln.split("\t")[1])
+            if best == 0:  # the A->B line sets the bar
+                best = score
+            elif score == best:
+                kept.append(ln)
+            else:  # sorted by decreasing bitscore: done
+                break
+        out.append((key, "".join(kept).encode()))
+    mmseqsdb.write_db(out_db, out, mmseqsdb.read_dbtype(in_db),
+                      compressed=compressed)
+    return out_db
+
+
+def rbh_db(a_db, b_db, out_db, tmp_dir, sensitivity=5.7, evalue=1e-3,
+           cov=0.0, cov_mode=0, min_seq_id=0.0, max_seqs=300):
+    """rbh.sh: search A->B and B->A (coverage mode swapped, Rbh.cpp:53),
+    best-hit extraction both ways, swap, merge, sort by bitscore,
+    result2rbh. setRbhDefaults: no comp-bias, no masking."""
+    from ..pipeline.dbtools import mergedbs
+    from ..pipeline.dbtools2 import swapresults
+    from ..pipeline.filterdb import filterdb
+
+    swap_cov = {0: 0, 1: 2, 2: 1, 3: 4, 4: 3, 5: 5}[cov_mode]
+    os.makedirs(tmp_dir, exist_ok=True)
+    # setRbhDefaults (Rbh.cpp:10-17): no comp-bias, no masking, true
+    # sequence identities (alignment mode 3)
+    kw = dict(sensitivity=sensitivity, evalue=evalue, max_seqs=max_seqs,
+              min_seq_id=min_seq_id, comp_bias_correction=False,
+              mask_targets=False, alignment_mode=3)
+    res_ab = os.path.join(tmp_dir, "resAB")
+    if not os.path.exists(f"{res_ab}.dbtype"):
+        search_db(a_db, b_db, res_ab, os.path.join(tmp_dir, "tempAB"),
+                  cov=cov, cov_mode=cov_mode, **kw)
+    res_ba = os.path.join(tmp_dir, "resBA")
+    if not os.path.exists(f"{res_ba}.dbtype"):
+        search_db(b_db, a_db, res_ba, os.path.join(tmp_dir, "tempBA"),
+                  cov=cov, cov_mode=swap_cov, **kw)
+
+    a_best_b = os.path.join(tmp_dir, "resA_best_B")
+    filterdb(res_ab, a_best_b, extract_lines=1)
+    b_best_a = os.path.join(tmp_dir, "resB_best_A")
+    filterdb(res_ba, b_best_a, beats_first=True, filter_column=2,
+             comp_operator="e")
+    b_best_a_swap = os.path.join(tmp_dir, "resB_best_A_swap")
+    swapresults(b_db, a_db, b_best_a, b_best_a_swap, eval_thr=1e8)
+    merged = os.path.join(tmp_dir, "res_best_merged")
+    mergedbs(a_best_b, merged, [a_best_b, b_best_a_swap])
+    merged_sorted = os.path.join(tmp_dir, "res_best_merged_sorted")
+    filterdb(merged, merged_sorted, sort_entries=2, filter_column=2)
+    result2rbh_db(merged_sorted, out_db)
+    return out_db
+
+
+def _ensure_seqdb(path_or_fasta, tmp_db_path):
+    """createdb the input unless it already is an MMseqs DB."""
+    if os.path.exists(f"{path_or_fasta}.dbtype"):
+        return path_or_fasta
+    if not os.path.exists(f"{tmp_db_path}.dbtype"):
+        from ..io.seqdb import DBTYPE_AA, SeqDB
+        mmseqsdb.write_seqdb(tmp_db_path,
+                             SeqDB.from_fasta(path_or_fasta, DBTYPE_AA))
+    return tmp_db_path
+
+
+def easy_search(query, target, out_m8, tmp_dir, sensitivity=5.7,
+                evalue=1e-3, max_seqs=300, min_seq_id=0.0, cov=0.0,
+                cov_mode=0, greedy_best_hits=False, search_fn=None):
+    """easysearch.sh: createdb -> search -> [summarizeresult] ->
+    convertalis (default BLAST-tab). --greedy-best-hits forces
+    backtraces (EasySearch.cpp:73-81)."""
+    from ..pipeline.alnformat import write_blast_tab
+    from ..pipeline.dbtools2 import summarizeresult
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    q_db = _ensure_seqdb(query, os.path.join(tmp_dir, "query"))
+    t_db = _ensure_seqdb(target, os.path.join(tmp_dir, "target"))
+    result = os.path.join(tmp_dir, "result")
+    if search_fn is not None:
+        search_fn(q_db, t_db, result, os.path.join(tmp_dir, "search_tmp"))
+    elif not os.path.exists(f"{result}.dbtype"):
+        # setEasySearchDefaults: alignment mode 3 (true seq ids)
+        search_db(q_db, t_db, result, os.path.join(tmp_dir, "search_tmp"),
+                  sensitivity=sensitivity, evalue=evalue, max_seqs=max_seqs,
+                  min_seq_id=min_seq_id, cov=cov, cov_mode=cov_mode,
+                  add_backtrace=greedy_best_hits, alignment_mode=3)
+    intermediate = result
+    if greedy_best_hits:
+        # EasySearch.cpp:73-81 forces addBacktrace, which flows into
+        # SUMMARIZE_PAR -> summarizeresult keeps the backtrace column
+        best = os.path.join(tmp_dir, "result_best")
+        summarizeresult(result, best, add_backtrace=True)
+        intermediate = best
+    write_blast_tab(q_db, t_db, intermediate, out_m8)
+    return out_m8
+
+
+def easy_rbh(query, target, out_m8, tmp_dir, sensitivity=5.7, evalue=1e-3,
+             cov=0.0, cov_mode=0, min_seq_id=0.0):
+    """EasyRbh.cpp: createdb -> rbh -> convertalis."""
+    return easy_search(
+        query, target, out_m8, tmp_dir,
+        search_fn=lambda q, t, o, wt: rbh_db(
+            q, t, o, wt, sensitivity=sensitivity, evalue=evalue,
+            cov=cov, cov_mode=cov_mode, min_seq_id=min_seq_id))

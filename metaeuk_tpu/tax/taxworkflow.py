@@ -30,35 +30,6 @@ from ..io import mmseqsdb
 from ..params import Params
 
 
-def _prefilter_db(query_db, target_db, out_db, sensitivity=2.0,
-                  max_seqs=300, min_ungapped_score=15,
-                  comp_bias_correction=True):
-    """The k-mer prefilter stage (byte-parity engine from
-    search/prefilter_kmer.py) between two sequence-DB paths."""
-    from ..data.submat import AA2NUM
-    from ..search.prefilter_kmer import KmerPrefilter, hits_to_pref_lines
-
-    def encs(path):
-        db = mmseqsdb.read_seqdb(path)
-        return [AA2NUM[np.asarray(db.seq(i), np.uint8)]
-                for i in range(len(db))], db
-
-    same = str(query_db) == str(target_db)
-    tencs, tdb = encs(target_db)
-    qencs, qdb = (tencs, tdb) if same else encs(query_db)
-    pf = KmerPrefilter(tencs, sensitivity=sensitivity,
-                       max_res_list_len=max_seqs,
-                       min_diag_score=min_ungapped_score,
-                       comp_bias_correction=comp_bias_correction)
-    entries = []
-    for qi, q in enumerate(qencs):
-        ids, sc, dg = pf.match(q, identity_id=qi if same else None)
-        entries.append((int(qdb.keys[qi]),
-                        hits_to_pref_lines(ids, sc, dg).encode()))
-    mmseqsdb.write_db(out_db, entries, mmseqsdb.DBTYPE_PREFILTER_RES)
-    return out_db
-
-
 def taxonomy_workflow(query_db, target_db, out_db, tmp_dir,
                       lca_mode=3, tax_output_mode=0, sensitivity=2.0,
                       evalue=1.0, max_accept=30, max_rejected=5,
@@ -68,6 +39,7 @@ def taxonomy_workflow(query_db, target_db, out_db, tmp_dir,
     """mmseqs taxonomy (protein query). lca_mode: 3 approx-2bLCA
     (default), 4 top-hit."""
     from ..search.lcaalign import lcaalign_db, score_only_align_db
+    from ..search.searchdb import prefilter_db as _prefilter_db
     from . import mmtax
 
     os.makedirs(tmp_dir, exist_ok=True)
