@@ -338,27 +338,31 @@ def cmd_groupstoacc(args):
 
 
 def cmd_cluster(args):
-    """All-vs-all clustering (set-cover) -> cluster DB + TSV."""
-    from .io.seqdb import DBTYPE_AA
-    from .io import mmseqsdb
-    from .pipeline.cluster import cluster_db
-    from .pipeline.predict import load_sequence_input
+    """Cascaded clustering (Cluster.cpp / cascaded_clustering.sh)."""
+    import tempfile
+    from .pipeline.clusterwf import cluster_workflow
+    from .search.searchdb import _ensure_seqdb
 
-    p = _params_from_args(args) if hasattr(args, "metaeuk_eval") else Params()
-    db = load_sequence_input(args.seqs, DBTYPE_AA)
-    clusters = cluster_db(p, db, min_seq_id=args.min_seq_id,
-                          cov_thr=args.cov, evalue=args.cluster_eval)
-    entries = []
-    with open(f"{args.out_db}.tsv", "w") as f:
-        for rep in sorted(clusters):
-            members = clusters[rep]
-            payload = "".join(f"{int(db.keys[m])}\n" for m in members)
-            entries.append((int(db.keys[rep]), payload.encode()))
-            for m in members:
-                f.write(f"{db.accession(rep)}\t{db.accession(m)}\n")
-    mmseqsdb.write_db(args.out_db, entries, 6)  # DBTYPE_CLUSTER_RES
-    print(f"wrote {args.out_db} ({len(clusters)} clusters of {len(db)} seqs) "
-          f"+ {args.out_db}.tsv")
+    tmp = args.tmp or tempfile.mkdtemp(prefix="cluster")
+    seq_db = _ensure_seqdb(args.seqs, f"{tmp}/input")
+    cluster_workflow(seq_db, args.out_db, tmp,
+                     min_seq_id=args.min_seq_id, cov=args.cov,
+                     cov_mode=args.cov_mode, evalue=args.cluster_eval,
+                     sensitivity=args.s, steps=args.cluster_steps)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_easy_cluster(args):
+    from .pipeline.clusterwf import easy_cluster
+    easy_cluster(args.query, args.out_prefix, args.tmp,
+                 min_seq_id=args.min_seq_id, cov=args.c,
+                 cov_mode=args.cov_mode, evalue=args.e,
+                 use_linclust=args.use_linclust,
+                 linclust_min_seq_id=args.min_seq_id
+                 if args.min_seq_id else 0.9)
+    print(f"wrote {args.out_prefix}_cluster.tsv/_rep_seq.fasta/"
+          "_all_seqs.fasta")
     return 0
 
 
@@ -1159,15 +1163,36 @@ def main(argv=None):
     ga.add_argument("out_tsv")
     ga.set_defaults(fn=cmd_groupstoacc)
 
-    cl = sub.add_parser("cluster", help="all-vs-all set-cover clustering")
+    cl = sub.add_parser("cluster", help="cascaded clustering workflow")
     cl.add_argument("seqs", help="FASTA or MMseqs DB")
     cl.add_argument("out_db")
     cl.add_argument("tmp", nargs="?")
     cl.add_argument("--min-seq-id", type=float, default=0.0)
     cl.add_argument("-c", "--cov", type=float, default=0.8)
-    cl.add_argument("--cluster-eval", type=float, default=1e-3)
-    _add_predict_flags(cl)
+    cl.add_argument("--cov-mode", type=int, default=0)
+    cl.add_argument("-e", "--cluster-eval", type=float, default=1e-3)
+    cl.add_argument("-s", type=float, default=None,
+                    help="sensitivity (default: from --min-seq-id)")
+    cl.add_argument("--cluster-steps", type=int, default=None)
+    cl.add_argument("--threads", type=int, default=1)
+    cl.add_argument("-v", type=int, default=3)
     cl.set_defaults(fn=cmd_cluster)
+
+    for tool in ("easy-cluster", "easy-linclust"):
+        ec = sub.add_parser(tool, help=f"{tool}: FASTA -> cluster.tsv + "
+                            "rep/all FASTAs")
+        ec.add_argument("query", help="FASTA or MMseqs DB")
+        ec.add_argument("out_prefix")
+        ec.add_argument("tmp")
+        ec.add_argument("--min-seq-id", type=float,
+                        default=0.0 if tool == "easy-cluster" else 0.9)
+        ec.add_argument("-c", type=float, default=0.8)
+        ec.add_argument("--cov-mode", type=int, default=0)
+        ec.add_argument("-e", type=float, default=1e-3)
+        ec.add_argument("--threads", type=int, default=1)
+        ec.add_argument("-v", type=int, default=3)
+        ec.set_defaults(fn=cmd_easy_cluster,
+                        use_linclust=(tool == "easy-linclust"))
 
     mp = sub.add_parser("msa2profile", help="MSA DB/FASTA -> HMM-profile DB")
     mp.add_argument("msa_db")

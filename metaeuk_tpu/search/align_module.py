@@ -53,14 +53,27 @@ def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
     t_by_key = {k: i for i, k in enumerate(tkeys)}
     pairs, _ = _pairs_from_result_db(result_db, qdb.keys, t_by_key)
 
+    # with a backtrace or alignment mode >= 3 the --min-seq-id criterion
+    # applies to the traceback identity, not the estimate (initSWMode
+    # COV_SEQID + checkCriteria, Alignment.cpp:167-180,548-560)
+    need_true = (add_backtrace or alignment_mode >= 3) and not realign
     p = params or Params()
     p = dataclasses.replace(p, search_evalue_thr=evalue,
-                            seq_id_thr=min_seq_id, cov_thr=cov,
+                            seq_id_thr=0.0 if need_true else min_seq_id,
+                            cov_thr=cov,
                             cov_mode=cov_mode, aln_len_thr=min_aln_len,
                             comp_bias_correction=comp_bias_corr)
     driver = SearchDriver(p, tdb)
     qseqs = [qdb.seq_bytes(i) for i in range(len(qdb))]
     hits = driver.search(qseqs, pair_generator=pairs)
+    bts = sids = None
+    if need_true and len(hits):
+        bts, sids = driver.backtraces(hits, qseqs)
+        if min_seq_id > 0.0:
+            keep = np.asarray(sids, np.float32) >= np.float32(min_seq_id)
+            hits = hits[keep]
+            bts = [b for b, k in zip(bts, keep) if k]
+            sids = [s for s, k in zip(sids, keep) if k]
     if max_accept is not None and len(hits):
         keep = np.zeros(len(hits), bool)
         counts = {}
@@ -70,15 +83,14 @@ def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
                 counts[oi] = counts.get(oi, 0) + 1
                 keep[i] = True
         hits = hits[keep]
-    bts = sids = None
+        if bts is not None:
+            bts = [b for b, k in zip(bts, keep) if k]
+            sids = [s for s, k in zip(sids, keep) if k]
     if realign:
         hits, bts, sids = driver.realign(hits, qseqs)
-    elif add_backtrace:
-        bts, sids = driver.backtraces(hits, qseqs)
-    elif alignment_mode >= 3:
+    elif need_true and not add_backtrace:
         # SCORE_COV_SEQID: true identities from the traceback, but the
         # backtrace column itself is not written (Alignment.cpp mode 3)
-        bts, sids = driver.backtraces(hits, qseqs)
         bts = None
     mapped = hits.copy()
     if len(hits):

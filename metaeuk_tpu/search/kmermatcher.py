@@ -146,16 +146,46 @@ def _util_hash(arr):
     return h
 
 
-def _select_kmers(enc_red, k, kmers_per_seq, alph):
+# Spaced seed patterns (data tables from lib/mmseqs/src/commons/
+# Sequence.h:31-71; 1 = informative position).
+SPACED_SEEDS = {
+    10: "110101101011011",
+    11: "11010110011011011",
+    12: "1101011001101101011",
+    13: "11010111001101101011",
+    14: "110101110011011011011",
+    15: "11101011110110001011011",
+    16: "1110111001010010110011111",
+    17: "11101110010100101100111111",
+    18: "1110100111011001010011101111",
+    19: "11101001110110010100111011111",
+    20: "111010110101100110011101011111",
+    21: "11110110101011011101010011001111",
+    22: "111101101010110111010100110011111",
+    23: "1111011010101101110101100110011111",
+    24: "111101101010110111010100011100111111",
+}
+
+
+def _select_kmers(enc_red, k, kmers_per_seq, alph, spaced=False):
     """Per-sequence k-mer selection (kmermatcher.cpp:127-208, 240-333):
-    returns list of (kmer_idx, pos) in extraction order."""
+    returns list of (kmer_idx, pos) in extraction order. spaced: extract
+    over the Sequence.h spaced seed pattern for this k."""
     L = len(enc_red)
     x_idx = alph - 1
     sel = []
-    if L < k:
+    span = k
+    if spaced:
+        pattern = SPACED_SEEDS[k]
+        span = len(pattern)
+        cols = np.flatnonzero(np.frombuffer(pattern.encode(), np.uint8)
+                              == ord("1"))
+    if L < span:
         return sel, 0
     win = np.lib.stride_tricks.sliding_window_view(
-        np.asarray(enc_red, np.int64), k)
+        np.asarray(enc_red, np.int64), span)
+    if spaced:
+        win = win[:, cols]
     valid = (win != x_idx).all(axis=1)
     powers = ((alph - 1) ** np.arange(k)).astype(object)
     # indices can exceed 2^63 for large k: compute in python ints exactly
@@ -206,7 +236,8 @@ def _select_kmers(enc_red, k, kmers_per_seq, alph):
 
 
 def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
-                   n_alphabet=None, kmer_size=None, seq_id_thr=0.0):
+                   cov_mode=0, n_alphabet=None, kmer_size=None,
+                   seq_id_thr=0.0, spaced=False):
     """k/alphabet auto-selection follows setKmerLengthAndAlphabet
     (kmermatcher.cpp:1277-1293): seqIdThr>=0.99 -> k=14/alph 21;
     >=0.9 -> k=14/alph 13; else k=max(10, ln(res)/ln(8.7))/alph 13."""
@@ -234,7 +265,8 @@ def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
         key = int(db.keys[i])
         enc = aa2red[np.asarray(db.seq(i), np.uint8)]
         L = len(enc)
-        sel, _n = _select_kmers(enc, k, kmers_per_seq, n_alphabet)
+        sel, _n = _select_kmers(enc, k, kmers_per_seq, n_alphabet,
+                                spaced=spaced)
         seq_hash = int(xxh64_u64(_util_hash(enc)))
         entries.append((seq_hash, key, 0, L))
         for kidx, pos in sel:
@@ -258,22 +290,23 @@ def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
             rep_pos = entries[i][2]
             for kmer, sid, pos, slen in entries[i:j]:
                 diagonal = rep_pos - pos
-                if (float(rep_len) / slen >= cov_thr
-                        and float(slen) / rep_len >= cov_thr):
+                from .lcaalign import can_be_covered
+                if can_be_covered(cov_thr, cov_mode, rep_len, slen):
                     out_rows.append((rep_id, sid, diagonal, slen))
         i = j
 
-    # --- sort by (rep, id, diag) + write ---
+    # --- sort by (rep, id, diag) + write (writeKmerMatcherResult) ---
     out_rows.sort(key=lambda r: (r[0], r[1], r[2]))
     rep_payloads = []
-    covered = set()
+    write_sets = 0   # NEVER reset per group (kmermatcher.cpp:908-915):
+    # after the first member write, later self-only rep groups are
+    # emitted as header-only entries instead of singleton-pass lines
     i = 0
     n = len(out_rows)
     while i < n:
         rep = out_rows[i][0]
         j = i
         lines = [f"{rep}\t0\t0\n"]
-        wrote = 0
         while j < n and out_rows[j][0] == rep:
             tid = out_rows[j][1]
             e = j
@@ -293,17 +326,13 @@ def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
                 top += 1
             if tid != rep:
                 lines.append(f"{tid}\t{top}\t{best_diag}\n")
-                wrote += 1
+                write_sets += 1
             j = e
-        if wrote > 0:
+        if write_sets > 0:
             rep_payloads.append((rep, "".join(lines).encode()))
-            covered.add(rep)
-            for r in out_rows[i:j]:
-                covered.add(r[1])
         i = j
-    # covered flags only reps that actually wrote + their members?  The
-    # reference marks repSequence[rep]=true only; members with no own rep
-    # entry get singleton lines
+    # the reference marks repSequence[rep]=true only for written reps;
+    # everything else (members included) gets a singleton self-line
     covered = {p[0] for p in rep_payloads}
     singles = [(int(kk), f"{int(kk)}\t0\t0\n".encode())
                for kk in db.keys if int(kk) not in covered]
@@ -313,7 +342,8 @@ def kmermatcher_db(seq_db, out_db, kmers_per_seq=20, cov_thr=0.8,
 
 
 def linclust_exact(seq_db, out_db, tmp_dir, min_seq_id=0.9, cov=0.8,
-                   cov_mode=0):
+                   cov_mode=0, alignment_mode=2, spaced=False,
+                   comp_bias=True):
     """The full linclust workflow (data/workflow/linclust.sh), chaining
     the byte-parity components: kmermatcher -> Hamming rescore ->
     set-cover pre-clustering -> representative subsetting -> filtered
@@ -334,7 +364,8 @@ def linclust_exact(seq_db, out_db, tmp_dir, min_seq_id=0.9, cov=0.8,
     pref = str(t / "pref")
     # linclust does NOT apply kmermatcher's setLinearFilterDefault: the
     # global --kmer-per-seq default 21 applies (Parameters.cpp:2627)
-    kmermatcher_db(seq_db, pref, kmers_per_seq=21, seq_id_thr=min_seq_id)
+    kmermatcher_db(seq_db, pref, kmers_per_seq=21, cov_thr=cov,
+                   cov_mode=cov_mode, seq_id_thr=min_seq_id, spaced=spaced)
     rescorediagonal(seq_db, seq_db, pref, str(t / "pref_rescore1"),
                     rescore_mode=0, seq_id_thr=max(0.5, min_seq_id),
                     cov_thr=max(0.5, cov), cov_mode=cov_mode)
@@ -373,17 +404,30 @@ def linclust_exact(seq_db, out_db, tmp_dir, min_seq_id=0.9, cov=0.8,
                 pairs.append((qi, idx_of_key[int(ln.split("\t")[0])]))
     import numpy as np
     p = Params(search_evalue_thr=1e-3, cov_thr=cov, cov_mode=cov_mode,
-               seq_id_thr=min_seq_id, aln_len_thr=0,
+               seq_id_thr=0.0 if alignment_mode >= 3 else min_seq_id,
+               aln_len_thr=0, comp_bias_correction=comp_bias,
                prefilter_mode="exhaustive")
     driver = SearchDriver(p, db)
     hits = driver.search(seqs, pair_generator=np.asarray(
         pairs, np.int64) if pairs else np.zeros((0, 2), np.int64))
+    sids = None
+    if alignment_mode >= 3 and len(hits):
+        # SCORE_COV_SEQID: true identities from the traceback (the
+        # backtrace column itself is not written); --min-seq-id applies
+        # to these, not the estimate (Alignment.cpp:167-180,548-560)
+        _bts, sids = driver.backtraces(hits, seqs)
+        if min_seq_id > 0.0:
+            keep = np.asarray(sids, np.float32) >= np.float32(min_seq_id)
+            hits = hits[keep]
+            sids = [s for s, k in zip(sids, keep) if k]
     payloads = {}
-    for h in hits:
+    for i, h in enumerate(hits):
         qkey = key_of_idx[int(h["orf_idx"])]
         hh = h.copy()
         hh["target_idx"] = key_of_idx[int(h["target_idx"])]
-        payloads.setdefault(qkey, []).append(hit_to_matcher_line(hh))
+        payloads.setdefault(qkey, []).append(
+            hit_to_matcher_line(hh, None,
+                                sids[i] if sids is not None else None))
     aln_entries = [(qkey, "".join(payloads.get(qkey, [])).encode())
                    for qkey, _ in cand]
     mmseqsdb.write_db(str(t / "aln"), aln_entries,

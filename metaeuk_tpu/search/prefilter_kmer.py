@@ -75,6 +75,8 @@ def _bind(lib):
     lib.pf_match.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64, f32p,
                              ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
                              u32p, i32p, i16op]
+    lib.pf_match_count.restype = ctypes.c_int64
+    lib.pf_match_count.argtypes = lib.pf_match.argtypes
     lib.pf_save_index.restype = ctypes.c_int64
     lib.pf_save_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.pf_load_index.restype = ctypes.c_int64
@@ -93,7 +95,7 @@ class KmerPrefilter:
     def __init__(self, target_encs, sensitivity=4.0, mask_targets=True,
                  max_res_list_len=300, min_diag_score=15,
                  comp_bias_correction=True, kmer_score=None,
-                 index_path=None):
+                 index_path=None, diagonal_scoring=True):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("k-mer prefilter requires the native library")
@@ -104,6 +106,7 @@ class KmerPrefilter:
         self.max_hits = max_res_list_len
         self.min_diag_score = min_diag_score
         self.comp_bias_correction = comp_bias_correction
+        self.diagonal_scoring = diagonal_scoring
         vt = np.ascontiguousarray(VTML80_SCORES_8BIT, np.int16)
         bl = np.ascontiguousarray(UNGAPPED_SCORES, np.int16)
         self._h = lib.pf_create(vt, bl, self.kmer_thr)
@@ -152,7 +155,9 @@ class KmerPrefilter:
         out_id = np.empty(cap, np.uint32)
         out_sc = np.empty(cap, np.int32)
         out_dg = np.empty(cap, np.int16)
-        n = self._lib.pf_match(
+        match_fn = self._lib.pf_match if self.diagonal_scoring \
+            else self._lib.pf_match_count
+        n = match_fn(
             self._h, q, len(q), np.ascontiguousarray(bias, np.float32),
             self.max_hits, self.min_diag_score,
             0xFFFFFFFF if identity_id is None else int(identity_id),

@@ -20,7 +20,8 @@ from ..io import mmseqsdb
 
 def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
                  max_seqs=300, min_ungapped_score=15,
-                 comp_bias_correction=True, mask_targets=True):
+                 comp_bias_correction=True, mask_targets=True,
+                 diagonal_scoring=True, cov=0.0, cov_mode=0):
     """The k-mer prefilter stage between two sequence-DB paths (the
     byte-parity engine from search/prefilter_kmer.py)."""
     from ..data.submat import AA2NUM
@@ -38,12 +39,22 @@ def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
                        max_res_list_len=max_seqs,
                        min_diag_score=min_ungapped_score,
                        mask_targets=mask_targets,
-                       comp_bias_correction=comp_bias_correction)
+                       comp_bias_correction=comp_bias_correction,
+                       diagonal_scoring=diagonal_scoring)
+    tkeys = np.asarray([int(k) for k in tdb.keys], np.int64)
+    tlens = np.asarray([len(e) for e in tencs], np.int64)
     entries = []
     for qi, q in enumerate(qencs):
         ids, sc, dg = pf.match(q, identity_id=qi if same else None)
+        if cov > 0.0 and cov_mode in (0, 2, 5):
+            # length-ratio filter on the hit list (Prefiltering.cpp:856-863)
+            from .lcaalign import can_be_covered
+            keep = np.asarray([can_be_covered(cov, cov_mode, len(q),
+                                              int(tlens[t])) for t in ids],
+                              bool) if len(ids) else np.zeros(0, bool)
+            ids, sc, dg = ids[keep], sc[keep], dg[keep]
         entries.append((int(qdb.keys[qi]),
-                        hits_to_pref_lines(ids, sc, dg).encode()))
+                        hits_to_pref_lines(tkeys[ids], sc, dg).encode()))
     mmseqsdb.write_db(out_db, entries, mmseqsdb.DBTYPE_PREFILTER_RES)
     return out_db
 
@@ -62,7 +73,8 @@ def search_db(query_db, target_db, out_db, tmp_dir, sensitivity=5.7,
     if not os.path.exists(f"{pref}.dbtype"):
         prefilter_db(query_db, target_db, pref, sensitivity=sensitivity,
                      max_seqs=max_seqs, mask_targets=mask_targets,
-                     comp_bias_correction=comp_bias_correction)
+                     comp_bias_correction=comp_bias_correction,
+                     cov=cov, cov_mode=cov_mode)
     if not os.path.exists(f"{out_db}.dbtype"):
         align_db(query_db, target_db, pref, out_db, evalue=evalue,
                  min_seq_id=min_seq_id, cov=cov, cov_mode=cov_mode,

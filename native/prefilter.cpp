@@ -370,6 +370,120 @@ size_t find_duplicates(PF *pf, const std::vector<IndexEntry> &hits,
     return cnt;
 }
 
+// CacheFriendlyOperations::findDuplicates, computeTotalScore=true
+// (CacheFriendlyOperations.cpp:214-237): per id, the first double-
+// diagonal occurrence carries the total duplicate count (capped 255);
+// later occurrences are suppressed by the zeroed slot.
+size_t find_duplicates_count(PF *pf, const std::vector<IndexEntry> &hits,
+                             const std::vector<uint16_t> &hitDiag,
+                             std::vector<Counter> &out) {
+    const uint32_t mask = pf->bincount - 1;
+    int8_t *ba = pf->byteArr.data();
+    std::vector<std::pair<uint32_t, uint16_t>> tmp;
+    size_t cnt = 0;
+    for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        tmp.clear();
+        // find duplicates in this bin (scan order preserved)
+        for (size_t n = 0; n < hits.size(); n++) {
+            const uint32_t id = hits[n].seqId;
+            if ((id & mask) != bin) continue;
+            const uint32_t key = id >> pf->binbits;
+            const uint8_t currDiag = (uint8_t)hitDiag[n];
+            const uint8_t prevDiag = (uint8_t)ba[key];
+            if (currDiag == prevDiag) tmp.push_back({id, hitDiag[n]});
+            ba[key] = (int8_t)currDiag;
+        }
+        // zero the duplicate keys, then sum up (saturating at 255)
+        for (auto &e : tmp) ba[e.first >> pf->binbits] = 0;
+        for (auto &e : tmp) {
+            const uint32_t key = e.first >> pf->binbits;
+            ba[key] += ((uint8_t)ba[key] < 255) ? 1 : 0;
+        }
+        // extract: the first occurrence per id gets the full count
+        for (auto &e : tmp) {
+            const uint32_t key = e.first >> pf->binbits;
+            out[cnt].id = e.first;
+            out[cnt].count = (uint8_t)ba[key];
+            out[cnt].diagonal = e.second;
+            cnt += ((uint8_t)ba[key] != 0) ? 1 : 0;
+            ba[key] = 0;
+        }
+        // bin cleanup (reference zeroes all touched slots per bin)
+        for (size_t n = 0; n < hits.size(); n++) {
+            const uint32_t id = hits[n].seqId;
+            if ((id & mask) != bin) continue;
+            ba[id >> pf->binbits] = 0;
+        }
+    }
+    return cnt;
+}
+
+// The diagonalScoring==false result path (QueryMatcher.cpp:186-205 +
+// getResult<KMER_SCORE>): score = double-diagonal match count, no
+// ungapped rescoring; identity hit scores UCHAR_MAX.
+int64_t finish_match_count(PF *pf, int64_t max_hits, int64_t min_diag_thr,
+                           uint32_t identity_id, uint32_t *out_id,
+                           int32_t *out_score, int16_t *out_diag) {
+    std::vector<IndexEntry> &hits = pf->hits;
+    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    std::vector<Counter> &found = pf->found;
+    if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
+        found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
+    }
+    size_t resultSize =
+        hits.empty() ? 0 : find_duplicates_count(pf, hits, hitDiag, found);
+
+    // threshold from the count histogram (computeScoreThreshold)
+    uint64_t hist[256] = {0};
+    for (size_t i = 0; i < resultSize; i++) hist[found[i].count]++;
+    uint64_t acc = 0;
+    unsigned int thr = 0;
+    for (unsigned int s = 255; s > 0; s--) {
+        acc += hist[s];
+        if (acc >= (uint64_t)max_hits) { thr = s; break; }
+    }
+    thr = std::max((unsigned int)min_diag_thr, thr);
+
+    // stable bucket sort desc by count, keeping >= thr
+    std::vector<Counter> &sorted = pf->sorted;
+    sorted.clear();
+    sorted.reserve(resultSize);
+    for (int s = 255; s >= (int)thr; s--) {
+        for (size_t i = 0; i < resultSize; i++) {
+            if (found[i].count == (uint8_t)s) sorted.push_back(found[i]);
+        }
+        if (s == 0) break;
+    }
+
+    // getResult<KMER_SCORE>
+    std::vector<Hit> res;
+    if (identity_id != UINT32_MAX) {
+        res.push_back({identity_id, UINT8_MAX, 0});
+    }
+    for (size_t i = 0; i < sorted.size() && (int64_t)res.size() < max_hits;
+         i++) {
+        const uint32_t id = sorted[i].id;
+        const unsigned int sc = sorted[i].count;
+        if (sc < thr || id == identity_id) continue;
+        res.push_back({id, (int32_t)sc, sorted[i].diagonal});
+    }
+    const size_t from = (identity_id != UINT32_MAX) ? 1 : 0;
+    if (res.size() > 1) {
+        std::sort(res.begin() + from, res.end(),
+                  [](const Hit &a, const Hit &b) {
+            if (std::abs(a.prefScore) > std::abs(b.prefScore)) return true;
+            if (std::abs(b.prefScore) > std::abs(a.prefScore)) return false;
+            return a.seqId < b.seqId;
+        });
+    }
+    for (size_t i = 0; i < res.size(); i++) {
+        out_id[i] = res[i].seqId;
+        out_score[i] = res[i].prefScore;
+        out_diag[i] = (int16_t)res[i].diagonal;
+    }
+    return (int64_t)res.size();
+}
+
 // CacheFriendlyOperations::keepMaxScoreElementOnly + keepMaxElement
 // (CacheFriendlyOperations.cpp:74-80, 350-380)
 size_t keep_max_only(PF *pf, std::vector<Counter> &arr, size_t n) {
@@ -613,6 +727,40 @@ size_t gen_profile_kmer_list(PF *pf, const int16_t *srow[KK],
     return counter;
 }
 
+// Collect the (seqId, diagonal) match stream for one query
+// (QueryMatcher::match); false on overflow (unsupported path).
+bool collect_hits(PF *pf, const uint8_t *q, int64_t qlen,
+                  const float *comp_bias, size_t maxDbMatches) {
+    std::vector<IndexEntry> &hits = pf->hits;
+    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    hits.clear();
+    hitDiag.clear();
+    std::vector<uint32_t> &klist = pf->klist;
+    uint8_t w[KK];
+    for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
+        if (!extract_kmer(q, i, w)) continue;
+        float biasCorrection = 0;
+        for (int k = 0; k < KK; k++) biasCorrection += comp_bias[i + PAT_POS[k]];
+        const short bias = (short)((biasCorrection < 0.0f)
+                                       ? biasCorrection - 0.5f
+                                       : biasCorrection + 0.5f);
+        const short thr = std::max((short)(pf->kmer_thr - bias), (short)0);
+        if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
+        const size_t nk = gen_kmer_list(pf, w, thr, klist.data());
+        for (size_t kp = 0; kp < nk; kp++) {
+            const uint64_t a = pf->offsets[klist[kp]];
+            const uint64_t b = pf->offsets[klist[kp] + 1];
+            if (hits.size() + (b - a) >= maxDbMatches) return false;
+            for (uint64_t e = a; e < b; e++) {
+                hits.push_back(pf->entries[e]);
+                hitDiag.push_back((uint16_t)((uint16_t)i -
+                                             pf->entries[e].pos_j));
+            }
+        }
+    }
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -642,37 +790,29 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
         }
     }
 
-    // collect k-mer matches in stream order (QueryMatcher::match)
-    std::vector<IndexEntry> &hits = pf->hits;
-    std::vector<uint16_t> &hitDiag = pf->hitDiag;
-    hits.clear();
-    hitDiag.clear();
-    std::vector<uint32_t> &klist = pf->klist;
-    uint8_t w[KK];
-    for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
-        if (!extract_kmer(q, i, w)) continue;
-        float biasCorrection = 0;
-        for (int k = 0; k < KK; k++) biasCorrection += comp_bias[i + PAT_POS[k]];
-        const short bias = (short)((biasCorrection < 0.0f)
-                                       ? biasCorrection - 0.5f
-                                       : biasCorrection + 0.5f);
-        const short thr = std::max((short)(pf->kmer_thr - bias), (short)0);
-        if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
-        const size_t nk = gen_kmer_list(pf, w, thr, klist.data());
-        for (size_t kp = 0; kp < nk; kp++) {
-            const uint64_t a = pf->offsets[klist[kp]];
-            const uint64_t b = pf->offsets[klist[kp] + 1];
-            if (hits.size() + (b - a) >= maxDbMatches) return -1;  // overflow
-            for (uint64_t e = a; e < b; e++) {
-                hits.push_back(pf->entries[e]);
-                hitDiag.push_back((uint16_t)((uint16_t)i -
-                                             pf->entries[e].pos_j));
-            }
-        }
+    if (!collect_hits(pf, q, qlen, comp_bias, maxDbMatches)) {
+        return -1;  // overflow
     }
-
     return finish_match(pf, qprof.data(), q, qlen, max_hits, min_diag_thr,
                         identity_id, out_id, out_score, out_diag);
+}
+
+// The --diag-score 0 prefilter (cascaded clustering step 0): score =
+// double-diagonal k-mer match count, no ungapped rescoring
+// (QueryMatcher matchQuery diagonalScoring==false path).
+int64_t pf_match_count(void *h, const uint8_t *q, int64_t qlen,
+                       const float *comp_bias, int64_t max_hits,
+                       int64_t min_diag_thr, uint32_t identity_id,
+                       uint32_t *out_id, int32_t *out_score,
+                       int16_t *out_diag) {
+    PF *pf = static_cast<PF *>(h);
+    const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
+    max_hits = std::min(max_hits, pf->nseq);
+    if (!collect_hits(pf, q, qlen, comp_bias, maxDbMatches)) {
+        return -1;  // overflow
+    }
+    return finish_match_count(pf, max_hits, min_diag_thr, identity_id,
+                              out_id, out_score, out_diag);
 }
 
 // One HMM-profile query against the index (blastpgp.sh / profile-query
