@@ -1032,6 +1032,73 @@ def cmd_easy_taxonomy(args):
     return 0
 
 
+def cmd_dbtool5(args):
+    from .pipeline import dbtools5 as d5
+    t, a = args.tool, args.args
+    if t == "extractalignedregion":
+        d5.extractalignedregion(a[0], a[1], a[2], a[3],
+                                extract_mode=args.extract_mode)
+    elif t == "summarizeheaders":
+        d5.summarizeheaders(a[0], a[1], a[2], a[3],
+                            header_type=args.header_type,
+                            summary_prefix=args.summary_prefix)
+    elif t == "clusthash":
+        d5.clusthash(a[0], a[1], min_seq_id=args.min_seq_id)
+    elif t == "mergeresultsbyset":
+        d5.mergeresultsbyset(a[0], a[1], a[2])
+    elif t == "makepaddedseqdb":
+        d5.makepaddedseqdb(a[0], a[1])
+    elif t == "unpackdb":
+        d5.unpackdb(a[0], a[1], name_mode=args.unpack_name_mode,
+                    suffix=args.unpack_suffix)
+    elif t == "countkmer":
+        import sys
+        sys.stdout.write(d5.countkmer(a[0], k=args.k))
+    elif t == "recoverlongestorf":
+        d5.recoverlongestorf(a[0], a[1], a[2])
+    elif t == "tar2db":
+        d5.tar2db(a[:-1], a[-1], tar_include=args.tar_include,
+                  tar_exclude=args.tar_exclude)
+    elif t == "db2tar":
+        d5.db2tar(a[0], a[1])
+    if t != "countkmer":
+        print(f"{t}: done")
+    return 0
+
+
+def cmd_filterresult(args):
+    from .pipeline.result2profile import filterresult_db
+    filterresult_db(args.query_db, args.target_db, args.aln_db,
+                    args.out_db, include_identity=args.include_identity,
+                    cov_msa_thr=args.cov, qid=args.qid, qsc=args.qsc,
+                    filter_max_seq_id=args.max_seq_id, ndiff=args.diff,
+                    filter_min_enable=args.filter_min_enable)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_exhaustiveprefilter(args):
+    from .search.exhaustive import exhaustive_prefilter
+    exhaustive_prefilter(args.query_db, args.target_db, args.out_db,
+                         gapped=args.gapped, evalue=args.e,
+                         min_ungapped_score=args.min_ungapped_score,
+                         max_seqs=args.max_seqs, cov=args.c,
+                         cov_mode=args.cov_mode,
+                         comp_bias_correction=bool(args.comp_bias_corr))
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_easy_linsearch(args):
+    from .search.searchdb import easy_linsearch
+    easy_linsearch(args.query, args.target, args.out_m8, args.tmp,
+                   evalue=args.e, cov=args.c, cov_mode=args.cov_mode,
+                   min_seq_id=args.min_seq_id,
+                   kmers_per_seq=args.kmer_per_seq)
+    print(f"wrote {args.out_m8}")
+    return 0
+
+
 def cmd_rbh(args):
     from .search.searchdb import rbh_db
     rbh_db(args.query_db, args.target_db, args.out_db, args.tmp,
@@ -1552,6 +1619,76 @@ def main(argv=None):
         tx.add_argument("--threads", type=int, default=1)
         tx.add_argument("-v", type=int, default=3)
         tx.set_defaults(fn=fn)
+
+    d5_tools = {
+        "extractalignedregion": 4, "summarizeheaders": 4, "clusthash": 2,
+        "mergeresultsbyset": 3, "makepaddedseqdb": 2, "unpackdb": 2,
+        "countkmer": 1, "recoverlongestorf": 3, "tar2db": 2, "db2tar": 2,
+    }
+    for tool, nargs in d5_tools.items():
+        dp5 = sub.add_parser(tool, help=f"{tool} DB utility")
+        dp5.add_argument("args", nargs="+" if tool == "tar2db" else nargs)
+        if tool == "extractalignedregion":
+            dp5.add_argument("--extract-mode", type=int, default=2)
+        elif tool == "summarizeheaders":
+            dp5.add_argument("--header-type", type=int, default=1)
+            dp5.add_argument("--summary-prefix", type=str, default="cl")
+        elif tool == "clusthash":
+            dp5.add_argument("--min-seq-id", type=float, default=0.99)
+        elif tool == "unpackdb":
+            dp5.add_argument("--unpack-name-mode", type=int, default=1)
+            dp5.add_argument("--unpack-suffix", type=str, default="")
+        elif tool == "countkmer":
+            dp5.add_argument("-k", type=int, default=5)
+        elif tool == "tar2db":
+            dp5.add_argument("--tar-include", type=str, default=".*")
+            dp5.add_argument("--tar-exclude", type=str, default="^$")
+        dp5.add_argument("--threads", type=int, default=1)
+        dp5.add_argument("-v", type=int, default=3)
+        dp5.set_defaults(fn=cmd_dbtool5, tool=tool)
+
+    fr = sub.add_parser("filterresult", help="MsaFilter over a result DB")
+    fr.add_argument("query_db")
+    fr.add_argument("target_db")
+    fr.add_argument("aln_db")
+    fr.add_argument("out_db")
+    fr.add_argument("--include-identity", action="store_true")
+    fr.add_argument("--cov", type=float, default=0.0)
+    fr.add_argument("--qid", type=str, default="0.0")
+    fr.add_argument("--qsc", type=float, default=-20.0)
+    fr.add_argument("--max-seq-id", type=float, default=0.9)
+    fr.add_argument("--diff", type=int, default=1000)
+    fr.add_argument("--filter-min-enable", type=int, default=0)
+    fr.set_defaults(fn=cmd_filterresult)
+
+    for tool in ("ungappedprefilter", "gappedprefilter"):
+        up = sub.add_parser(tool, help=f"{tool}: exhaustive prefilter")
+        up.add_argument("query_db")
+        up.add_argument("target_db")
+        up.add_argument("out_db")
+        up.add_argument("-e", type=float, default=1e-3)
+        up.add_argument("--min-ungapped-score", type=int, default=15)
+        up.add_argument("--max-seqs", type=int, default=300)
+        up.add_argument("-c", type=float, default=0.0)
+        up.add_argument("--cov-mode", type=int, default=0)
+        up.add_argument("--comp-bias-corr", type=int, default=1)
+        up.add_argument("--threads", type=int, default=1)
+        up.add_argument("-v", type=int, default=3)
+        up.set_defaults(fn=cmd_exhaustiveprefilter,
+                        gapped=(tool == "gappedprefilter"))
+
+    el2 = sub.add_parser("easy-linsearch",
+                         help="FASTA in, linear search, m8 out")
+    el2.add_argument("query")
+    el2.add_argument("target")
+    el2.add_argument("out_m8")
+    el2.add_argument("tmp")
+    el2.add_argument("-e", type=float, default=1e-3)
+    el2.add_argument("-c", type=float, default=0.0)
+    el2.add_argument("--cov-mode", type=int, default=0)
+    el2.add_argument("--min-seq-id", type=float, default=0.0)
+    el2.add_argument("--kmer-per-seq", type=int, default=21)
+    el2.set_defaults(fn=cmd_easy_linsearch)
 
     for tool, fn in (("rbh", cmd_rbh), ("map", cmd_map)):
         rp = sub.add_parser(tool, help=f"{tool} workflow")

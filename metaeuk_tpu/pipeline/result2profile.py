@@ -162,3 +162,62 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
         mmseqsdb.write_db(f"{out_db}_h", [(k, h_map[k]) for k, _ in out],
                           mmseqsdb.DBTYPE_GENERIC)
     return out_db
+
+
+def filterresult_db(query_db, target_db, aln_db, out_db,
+                    include_identity=False, cov_msa_thr=0.0, qid="0.0",
+                    qsc=-20.0, filter_max_seq_id=0.9, ndiff=1000,
+                    filter_min_enable=0, compressed=False):
+    """filterresult (result2profile.cpp:17 with returnAlnRes=true,
+    195-253): per query, build the member MSA, run MsaFilter, and emit
+    the surviving members' alignment lines (with backtrace) in filter
+    order; isFiltering is always on, no e-value gate."""
+    from ..data.submat import AA2NUM
+    from ..ops.msafilter import msa_filter
+    from .dbtools2 import aln_record_to_line
+    from .dbtools2 import parse_aln_record as parse_full
+
+    def enc(arr):
+        return AA2NUM[np.asarray(arr, np.uint8)]
+
+    same = (query_db == target_db)
+    qdb = mmseqsdb.read_seqdb(query_db)
+    tdb = qdb if same else mmseqsdb.read_seqdb(target_db)
+    centers_by_key = {int(k): enc(qdb.seq(i)) for i, k in enumerate(qdb.keys)}
+    t_by_key = {int(k): i for i, k in enumerate(tdb.keys)}
+    qid_vec = sorted(int(float(s) * 100) for s in str(qid).split(","))
+
+    out = []
+    for qkey, payload in mmseqsdb.read_db(aln_db):
+        center = centers_by_key[qkey]
+        id_lines = []
+        members = []
+        recs = []
+        for line in payload.decode().splitlines():
+            if not line:
+                continue
+            r = parse_full(line)
+            if r["dbKey"] == qkey and same:
+                if include_identity:
+                    id_lines.append(aln_record_to_line(r, True))
+                continue
+            members.append(
+                msa_row_from_backtrace(len(center),
+                                       enc(tdb.seq(t_by_key[r["dbKey"]])),
+                                       r["qStart"], r["dbStart"],
+                                       r["backtrace"]))
+            recs.append(r)
+        msa = np.empty((1 + len(members), len(center)), np.uint8)
+        msa[0] = center
+        for i, row in enumerate(members):
+            msa[1 + i] = row
+        _, order, filtered_size = msa_filter(
+            msa, coverage=int(cov_msa_thr * 100), qid_vec=qid_vec, qsc=qsc,
+            max_seqid=int(filter_max_seq_id * 100), ndiff=ndiff,
+            filter_min_enable=filter_min_enable)
+        kept = [o - 1 for o in order[1:filtered_size]]
+        lines = id_lines + [aln_record_to_line(recs[i], True) for i in kept]
+        out.append((qkey, "".join(lines).encode()))
+    mmseqsdb.write_db(out_db, out, mmseqsdb.DBTYPE_ALIGNMENT_RES,
+                      compressed=compressed)
+    return out_db

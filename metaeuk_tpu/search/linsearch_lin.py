@@ -147,7 +147,7 @@ def kmersearch_db(query_db, index_path, out_db, result_direction=1):
 
 def linsearch_workflow(query_db, target_db, out_db, tmp_dir, evalue=0.001,
                        cov=0.0, cov_mode=None, min_seq_id=0.0,
-                       params=None):
+                       kmers_per_seq=21, alignment_mode=2, params=None):
     """linsearch.sh (protein path) with FILTER=1, byte-exact stages."""
     from ..pipeline.dbtools2 import swapresults
     from ..pipeline.filterdb import filterdb
@@ -157,7 +157,7 @@ def linsearch_workflow(query_db, target_db, out_db, tmp_dir, evalue=0.001,
     os.makedirs(tmp_dir, exist_ok=True)
     idx_path = f"{target_db}{LINIDX_SUFFIX}"
     if not os.path.exists(idx_path):
-        build_linindex(target_db, idx_path)
+        build_linindex(target_db, idx_path, kmers_per_seq=kmers_per_seq)
     pref = os.path.join(tmp_dir, "pref")
     kmersearch_db(query_db, idx_path, pref)
 
@@ -177,7 +177,7 @@ def linsearch_workflow(query_db, target_db, out_db, tmp_dir, evalue=0.001,
     reverse_aln = os.path.join(tmp_dir, "reverse_aln")
     align_db(target_db, query_db, pref_filter, reverse_aln, evalue=100000,
              cov=cov, cov_mode=cov_mode or 0, min_seq_id=min_seq_id,
-             params=params)
+             alignment_mode=alignment_mode, params=params)
 
     # swap back to query-centric, applying the user's E-value
     swapresults(target_db, query_db, reverse_aln, out_db, eval_thr=evalue)

@@ -219,3 +219,17 @@ def easy_rbh(query, target, out_m8, tmp_dir, sensitivity=5.7, evalue=1e-3,
         search_fn=lambda q, t, o, wt: rbh_db(
             q, t, o, wt, sensitivity=sensitivity, evalue=evalue,
             cov=cov, cov_mode=cov_mode, min_seq_id=min_seq_id))
+
+
+def easy_linsearch(query, target, out_m8, tmp_dir, evalue=1e-3, cov=0.0,
+                   cov_mode=0, min_seq_id=0.0, kmers_per_seq=21):
+    """easy-linsearch (easysearch.sh with SEARCH_MODULE=linsearch +
+    createlinindex; EasySearch.cpp linsearch branch)."""
+    from .linsearch_lin import linsearch_workflow
+
+    return easy_search(
+        query, target, out_m8, tmp_dir,
+        search_fn=lambda q, t, o, wt: linsearch_workflow(
+            q, t, o, wt, evalue=evalue, cov=cov, cov_mode=cov_mode or None,
+            min_seq_id=min_seq_id, kmers_per_seq=kmers_per_seq,
+            alignment_mode=3))
