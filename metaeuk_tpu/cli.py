@@ -1066,6 +1066,32 @@ def cmd_dbtool5(args):
     return 0
 
 
+def cmd_dbtool6(args):
+    from .pipeline import dbtools6 as d6
+    t, a = args.tool, args.args
+    if t in ("profile2consensus", "profile2repseq"):
+        d6.profile2seq(a[0], a[1], consensus=(t == "profile2consensus"))
+    elif t == "profile2neff":
+        d6.profile2neff(a[0], a[1], db_output=bool(args.db_output))
+    elif t == "convertmsa":
+        d6.convertmsa(a[0], a[1], identifier_field=args.identifier_field)
+    elif t == "filtera3m":
+        d6.filtera3m(a[0], a[1], cov=args.cov, qid=args.qid, qsc=args.qsc,
+                     max_seq_id=args.max_seq_id, ndiff=args.diff,
+                     filter_min_enable=args.filter_min_enable)
+    elif t == "alignall":
+        d6.alignall(a[0], a[1], a[2], evalue=args.e, cov=args.c,
+                    cov_mode=args.cov_mode, min_seq_id=args.min_seq_id)
+    elif t == "summarizetabs":
+        d6.summarizetabs(a[0], a[1], a[2], overlap=args.overlap,
+                         cov=args.c, evalue=args.e)
+    elif t == "result2dnamsa":
+        d6.result2dnamsa(a[0], a[1], a[2], a[3],
+                         skip_query=args.skip_query)
+    print(f"{t}: done")
+    return 0
+
+
 def cmd_filterresult(args):
     from .pipeline.result2profile import filterresult_db
     filterresult_db(args.query_db, args.target_db, args.aln_db,
@@ -1646,6 +1672,40 @@ def main(argv=None):
         dp5.add_argument("--threads", type=int, default=1)
         dp5.add_argument("-v", type=int, default=3)
         dp5.set_defaults(fn=cmd_dbtool5, tool=tool)
+
+    d6_tools = {
+        "profile2consensus": 2, "profile2repseq": 2, "profile2neff": 2,
+        "convertmsa": 2, "filtera3m": 2, "alignall": 3,
+        "summarizetabs": 3, "result2dnamsa": 4,
+    }
+    for tool, nargs in d6_tools.items():
+        dp6 = sub.add_parser(tool, help=f"{tool} utility")
+        dp6.add_argument("args", nargs=nargs)
+        if tool == "profile2neff":
+            dp6.add_argument("--db-output", type=int, default=0)
+        elif tool == "convertmsa":
+            dp6.add_argument("--identifier-field", type=int, default=1)
+        elif tool == "filtera3m":
+            dp6.add_argument("--cov", type=float, default=0.0)
+            dp6.add_argument("--qid", type=str, default="0.0")
+            dp6.add_argument("--qsc", type=float, default=-20.0)
+            dp6.add_argument("--max-seq-id", type=float, default=0.9)
+            dp6.add_argument("--diff", type=int, default=1000)
+            dp6.add_argument("--filter-min-enable", type=int, default=0)
+        elif tool == "alignall":
+            dp6.add_argument("-e", type=float, default=1e-3)
+            dp6.add_argument("-c", type=float, default=0.0)
+            dp6.add_argument("--cov-mode", type=int, default=0)
+            dp6.add_argument("--min-seq-id", type=float, default=0.0)
+        elif tool == "summarizetabs":
+            dp6.add_argument("--overlap", type=float, default=0.0)
+            dp6.add_argument("-c", type=float, default=0.0)
+            dp6.add_argument("-e", type=float, default=0.001)
+        elif tool == "result2dnamsa":
+            dp6.add_argument("--skip-query", action="store_true")
+        dp6.add_argument("--threads", type=int, default=1)
+        dp6.add_argument("-v", type=int, default=3)
+        dp6.set_defaults(fn=cmd_dbtool6, tool=tool)
 
     fr = sub.add_parser("filterresult", help="MsaFilter over a result DB")
     fr.add_argument("query_db")
