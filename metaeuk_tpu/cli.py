@@ -1092,6 +1092,33 @@ def cmd_dbtool6(args):
     return 0
 
 
+def cmd_expandaln(args):
+    from .pipeline.expand import expandaln_db
+    expandaln_db(args.a_db, args.c_db, args.result_ab, args.result_bc,
+                 args.out_db, return_aln=not args.profile, evalue=args.e,
+                 cov=args.c, cov_mode=args.cov_mode,
+                 min_seq_id=args.min_seq_id,
+                 expansion_mode=args.expansion_mode)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_multihitdb(args):
+    from .pipeline.multihit_wf import multihitdb
+    multihitdb(args.fasta, args.out_db, args.tmp)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_multihitsearch(args):
+    from .pipeline.multihit_wf import multihitsearch
+    multihitsearch(args.query_db, args.target_db, args.out_db, args.tmp,
+                   sensitivity=args.s, evalue=args.e,
+                   max_seqs=args.max_seqs)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_filterresult(args):
     from .pipeline.result2profile import filterresult_db
     filterresult_db(args.query_db, args.target_db, args.aln_db,
@@ -1706,6 +1733,43 @@ def main(argv=None):
         dp6.add_argument("--threads", type=int, default=1)
         dp6.add_argument("-v", type=int, default=3)
         dp6.set_defaults(fn=cmd_dbtool6, tool=tool)
+
+    for tool in ("expandaln", "expand2profile"):
+        ex = sub.add_parser(tool, help=f"{tool}: A->B + B->C -> A->C")
+        ex.add_argument("a_db")
+        ex.add_argument("c_db")
+        ex.add_argument("result_ab")
+        ex.add_argument("result_bc")
+        ex.add_argument("out_db")
+        ex.add_argument("-e", type=float, default=1e-3)
+        ex.add_argument("-c", type=float, default=0.0)
+        ex.add_argument("--cov-mode", type=int, default=0)
+        ex.add_argument("--min-seq-id", type=float, default=0.0)
+        ex.add_argument("--expansion-mode", type=int, default=0)
+        ex.add_argument("--threads", type=int, default=1)
+        ex.add_argument("-v", type=int, default=3)
+        ex.set_defaults(fn=cmd_expandaln, profile=(tool == "expand2profile"))
+
+    mhd = sub.add_parser("multihitdb", help="set FASTAs -> multihit DB")
+    mhd.add_argument("fasta", nargs="+")
+    mhd.add_argument("out_db")
+    mhd.add_argument("tmp")
+    mhd.add_argument("--threads", type=int, default=1)
+    mhd.add_argument("-v", type=int, default=3)
+    mhd.set_defaults(fn=cmd_multihitdb)
+
+    mhs = sub.add_parser("multihitsearch",
+                         help="multihit query vs multihit target")
+    mhs.add_argument("query_db")
+    mhs.add_argument("target_db")
+    mhs.add_argument("out_db")
+    mhs.add_argument("tmp")
+    mhs.add_argument("-s", type=float, default=5.7)
+    mhs.add_argument("-e", type=float, default=1e-3)
+    mhs.add_argument("--max-seqs", type=int, default=300)
+    mhs.add_argument("--threads", type=int, default=1)
+    mhs.add_argument("-v", type=int, default=3)
+    mhs.set_defaults(fn=cmd_multihitsearch)
 
     fr = sub.add_parser("filterresult", help="MsaFilter over a result DB")
     fr.add_argument("query_db")

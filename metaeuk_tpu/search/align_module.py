@@ -66,6 +66,11 @@ def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
     driver = SearchDriver(p, tdb)
     qseqs = [qdb.seq_bytes(i) for i in range(len(qdb))]
     hits = driver.search(qseqs, pair_generator=pairs)
+    if str(query_db) == str(target_db) and len(hits):
+        # same-DB identity hits use scoreIdentical: seqId forced to 1.0
+        # (Alignment.cpp getSWResult isIdentity path)
+        ident = hits["orf_idx"] == hits["target_idx"]
+        hits["seq_id"] = np.where(ident, np.float32(1.0), hits["seq_id"])
     bts = sids = None
     if need_true and len(hits):
         bts, sids = driver.backtraces(hits, qseqs)
