@@ -1092,6 +1092,29 @@ def cmd_dbtool6(args):
     return 0
 
 
+def cmd_pickconsensusrep(args):
+    from .pipeline.clusterwf import pickconsensusrep
+    pickconsensusrep(args.seq_db, args.clu_db, args.out_db, args.tmp)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
+def cmd_clusterupdate(args):
+    from .pipeline.clusterwf import clusterupdate
+    clusterupdate(args.old_db, args.new_db, args.old_clu,
+                  args.new_map_db, args.new_clu, args.tmp,
+                  recover_deleted=args.recover_deleted)
+    print(f"wrote {args.new_clu}")
+    return 0
+
+
+def cmd_nrtotaxmapping(args):
+    from .tax.mmtax import nrtotaxmapping
+    nrtotaxmapping(args.acc2taxid, args.seq_db, args.out_file)
+    print(f"wrote {args.out_file}")
+    return 0
+
+
 def cmd_expandaln(args):
     from .pipeline.expand import expandaln_db
     expandaln_db(args.a_db, args.c_db, args.result_ab, args.result_bc,
@@ -1733,6 +1756,38 @@ def main(argv=None):
         dp6.add_argument("--threads", type=int, default=1)
         dp6.add_argument("-v", type=int, default=3)
         dp6.set_defaults(fn=cmd_dbtool6, tool=tool)
+
+    pcr = sub.add_parser("pickconsensusrep",
+                         help="re-pick cluster representatives by "
+                         "profile consensus score")
+    pcr.add_argument("seq_db")
+    pcr.add_argument("clu_db")
+    pcr.add_argument("out_db")
+    pcr.add_argument("tmp")
+    pcr.add_argument("-v", type=int, default=3)
+    pcr.set_defaults(fn=cmd_pickconsensusrep)
+
+    cu = sub.add_parser("clusterupdate", help="update a clustering with "
+                        "a new sequence DB")
+    cu.add_argument("old_db")
+    cu.add_argument("new_db")
+    cu.add_argument("old_clu")
+    cu.add_argument("new_map_db")
+    cu.add_argument("new_clu")
+    cu.add_argument("tmp")
+    cu.add_argument("--recover-deleted", action="store_true")
+    cu.add_argument("--threads", type=int, default=1)
+    cu.add_argument("-v", type=int, default=3)
+    cu.set_defaults(fn=cmd_clusterupdate)
+
+    ntm = sub.add_parser("nrtotaxmapping", help="taxid mapping from NR "
+                         "headers + accession2taxid files")
+    ntm.add_argument("acc2taxid", nargs="+")
+    ntm.add_argument("seq_db")
+    ntm.add_argument("out_file")
+    ntm.add_argument("--threads", type=int, default=1)
+    ntm.add_argument("-v", type=int, default=3)
+    ntm.set_defaults(fn=cmd_nrtotaxmapping)
 
     for tool in ("expandaln", "expand2profile"):
         ex = sub.add_parser(tool, help=f"{tool}: A->B + B->C -> A->C")

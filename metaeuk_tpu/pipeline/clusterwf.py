@@ -164,3 +164,216 @@ def easy_cluster(query, out_prefix, tmp_dir, min_seq_id=0.0, cov=0.8,
     createseqfiledb(inp, clu, clu_seqs)
     result2flat(inp, inp, clu_seqs, f"{out_prefix}_all_seqs.fasta")
     return out_prefix
+
+
+def pickconsensusrep(seq_db, clu_db, out_db, tmp_dir):
+    """pickconsensusrep.sh: result2msa (allow-deletion) -> msa2profile
+    (--match-mode 1) -> profile-vs-member align -> per cluster pick the
+    highest-scoring member as the new representative (clusters without
+    alignments keep themselves; PickConsensusRep.cpp + the awk joins)."""
+    from ..io.profiledb import ProfileDB
+    from ..params import Params
+    from ..search.profile_align import ProfileQueryAligner
+    from .msa2profile import msa_db_to_profile_db
+    from .result2msa import result2msa_db
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    t = lambda *p: os.path.join(tmp_dir, *p)  # noqa: E731
+    # result2msa over a cluster DB recomputes the alignments with full
+    # backtraces (result2msa.cpp recompute path, no thresholds); build
+    # that alignment DB explicitly in cluster-line order
+    import numpy as np
+
+    from ..pipeline.alnformat import hit_to_matcher_line
+    from ..search.driver import SearchDriver
+    from ..search.lcaalign import _raw_results
+
+    sdb = mmseqsdb.read_seqdb(seq_db)
+    s_by_key = {int(k): i for i, k in enumerate(sdb.keys)}
+    clu = mmseqsdb.read_db(clu_db)
+    from ..params import Params
+    p_perm = Params(search_evalue_thr=float("inf"), seq_id_thr=0.0,
+                    cov_thr=0.0, aln_len_thr=0,
+                    prefilter_mode="exhaustive")
+    driver = SearchDriver(p_perm, sdb)
+    sseqs = [sdb.seq_bytes(i) for i in range(len(sdb))]
+    pairs = []
+    members_per_clu = []
+    for ckey, payload in clu:
+        members = [int(ln) for ln in payload.decode().splitlines() if ln]
+        members_per_clu.append((int(ckey), members))
+        for m in members:
+            pairs.append((s_by_key[int(ckey)], s_by_key[m]))
+    raw = _raw_results(driver, sseqs,
+                       np.asarray(sorted(set(pairs)), np.int64))
+    order_hits = []
+    for ckey, members in members_per_clu:
+        for m in members:
+            order_hits.append(raw[(s_by_key[ckey], s_by_key[m])])
+    hits_arr = np.array(order_hits) if order_hits else         np.zeros(0, dtype=list(raw.values())[0].dtype if raw else None)
+    bts, sids = driver.backtraces(hits_arr, sseqs)
+    aln_entries = []
+    i = 0
+    for ckey, members in members_per_clu:
+        lines = []
+        for m in members:
+            h = hits_arr[i].copy()
+            h["target_idx"] = m
+            lines.append(hit_to_matcher_line(h, bts[i], sids[i]))
+            i += 1
+        aln_entries.append((ckey, "".join(lines).encode()))
+    aln_db = t("clu_aln")
+    mmseqsdb.write_db(aln_db, aln_entries, 5)
+    msa = t("msa")
+    result2msa_db(seq_db, seq_db, aln_db, msa, allow_deletion=True)
+    prof = t("profile")
+    # msa2profile: --match-mode 1 (PickConsensusRep.cpp:18) and the
+    # reference-wide --filter-msa 1 default
+    msa_db_to_profile_db(
+        [(k, p.decode()) for k, p in mmseqsdb.read_db(msa)], prof,
+        match_mode=1, filter_msa=True)
+
+    profiles = ProfileDB.from_db(prof)
+    sdb = mmseqsdb.read_seqdb(seq_db)
+    s_by_key = {int(k): i for i, k in enumerate(sdb.keys)}
+    p_by_key = {int(k): i for i, k in enumerate(profiles.keys)}
+    clu = mmseqsdb.read_db(clu_db)
+    pairs = []
+    for ckey, payload in clu:
+        if ckey not in p_by_key:
+            continue
+        for ln in payload.decode().splitlines():
+            if ln:
+                pairs.append((p_by_key[ckey], s_by_key[int(ln)]))
+    aligner = ProfileQueryAligner(Params(aln_len_thr=0), profiles, sdb)
+    hits = aligner.search(pairs, eval_thr=1e-3)
+
+    # rep_mapping.txt: best[cluster] seeded to 1, rep seeded to itself
+    best = {int(k): 1.0 for k, _p in clu}
+    rep = {int(k): int(k) for k, _p in clu}
+    for h in hits:
+        ckey = int(profiles.keys[int(h["orf_idx"])])
+        score = float(h["bit_score"])
+        if score > best.get(ckey, 1.0):
+            best[ckey] = score
+            rep[ckey] = int(sdb.keys[int(h["target_idx"])])
+    # the reference's updated_clu awk compares the cluster key against an
+    # UNINITIALIZED prev: awk coerces that first comparison to numeric, so
+    # a leading cluster key 0 never triggers the new-cluster rule and a
+    # singleton cluster 0 is dropped entirely (pickconsensusrep.sh:50-53)
+    out = []
+    prev_numeric_zero = True
+    for ckey, payload in clu:
+        new_rep = rep[int(ckey)]
+        is_first_zero = prev_numeric_zero and int(ckey) == 0
+        prev_numeric_zero = False
+        lines = [] if is_first_zero else [f"{new_rep}\n"]
+        for ln in payload.decode().splitlines():
+            if ln and int(ln) != new_rep:
+                lines.append(f"{int(ln)}\n")
+        if lines:
+            out.append((new_rep, "".join(lines).encode()))
+    mmseqsdb.write_db(out_db, out, 6, sort_index=True)
+    return out_db
+
+
+def clusterupdate(old_db, new_db, old_clu, new_map_db, new_clu, tmp_dir,
+                  recover_deleted=False):
+    """clusterupdate (ClusterUpdate.cpp + update_clustering.sh): diff the
+    sequence DBs, re-key the new DB to keep old keys stable (new
+    sequences get ids above max(old,new)), drop or recover clusters of
+    removed sequences, map new sequences onto old representatives by
+    search (alignment mode 3), and cluster the remainder separately."""
+    from ..search.searchdb import search_db
+    from .dbtools import createsubdb, mergedbs
+    from .dbtools2 import concatdbs, renamedbkeys, swapdb
+    from .dbtools3 import diffseqdbs, result2repseq
+    from .filterdb import filterdb
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    t = lambda *p: os.path.join(tmp_dir, *p)  # noqa: E731
+
+    removed, mapping, newseqs = t("removedSeqs"), t("mappingSeqs"), \
+        t("newSeqs")
+    diffseqdbs(old_db, new_db, removed, mapping, newseqs)
+    if os.path.getsize(mapping) == 0:
+        raise RuntimeError("no common sequences between the DBs "
+                           "(update_clustering.sh warns and exits here)")
+
+    old_clu_eff = old_clu
+    removed_members = []
+    has_removed = os.path.getsize(removed) > 0
+    if has_removed and not recover_deleted:
+        removed_keys = [int(ln.split()[0]) for ln in open(removed)]
+        # members of clusters whose representative was removed, minus the
+        # removed sequences themselves
+        createsubdb(removed_keys, old_clu, t("REMOVEDMEMBERS"))
+        filterdb(t("REMOVEDMEMBERS"), t("REMOVEDMEMBERS.withoutDeleted"),
+                 filter_file=removed, positive_filter=True)
+        for _k, payload in mmseqsdb.read_db(
+                t("REMOVEDMEMBERS.withoutDeleted")):
+            for ln in payload.decode().splitlines():
+                if ln:
+                    removed_members.append(int(ln.split()[0]))
+        kept_keys = [int(ln.split()[0]) for ln in open(mapping)]
+        createsubdb(kept_keys, old_clu, t("OLCLUST.withoutDeletedKeys"))
+        filterdb(t("OLCLUST.withoutDeletedKeys"),
+                 t("OLCLUST.withoutDeleted"), filter_file=removed,
+                 positive_filter=True)
+        old_clu_eff = t("OLCLUST.withoutDeleted")
+
+    # re-key the new DB: kept sequences take their OLD keys, novel ones
+    # get ids above max(old,new)
+    max_id = 0
+    for idx in (f"{old_db}.index", f"{new_db}.index"):
+        for ln in open(idx):
+            max_id = max(max_id, int(ln.split("\t")[0]))
+    new_mapping_rows = []
+    for ln in open(mapping):
+        o, n = ln.split()
+        new_mapping_rows.append((int(n), int(o)))
+    new_ids = []
+    nxt = max_id + 1
+    for ln in open(newseqs):
+        new_mapping_rows.append((int(ln.split()[0]), nxt))
+        new_ids.append(nxt)
+        nxt += 1
+    with open(t("newMappingSeqs"), "w") as f:
+        for a, b in new_mapping_rows:
+            f.write(f"{a}\t{b}\n")
+    renamedbkeys(t("newMappingSeqs"), new_db, new_map_db)
+
+    new_seq_keys = removed_members + new_ids
+    createsubdb(new_seq_keys, new_map_db, t("NEWDB.newSeqs"))
+    _copy_headers(new_map_db, t("NEWDB.newSeqs"))
+    result2repseq(old_db, old_clu_eff, t("OLDDB.repSeq"))
+    _copy_headers(old_db, t("OLDDB.repSeq"))
+    hits = t("newSeqsHits")
+    if not os.path.exists(f"{hits}.dbtype"):
+        # SEARCH_PAR forces --max-accept 1 (ClusterUpdate.cpp:70-74)
+        search_db(t("NEWDB.newSeqs"), t("OLDDB.repSeq"), hits,
+                  t("search"), alignment_mode=3, max_accept=1)
+    swapdb(hits, t("newSeqsHits.swapped.all"))
+    has_hits = any(int(ln.split("\t")[2]) > 1
+                   for ln in open(t("newSeqsHits.swapped.all.index")))
+    updated_clust = old_clu_eff
+    if has_hits:
+        filterdb(t("newSeqsHits.swapped.all"), t("newSeqsHits.swapped"),
+                 trim_to_one_column=True, filter_regex="^.*$")
+        mergedbs(old_clu_eff, t("updatedClust"),
+                 [old_clu_eff, t("newSeqsHits.swapped")])
+        updated_clust = t("updatedClust")
+
+    no_hit = [int(ln.split("\t")[0]) for ln in open(f"{hits}.index")
+              if int(ln.split("\t")[2]) == 1]
+    if no_hit:
+        createsubdb(no_hit, new_map_db, t("toBeClusteredSeparately"))
+        _copy_headers(new_map_db, t("toBeClusteredSeparately"))
+        cluster_workflow(t("toBeClusteredSeparately"), t("newClusters"),
+                         t("cluster"))
+        concatdbs(updated_clust, t("newClusters"), new_clu,
+                  preserve_keys_b=True)
+    else:
+        from .dbtools2 import cpdb
+        cpdb(updated_clust, new_clu)
+    return new_clu

@@ -28,6 +28,83 @@ def _build_msa(center_enc, members):
     return msa
 
 
+def _expand_cigar(cigar):
+    import re
+    out = []
+    for cnt, op in re.findall(r"(\d+)([MID])", cigar or ""):
+        out.extend(op * int(cnt))
+    return out
+
+
+def _build_msa_with_deletions(center_enc, members):
+    """--allow-deletion MSA (MultipleAlignment.cpp:44-218): member
+    deletion runs become columns (center shows gaps), rows padded with
+    gaps, and the writer truncates at res.centerLength = L columns."""
+    L = len(center_enc)
+    # queryGaps: per center position, the max deletion-run length ending
+    # at that (post-run) position over all members
+    query_gaps = np.zeros(L + 1, np.int64)
+    expanded = []
+    for (_t, qs, _ts, cigar) in members:
+        bt = _expand_cigar(cigar)
+        expanded.append(bt)
+        qpos = qs
+        run = 0
+        for op in bt:
+            if op == "M":
+                qpos += 1
+                run = 0
+            elif op == "I":
+                qpos += 1
+                run = 0
+            else:
+                run += 1
+                query_gaps[qpos] = max(query_gaps[qpos], run)
+    # center row
+    crow = []
+    for qp in range(L):
+        crow.extend([GAP] * int(query_gaps[qp]))
+        crow.append(int(center_enc[qp]))
+    size = len(crow)
+    rows = [crow]
+    for (t_enc, qs, ts, cigar), bt in zip(members, expanded):
+        row = [GAP] * qs
+        qpos, tpos = qs, ts
+        i = 0
+        while i < len(bt):
+            op = bt[i]
+            if op == "I":
+                row.append(GAP)
+                qpos += 1
+                i += 1
+            elif op == "D":
+                while i < len(bt) and bt[i] == "D":
+                    row.append(int(t_enc[tpos]))
+                    tpos += 1
+                    i += 1
+                if i >= len(bt):
+                    break
+                if bt[i] == "I":
+                    row.append(GAP)
+                    qpos += 1
+                else:  # M directly after a deletion run: no gap padding
+                    row.append(int(t_enc[tpos]))
+                    qpos += 1
+                    tpos += 1
+                i += 1
+            else:  # M
+                row.extend([GAP] * int(query_gaps[qpos]))
+                row.append(int(t_enc[tpos]))
+                qpos += 1
+                tpos += 1
+                i += 1
+        row.extend([GAP] * (size - len(row)))
+        rows.append(row[:size])
+    msa = np.array([r[:L] + [GAP] * max(0, L - len(r)) for r in rows],
+                   np.uint8)
+    return msa
+
+
 def _row_text(row):
     return "".join(_NUM2AA[c] if c < GAP else "-" for c in row)
 
@@ -35,7 +112,7 @@ def _row_text(row):
 def result2msa_db(query_db, target_db, aln_db, out_db, msa_format_mode=2,
                   filter_msa=False, skip_query=False, cov_msa_thr=0.0,
                   qid=(0,), qsc=-20.0, filter_max_seq_id=0.9, n_diff=1000,
-                  filter_min_enable=0):
+                  filter_min_enable=0, allow_deletion=False):
     from ..data.submat import encode_aa
     from ..io.fasta import parse_fasta_header
 
@@ -63,7 +140,8 @@ def result2msa_db(query_db, target_db, aln_db, out_db, msa_format_mode=2,
                 continue
             members.append((t_seqs[t_key], q_start, t_start, bt))
             seq_keys.append(t_key)
-        msa = _build_msa(center, members)
+        msa = _build_msa_with_deletions(center, members) \
+            if allow_deletion else _build_msa(center, members)
         kept = np.ones(len(msa), bool)
         if filter_msa:
             from ..ops.msafilter import msa_filter

@@ -80,12 +80,22 @@ def align_db(query_db, target_db, result_db, out_db, evalue=1e-3,
             bts = [b for b, k in zip(bts, keep) if k]
             sids = [s for s, k in zip(sids, keep) if k]
     if max_accept is not None and len(hits):
+        # acceptance follows the PREFILTER candidate order (the
+        # sequential accept walk of Alignment::run), not the sorted
+        # output order
+        by_pair = {}
+        for i, h in enumerate(hits):
+            by_pair.setdefault((int(h["orf_idx"]), int(h["target_idx"])),
+                               []).append(i)
         keep = np.zeros(len(hits), bool)
         counts = {}
-        for i, h in enumerate(hits):
-            oi = int(h["orf_idx"])
-            if counts.get(oi, 0) < max_accept:
-                counts[oi] = counts.get(oi, 0) + 1
+        for qi, ti in np.asarray(pairs).tolist():
+            if counts.get(qi, 0) >= max_accept:
+                continue
+            for i in by_pair.get((qi, ti), ()):
+                if counts.get(qi, 0) >= max_accept:
+                    break
+                counts[qi] = counts.get(qi, 0) + 1
                 keep[i] = True
         hits = hits[keep]
         if bts is not None:

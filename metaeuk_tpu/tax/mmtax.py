@@ -1281,3 +1281,70 @@ def createtaxdb(seq_db, tmp_dir, ncbi_tax_dump=None, tax_mapping_file=None,
                 lines.append(f"{cols[0]}\t{src2tax.get(cols[2], '')}\n")
     with open(f"{seq_db}_mapping", "w") as f:
         f.writelines(lines)
+
+
+def nrtotaxmapping(acc2taxid_files, seq_db, out_file):
+    """nrtotaxmapping.cpp: per header entry (NR-style, \\x01-joined
+    multi-headers), resolve each accession (version/space-stripped)
+    through the accession2taxid files; accessions without a mapping fall
+    back to the LAST space-preceded [bracketed species name] looked up
+    among UNIQUE taxonomy node names; the entry's taxon is the LCA of
+    all resolved taxa. Output: sorted 'key<TAB>taxid' mapping file."""
+    from ..io import mmseqsdb
+
+    t = Taxonomy.open(seq_db)
+
+    acc_map = {}
+    for path in ([acc2taxid_files] if isinstance(acc2taxid_files, str)
+                 else acc2taxid_files):
+        with open(path) as f:
+            for ln in f:
+                c = ln.rstrip("\n").split("\t")
+                if len(c) < 4 or c[2] == "taxid":
+                    continue
+                acc_map[c[0]] = int(c[2])
+
+    from collections import Counter
+    name_counts = Counter(n for n in t.names if n)
+    unique_names = {n: t.tax_ids[i] for i, n in enumerate(t.names)
+                    if n and name_counts[n] == 1}
+
+    rows = []
+    for key, payload in mmseqsdb.read_db(f"{seq_db}_h"):
+        taxa = []
+        data = payload.rstrip(b"\x00")
+        for part in data.replace(b"\n", b"\x01").split(b"\x01"):
+            if not part:
+                continue
+            text = part.decode(errors="replace")
+            # accession = text up to the first '.' or ' '
+            acc_end = len(text)
+            for i, ch in enumerate(text):
+                if ch in ". ":
+                    acc_end = i
+                    break
+            tax = acc_map.get(text[:acc_end], 0)
+            if tax:
+                taxa.append(tax)
+                continue
+            # species fallback: last '[' preceded by a space
+            start = None
+            end = None
+            for i, ch in enumerate(text):
+                if ch == "[" and i > 0 and text[i - 1] == " ":
+                    start = i + 1
+                    end = i + 1
+                elif ch == "]":
+                    end = i
+            if start is not None and end is not None and end >= start:
+                tax = unique_names.get(text[start:end], 0)
+                if tax:
+                    taxa.append(tax)
+        node = t.lca_list(taxa) if taxa else None
+        if node:
+            rows.append((key, node))
+    rows.sort()
+    with open(out_file, "w") as f:
+        for key, tax in rows:
+            f.write(f"{key}\t{tax}\n")
+    return out_file
