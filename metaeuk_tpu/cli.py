@@ -1092,6 +1092,39 @@ def cmd_dbtool6(args):
     return 0
 
 
+def cmd_dbtool7(args):
+    from .pipeline import dbtools7 as d7
+    t, a = args.tool, args.args
+    if t == "tsv2exprofiledb":
+        d7.tsv2exprofiledb(a[0], a[1], compressed=bool(args.compressed))
+    elif t == "createclusearchdb":
+        d7.createclusearchdb(a[0], a[1], a[2])
+    elif t == "transitivealign":
+        d7.transitivealign(a[0], a[1], a[2], evalue=args.e, cov=args.c,
+                           cov_mode=args.cov_mode,
+                           min_seq_id=args.min_seq_id)
+    elif t == "msa2result":
+        d7.msa2result(a[0], a[1], a[2], match_ratio=args.match_ratio,
+                      filter_msa=args.filter_msa)
+    print(f"{t}: done")
+    return 0
+
+
+def cmd_index_alias(args):
+    """indexdb/kmerindexdb: persist the search indexes under the
+    reference command names (createindex / createlinindex artifacts)."""
+    if args.tool == "indexdb":
+        args.target_db = args.args[0]
+        args.out = args.args[1]
+        args.s = 7.5
+        args.mask = 1
+        return cmd_createindex(args)
+    from .search.linsearch_lin import build_linindex
+    build_linindex(args.args[0], f"{args.args[1]}.linidx.npz")
+    print(f"wrote {args.args[1]}.linidx.npz")
+    return 0
+
+
 def cmd_pickconsensusrep(args):
     from .pipeline.clusterwf import pickconsensusrep
     pickconsensusrep(args.seq_db, args.clu_db, args.out_db, args.tmp)
@@ -1756,6 +1789,32 @@ def main(argv=None):
         dp6.add_argument("--threads", type=int, default=1)
         dp6.add_argument("-v", type=int, default=3)
         dp6.set_defaults(fn=cmd_dbtool6, tool=tool)
+
+    d7_tools = {"tsv2exprofiledb": 2, "createclusearchdb": 3,
+                "transitivealign": 3, "msa2result": 3}
+    for tool, nargs in d7_tools.items():
+        dp7 = sub.add_parser(tool, help=f"{tool} utility")
+        dp7.add_argument("args", nargs=nargs)
+        if tool == "tsv2exprofiledb":
+            dp7.add_argument("--compressed", type=int, default=1)
+        elif tool == "transitivealign":
+            dp7.add_argument("-e", type=float, default=1e-3)
+            dp7.add_argument("-c", type=float, default=0.0)
+            dp7.add_argument("--cov-mode", type=int, default=0)
+            dp7.add_argument("--min-seq-id", type=float, default=0.0)
+        elif tool == "msa2result":
+            dp7.add_argument("--match-ratio", type=float, default=0.5)
+            dp7.add_argument("--filter-msa", type=int, default=1)
+        dp7.add_argument("--threads", type=int, default=1)
+        dp7.add_argument("-v", type=int, default=3)
+        dp7.set_defaults(fn=cmd_dbtool7, tool=tool)
+
+    for tool in ("indexdb", "kmerindexdb"):
+        ia = sub.add_parser(tool, help=f"{tool}: persist the search index")
+        ia.add_argument("args", nargs=2)
+        ia.add_argument("--threads", type=int, default=1)
+        ia.add_argument("-v", type=int, default=3)
+        ia.set_defaults(fn=cmd_index_alias, tool=tool)
 
     pcr = sub.add_parser("pickconsensusrep",
                          help="re-pick cluster representatives by "
