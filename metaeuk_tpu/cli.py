@@ -1110,6 +1110,26 @@ def cmd_dbtool7(args):
     return 0
 
 
+def cmd_dbtool8(args):
+    from .pipeline import dbtools8 as d8
+    t, a = args.tool, args.args
+    if t == "convertkb":
+        d8.convertkb(a[:-1], a[-1], kb_columns=args.kb_columns or None,
+                     mapping_lookup=args.mapping_file or None)
+    elif t == "extractdomains":
+        d8.extractdomains(a[0], a[1], a[2], cov=args.c, evalue=args.e)
+    elif t == "appenddbtoindex":
+        d8.appenddbtoindex(a[:-1], a[-1],
+                           keys=args.id_list.split(",")
+                           if args.id_list else None)
+    elif t == "calculatelambda":
+        import sys
+        sys.stdout.write(d8.calculatelambda(a[0]))
+        return 0
+    print(f"{t}: done")
+    return 0
+
+
 def cmd_index_alias(args):
     """indexdb/kmerindexdb: persist the search indexes under the
     reference command names (createindex / createlinindex artifacts)."""
@@ -1808,6 +1828,23 @@ def main(argv=None):
         dp7.add_argument("--threads", type=int, default=1)
         dp7.add_argument("-v", type=int, default=3)
         dp7.set_defaults(fn=cmd_dbtool7, tool=tool)
+
+    d8_tools = {"convertkb": "+", "extractdomains": 3,
+                "appenddbtoindex": "+", "calculatelambda": 1}
+    for tool, nargs in d8_tools.items():
+        dp8 = sub.add_parser(tool, help=f"{tool} utility")
+        dp8.add_argument("args", nargs=nargs)
+        if tool == "convertkb":
+            dp8.add_argument("--kb-columns", type=str, default="")
+            dp8.add_argument("--mapping-file", type=str, default="")
+        elif tool == "extractdomains":
+            dp8.add_argument("-c", type=float, default=0.0)
+            dp8.add_argument("-e", type=float, default=0.001)
+        elif tool == "appenddbtoindex":
+            dp8.add_argument("--id-list", type=str, default="")
+        dp8.add_argument("--threads", type=int, default=1)
+        dp8.add_argument("-v", type=int, default=3)
+        dp8.set_defaults(fn=cmd_dbtool8, tool=tool)
 
     for tool in ("indexdb", "kmerindexdb"):
         ia = sub.add_parser(tool, help=f"{tool}: persist the search index")
