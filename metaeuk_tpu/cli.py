@@ -1130,6 +1130,16 @@ def cmd_dbtool8(args):
     return 0
 
 
+def cmd_alignbykmer(args):
+    from .search.alignbykmer import alignbykmer_db
+    alignbykmer_db(args.query_db, args.target_db, args.result_db,
+                   args.out_db, evalue=args.e, cov=args.c,
+                   cov_mode=args.cov_mode, min_seq_id=args.min_seq_id,
+                   gap_open=args.gap_open, gap_extend=args.gap_extend)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_index_alias(args):
     """indexdb/kmerindexdb: persist the search indexes under the
     reference command names (createindex / createlinindex artifacts)."""
@@ -1845,6 +1855,22 @@ def main(argv=None):
         dp8.add_argument("--threads", type=int, default=1)
         dp8.add_argument("-v", type=int, default=3)
         dp8.set_defaults(fn=cmd_dbtool8, tool=tool)
+
+    abk = sub.add_parser("alignbykmer",
+                         help="fast k-mer-chain alignment")
+    abk.add_argument("query_db")
+    abk.add_argument("target_db")
+    abk.add_argument("result_db")
+    abk.add_argument("out_db")
+    abk.add_argument("-e", type=float, default=0.001)
+    abk.add_argument("-c", type=float, default=0.0)
+    abk.add_argument("--cov-mode", type=int, default=0)
+    abk.add_argument("--min-seq-id", type=float, default=0.0)
+    abk.add_argument("--gap-open", type=int, default=11)
+    abk.add_argument("--gap-extend", type=int, default=1)
+    abk.add_argument("--threads", type=int, default=1)
+    abk.add_argument("-v", type=int, default=3)
+    abk.set_defaults(fn=cmd_alignbykmer)
 
     for tool in ("indexdb", "kmerindexdb"):
         ia = sub.add_parser(tool, help=f"{tool}: persist the search index")

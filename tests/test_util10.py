@@ -66,6 +66,22 @@ def test_calculatelambda():
             tmp.unlink()
 
 
+def test_alignbykmer(tmp_path):
+    from metaeuk_tpu.cli import main
+    from metaeuk_tpu.search.alignbykmer import alignbykmer_db
+    from metaeuk_tpu.search.searchdb import prefilter_db
+    data = pathlib.Path(__file__).parent / "data"
+    assert main(["createdb", str(data / "queries_lin.faa"),
+                 str(tmp_path / "qdb")]) == 0
+    assert main(["createdb", str(data / "proteins.faa"),
+                 str(tmp_path / "tdb")]) == 0
+    prefilter_db(str(tmp_path / "qdb"), str(tmp_path / "tdb"),
+                 str(tmp_path / "pref"), sensitivity=4.0)
+    alignbykmer_db(str(tmp_path / "qdb"), str(tmp_path / "tdb"),
+                   str(tmp_path / "pref"), str(tmp_path / "abk"))
+    assert_db_equal(tmp_path / "abk", GOLDEN / "abk")
+
+
 def test_appenddbtoindex(tmp_path):
     from metaeuk_tpu.io import mmseqsdb
     from metaeuk_tpu.pipeline.dbtools8 import appenddbtoindex
