@@ -1130,6 +1130,17 @@ def cmd_dbtool8(args):
     return 0
 
 
+def cmd_pairaln(args):
+    from .pipeline.pairaln import pairaln_db
+    pairaln_db(args.query_db, args.target_db, args.aln_db, args.out_db,
+               pairing_mode=args.pairing_mode,
+               pairing_filter=args.pairing_filter,
+               pairing_dummy_mode=args.pairing_dummy_mode,
+               prox_dist=args.pairing_prox_dist)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_alignbykmer(args):
     from .search.alignbykmer import alignbykmer_db
     alignbykmer_db(args.query_db, args.target_db, args.result_db,
@@ -1855,6 +1866,21 @@ def main(argv=None):
         dp8.add_argument("--threads", type=int, default=1)
         dp8.add_argument("-v", type=int, default=3)
         dp8.set_defaults(fn=cmd_dbtool8, tool=tool)
+
+    pa = sub.add_parser("pairaln",
+                        help="pair alignments across complex chains "
+                        "by species")
+    pa.add_argument("query_db")
+    pa.add_argument("target_db")
+    pa.add_argument("aln_db")
+    pa.add_argument("out_db")
+    pa.add_argument("--pairing-mode", type=int, default=0)
+    pa.add_argument("--pairing-filter", type=int, default=0)
+    pa.add_argument("--pairing-dummy-mode", type=int, default=0)
+    pa.add_argument("--pairing-prox-dist", type=int, default=20)
+    pa.add_argument("--threads", type=int, default=1)
+    pa.add_argument("-v", type=int, default=3)
+    pa.set_defaults(fn=cmd_pairaln)
 
     abk = sub.add_parser("alignbykmer",
                          help="fast k-mer-chain alignment")
