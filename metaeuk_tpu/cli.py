@@ -1130,6 +1130,17 @@ def cmd_dbtool8(args):
     return 0
 
 
+def cmd_fwbw(args):
+    from .search.fwbw import fwbw_db
+    fwbw_db(args.query_db, args.target_db, args.aln_db, args.out_db,
+            gap_open=args.fwbw_gapopen, gap_extend=args.fwbw_gapextend,
+            temperature=args.temperature, mact=args.mact,
+            blocklen=args.blocklen, evalue=args.e, cov=args.c,
+            cov_mode=args.cov_mode, min_seq_id=args.min_seq_id)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_pairaln(args):
     from .pipeline.pairaln import pairaln_db
     pairaln_db(args.query_db, args.target_db, args.aln_db, args.out_db,
@@ -1866,6 +1877,25 @@ def main(argv=None):
         dp8.add_argument("--threads", type=int, default=1)
         dp8.add_argument("-v", type=int, default=3)
         dp8.set_defaults(fn=cmd_dbtool8, tool=tool)
+
+    fw = sub.add_parser("fwbw", help="forward-backward posterior "
+                        "realignment of an alignment DB")
+    fw.add_argument("query_db")
+    fw.add_argument("target_db")
+    fw.add_argument("aln_db")
+    fw.add_argument("out_db")
+    fw.add_argument("--fwbw-gapopen", type=float, default=10.0)
+    fw.add_argument("--fwbw-gapextend", type=float, default=2.0)
+    fw.add_argument("--temperature", type=float, default=1.0)
+    fw.add_argument("--mact", type=float, default=0.035)
+    fw.add_argument("--blocklen", type=int, default=16)
+    fw.add_argument("-e", type=float, default=0.001)
+    fw.add_argument("-c", type=float, default=0.0)
+    fw.add_argument("--cov-mode", type=int, default=0)
+    fw.add_argument("--min-seq-id", type=float, default=0.0)
+    fw.add_argument("--threads", type=int, default=1)
+    fw.add_argument("-v", type=int, default=3)
+    fw.set_defaults(fn=cmd_fwbw)
 
     pa = sub.add_parser("pairaln",
                         help="pair alignments across complex chains "

@@ -46,6 +46,27 @@ def test_pairaln_no_backtrace(inputs):
             (GOLDEN / f"paired_nb{s}").read_bytes()
 
 
+def test_fwbw(inputs):
+    """fwbw byte parity: the native kernel replicates the reference's
+    SSE build (no FMA) bit-for-bit, including the vectorized exp/log
+    polynomials and the 4-lane chunked ZE prefix sum."""
+    from metaeuk_tpu.cli import main
+    from metaeuk_tpu.search.fwbw import fwbw_db
+    data = pathlib.Path(__file__).parent / "data"
+    qlin = (data / "queries_lin.faa").read_bytes().split(b"\n")
+    (inputs / "q1.faa").write_bytes(b"\n".join(qlin[:20]) + b"\n")
+    (inputs / "q2.faa").write_bytes(b"\n".join(qlin[20:]))
+    assert main(["createdb", str(inputs / "q1.faa"),
+                 str(inputs / "q2.faa"), str(inputs / "qdb")]) == 0
+    assert main(["createdb", str(data / "proteins.faa"),
+                 str(inputs / "tdb")]) == 0
+    fwbw_db(str(inputs / "qdb"), str(inputs / "tdb"),
+            str(inputs / "aln"), str(inputs / "fwbwout"))
+    for s in ("", ".index", ".dbtype"):
+        assert (inputs / f"fwbwout{s}").read_bytes() == \
+            (GOLDEN / f"fwbwout{s}").read_bytes(), f"fwbwout{s}"
+
+
 def test_uniprot_structured_numbers():
     """UniProtConverter patterns: OPQ 6-char, ANRZ 6/10-char, UPI hex,
     UniRef/isoform normalisation (pairaln.cpp:28-59)."""
