@@ -498,6 +498,10 @@ def cmd_dbtool3(args):
     elif t == "diffseqdbs":
         d3.diffseqdbs(a[0], a[1], a[2], a[3], a[4],
                       use_seq_id=args.use_seq_id)
+    elif t == "result2msa" and args.msa_format_mode in (0, 1):
+        from .pipeline.ca3m import result2msa_ca3m
+        result2msa_ca3m(a[0], a[1], a[2], a[3],
+                        consensus=args.msa_format_mode == 1)
     elif t == "result2msa":
         from .pipeline.result2msa import result2msa_db
         result2msa_db(a[0], a[1], a[2], a[3],
@@ -1127,6 +1131,14 @@ def cmd_dbtool8(args):
         sys.stdout.write(d8.calculatelambda(a[0]))
         return 0
     print(f"{t}: done")
+    return 0
+
+
+def cmd_convertca3m(args):
+    from .pipeline.ca3m import convertca3m
+    convertca3m(args.in_base, args.out_db,
+                compressed=bool(args.compressed))
+    print(f"wrote {args.out_db}")
     return 0
 
 
@@ -1877,6 +1889,15 @@ def main(argv=None):
         dp8.add_argument("--threads", type=int, default=1)
         dp8.add_argument("-v", type=int, default=3)
         dp8.set_defaults(fn=cmd_dbtool8, tool=tool)
+
+    cc = sub.add_parser("convertca3m", help="expand a compressed-A3M "
+                        "DB to alignment results")
+    cc.add_argument("in_base")
+    cc.add_argument("out_db")
+    cc.add_argument("--compressed", type=int, default=0)
+    cc.add_argument("--threads", type=int, default=1)
+    cc.add_argument("-v", type=int, default=3)
+    cc.set_defaults(fn=cmd_convertca3m)
 
     fw = sub.add_parser("fwbw", help="forward-backward posterior "
                         "realignment of an alignment DB")
