@@ -60,7 +60,8 @@ def mergedbs(query_db, out_db, in_dbs, prefixes=()):
     with open(f"{query_db}.index") as f:
         qkeys = [int(line.split("\t")[0]) for line in f]
     maps = [dict(mmseqsdb.read_db(db)) for db in in_dbs]
-    dbtype = mmseqsdb.read_dbtype(in_dbs[0])
+    # keep extended dbtype bits (e.g. expandaln's NEED_SRC flag)
+    dbtype = mmseqsdb.read_dbtype_raw(in_dbs[0]) & 0x7FFFFFFF
     out = []
     for key in qkeys:
         parts = []

@@ -91,9 +91,12 @@ def translate_result(ab, bc):
 
 
 def _rescore_by_backtrace(ac, a_enc, c_enc, bias8, gap_open=11,
-                          gap_extend=1):
-    """rescoreResultByBacktrace (expandaln.cpp:36-77): raw score +
-    identity count along the translated backtrace."""
+                          gap_extend=1, q_pssm=None):
+    """rescoreResultByBacktrace (expandaln.cpp:27-76): raw score +
+    identity count along the translated backtrace. With a profile
+    query, match scores come from the query PSSM at the target residue
+    (isQueryProf branch, expandaln.cpp:48-49) and a_enc is the profile
+    consensus."""
     from ..data.submat import BLOSUM62_SCORES
 
     q = ac["qStart"]
@@ -103,8 +106,11 @@ def _rescore_by_backtrace(ac, a_enc, c_enc, bias8, gap_open=11,
     last = ""
     for state in ac["backtrace"]:
         if state == "M":
-            score += int(BLOSUM62_SCORES[a_enc[q], c_enc[t]]) + \
-                int(bias8[q])
+            if q_pssm is not None:
+                score += int(q_pssm[q, c_enc[t]])
+            else:
+                score += int(BLOSUM62_SCORES[a_enc[q], c_enc[t]]) + \
+                    int(bias8[q])
             identities += int(a_enc[q] == c_enc[t])
             q += 1
             t += 1
@@ -129,10 +135,17 @@ def expandaln_db(a_db, c_db, result_ab, result_bc, out_db,
     from ..search.lcaalign import can_be_covered, has_coverage
     from .alnformat import compress_backtrace, matcher_seq_id_text
 
-    adb = mmseqsdb.read_seqdb(a_db)
-    same = str(a_db) == str(c_db)
+    a_is_profile = mmseqsdb.read_dbtype(a_db) == 2  # DBTYPE_HMM_PROFILE
+    aprof = None
+    if a_is_profile:
+        from ..io.profiledb import ProfileDB
+        aprof = ProfileDB.from_db(str(a_db))
+        a_by_key = {int(k): i for i, k in enumerate(aprof.keys)}
+    else:
+        adb = mmseqsdb.read_seqdb(a_db)
+        a_by_key = {int(k): i for i, k in enumerate(adb.keys)}
+    same = (not a_is_profile) and str(a_db) == str(c_db)
     cdb = adb if same else mmseqsdb.read_seqdb(c_db)
-    a_by_key = {int(k): i for i, k in enumerate(adb.keys)}
     c_by_key = {int(k): i for i, k in enumerate(cdb.keys)}
     bc_entries = {k: p for k, p in mmseqsdb.read_db(result_bc)}
     evaluer = EvalueComputation(int(cdb.lengths.sum()), gapped=True)
@@ -140,11 +153,21 @@ def expandaln_db(a_db, c_db, result_ab, result_bc, out_db,
     out = []
     prof_out = []
     for akey, payload in mmseqsdb.read_db(result_ab):
-        a_enc = AA2NUM[np.asarray(adb.seq(a_by_key[akey]), np.uint8)]
-        if comp_bias_correction:
-            bias8 = composition_bias_rounded(a_enc)
-        else:
+        q_pssm = None
+        if a_is_profile:
+            # profile query: numSequence = the profile's stored QUERY
+            # residues (Sequence::mapProfile) for identity counting +
+            # per-position PSSM (expandaln.cpp:48-49); no composition
+            # bias (expandaln.cpp:246-248 requires DBTYPE_AMINO_ACIDS)
+            a_enc = aprof.query_seqs[a_by_key[akey]]
+            q_pssm = aprof.pssms[a_by_key[akey]]
             bias8 = np.zeros(len(a_enc), np.int64)
+        else:
+            a_enc = AA2NUM[np.asarray(adb.seq(a_by_key[akey]), np.uint8)]
+            if comp_bias_correction:
+                bias8 = composition_bias_rounded(a_enc)
+            else:
+                bias8 = np.zeros(len(a_enc), np.int64)
         accepted = []
         members = []
         seen_targets = set()
@@ -168,9 +191,10 @@ def expandaln_db(a_db, c_db, result_ab, result_bc, out_db,
                     continue
                 c_enc = AA2NUM[np.asarray(cdb.seq(c_by_key[ckey]),
                                           np.uint8)]
-                if expansion_mode == 0:
+                if expansion_mode == 1:  # EXPAND_RESCORE_BACKTRACE
                     raw, idents = _rescore_by_backtrace(ac, a_enc, c_enc,
-                                                        bias8)
+                                                        bias8,
+                                                        q_pssm=q_pssm)
                     if raw < -6:
                         continue
                     ev = evaluer.compute_evalue(raw, len(a_enc))

@@ -127,7 +127,16 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
         centers_by_key = {int(k): enc(qdb.seq(i))
                           for i, k in enumerate(qdb.keys)}
 
-    t_by_key = {int(k): i for i, k in enumerate(tdb.keys)}
+    t_prof = None
+    if mmseqsdb.read_dbtype(target_db) == mmseqsdb.DBTYPE_HMM_PROFILE:
+        # profile TARGET (enrich workflow): MSA rows use the profiles'
+        # stored query residues (Sequence::mapProfile numSequence)
+        from ..io.profiledb import ProfileDB
+        t_prof = ProfileDB.from_db(target_db)
+        tdb = None
+        t_by_key = {int(k): i for i, k in enumerate(t_prof.keys)}
+    else:
+        t_by_key = {int(k): i for i, k in enumerate(tdb.keys)}
     aln_entries = mmseqsdb.read_db(aln_db)
     out = []
     for qkey, payload in aln_entries:
@@ -144,7 +153,12 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
                     raise NotImplementedError(
                         "alignment DB without backtraces (rerun search "
                         "with -a / alignment mode 3)")
-                members.append((enc(tdb.seq(t_by_key[key])), qs, ts, bt))
+                if t_prof is not None:
+                    t_enc = np.asarray(t_prof.query_seqs[t_by_key[key]],
+                                       np.uint8)
+                else:
+                    t_enc = enc(tdb.seq(t_by_key[key]))
+                members.append((t_enc, qs, ts, bt))
         # reference: qid_vec = sorted((int)(strtod(s)*100)) (result2profile
         # .cpp:36-43)
         qid_vec = sorted(int(float(s) * 100) for s in str(qid).split(","))

@@ -27,6 +27,48 @@ def _bucket(n, lo=32):
     return b
 
 
+def slice_search_db(query_db, prof_db, out_db, evalue=0.001,
+                    add_backtrace=True, params=None):
+    """DB-level sliced profile-target search (`search
+    --exhaustive-search [-a]`, searchslicedtargetprofile.sh): fragments
+    vs an HMM-profile DB, results keyed per fragment."""
+    import dataclasses
+
+    from ..io import mmseqsdb
+    from ..io.profiledb import ProfileDB
+    from ..params import Params
+    from ..pipeline.alnformat import (compress_backtrace,
+                                      matcher_seq_id_text)
+
+    p = params or Params()
+    p = dataclasses.replace(p, search_evalue_thr=evalue)
+    qdb = mmseqsdb.read_seqdb(query_db)
+    profiles = ProfileDB.from_db(str(prof_db))
+    driver = ProfileSearchDriver(p, profiles)
+    qbytes = [qdb.seq_bytes(i) for i in range(len(qdb))]
+    hits = driver.search(qbytes)
+    bts = sids = None
+    if add_backtrace:
+        orfs_enc = [encode_aa(s) for s in qbytes]
+        bts, sids = driver.backtraces(hits, orfs_enc)
+    by_query = {i: [] for i in range(len(qdb))}
+    for idx, h in enumerate(hits):
+        sid = sids[idx] if sids is not None else h["seq_id"]
+        line = (f"{profiles.keys[int(h['target_idx'])]}\t"
+                f"{int(h['bit_score'])}\t{matcher_seq_id_text(sid)}\t"
+                f"{'%.3E' % h['evalue']}\t{int(h['q_start'])}\t"
+                f"{int(h['q_end'])}\t{int(h['q_len'])}\t"
+                f"{int(h['t_start'])}\t{int(h['t_end'])}\t"
+                f"{int(h['t_len'])}")
+        if bts is not None:
+            line += f"\t{compress_backtrace(bts[idx])}"
+        by_query[int(h["orf_idx"])].append(line + "\n")
+    out = [(int(qdb.keys[i]), "".join(by_query[i]).encode())
+           for i in range(len(qdb))]
+    mmseqsdb.write_db(out_db, out, mmseqsdb.DBTYPE_ALIGNMENT_RES)
+    return out_db
+
+
 class ProfileSearchDriver:
     """Aligns encoded fragments against an HMM-profile DB (inverted)."""
 
@@ -93,6 +135,46 @@ class ProfileSearchDriver:
         out["q_start"], out["q_end"], out["q_len"] = q_start, q_end, q_len
         out["t_start"], out["t_end"], out["t_len"] = t_start, t_end, t_len
         return out
+
+    def backtraces(self, hits, orfs_enc):
+        """True backtraces + seqIds for SWAPPED output rows (the -a /
+        alignment-mode-3 path of the sliced search): the PROFILE_SEQ
+        banded traceback on the pre-swap orientation, then the
+        swapresults I<->D cigar flip (Matcher.h swapResult)."""
+        from .. import native
+
+        p = self.params
+        bts = []
+        seq_ids = np.zeros(len(hits), np.float32)
+        swap = str.maketrans("ID", "DI")
+        for idx, h in enumerate(hits):
+            pidx = int(h["target_idx"])
+            pssm = np.asarray(self.profiles.pssms[pidx], np.int32)
+            qletters = self.profiles.query_seqs[pidx]
+            frag = orfs_enc[int(h["orf_idx"])]
+            # pre-swap: profile = (t_start..t_end), fragment = (q..)
+            ps, pe = int(h["t_start"]), int(h["t_end"])
+            fs, fe = int(h["q_start"]), int(h["q_end"])
+            band = abs((fe - fs + 1) - (pe - ps + 1)) + 1
+            bt = native.banded_sw_traceback_prof(
+                pssm[ps:pe + 1], frag[fs:fe + 1], int(h["score_raw"]),
+                band, p.gap_open, p.gap_extend)
+            if not bt:
+                bts.append("")
+                continue
+            pp, fp, ids = ps, fs, 0
+            for op in bt:
+                if op == "M":
+                    ids += int(qletters[pp] == frag[fp])
+                    pp += 1
+                    fp += 1
+                elif op == "I":
+                    pp += 1
+                else:
+                    fp += 1
+            seq_ids[idx] = np.float32(ids) / np.float32(len(bt))
+            bts.append(bt.translate(swap))
+        return bts, seq_ids
 
     def _filter_swap_sort(self, hits, ev_inv, ev_swap, scaled_thr):
         p = self.params
