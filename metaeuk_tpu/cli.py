@@ -1134,6 +1134,69 @@ def cmd_dbtool8(args):
     return 0
 
 
+def cmd_gpuserver(args):
+    """Resident TPU search server (the reference gpuserver role)."""
+    from .server import run_server
+    sock = args.socket or f"{args.target_db}.tpuserver.sock"
+    print(f"serving {args.target_db} on {sock}")
+    run_server(args.target_db, sock, sensitivity=args.s,
+               max_seqs=args.max_seqs,
+               mask_targets=bool(args.mask),
+               comp_bias_correction=bool(args.comp_bias_corr),
+               warmup=bool(args.warmup))
+    return 0
+
+
+def cmd_serverclient(args):
+    from .server import client_request
+    req = dict(op=args.op, query_db=args.query_db, out_db=args.out_db)
+    if args.tmp:
+        req["tmp"] = args.tmp
+    if args.op == "search":
+        req.update(evalue=args.e, add_backtrace=bool(args.a),
+                   min_seq_id=args.min_seq_id, cov=args.c,
+                   cov_mode=args.cov_mode)
+    resp = client_request(args.socket, req)
+    if not resp.get("ok"):
+        print(f"server error: {resp.get('error')}")
+        return 1
+    print(f"wrote {args.out_db}" if args.op != "shutdown" else "stopped")
+    return 0
+
+
+def cmd_databases(args):
+    from .pipeline.databases import download, list_table, list_tsv
+    if not args.name:
+        import sys
+        if args.tsv:
+            sys.stdout.write(list_tsv())
+        else:
+            sys.stdout.write(
+                "usage: metaeuk-tpu databases <name> <o:sequenceDB> "
+                "<tmpDir> [options]\n\n" + list_table())
+        return 0
+    if not args.sequence_db or not args.tmp:
+        print("databases needs <name> <o:sequenceDB> <tmpDir>")
+        return 1
+    download(args.name, args.sequence_db, args.tmp,
+             local_file=args.local_file or None,
+             taxdump_dir=args.ncbi_tax_dump or None,
+             tax_mapping=args.tax_mapping_file or None)
+    print(f"wrote {args.sequence_db}")
+    return 0
+
+
+def cmd_enrich(args):
+    from .pipeline.enrich import enrich_workflow
+    enrich_workflow(args.query_db, args.target_seq_db,
+                    args.target_prof_db, args.target_res_db, args.out_db,
+                    args.tmp, num_iterations=args.num_iterations,
+                    evalue=args.e, eval_profile=args.e_profile,
+                    sensitivity=args.s)
+    print(f"wrote {args.out_db}")
+    return 0
+
+
 def cmd_convertca3m(args):
     from .pipeline.ca3m import convertca3m
     convertca3m(args.in_base, args.out_db,
@@ -1889,6 +1952,67 @@ def main(argv=None):
         dp8.add_argument("--threads", type=int, default=1)
         dp8.add_argument("-v", type=int, default=3)
         dp8.set_defaults(fn=cmd_dbtool8, tool=tool)
+
+    gs = sub.add_parser("gpuserver", help="resident TPU search server "
+                        "(keeps the target index + compiled kernels "
+                        "warm across searches)")
+    gs.add_argument("target_db")
+    gs.add_argument("--socket", type=str, default="")
+    gs.add_argument("-s", type=float, default=5.7)
+    gs.add_argument("--max-seqs", type=int, default=300)
+    gs.add_argument("--mask", type=int, default=1)
+    gs.add_argument("--comp-bias-corr", type=int, default=1)
+    gs.add_argument("--warmup", type=int, default=1)
+    gs.add_argument("--threads", type=int, default=1)
+    gs.add_argument("-v", type=int, default=3)
+    gs.set_defaults(fn=cmd_gpuserver)
+
+    sc = sub.add_parser("serverclient", help="send a request to a "
+                        "running gpuserver")
+    sc.add_argument("socket")
+    sc.add_argument("op", choices=["search", "prefilter", "shutdown",
+                                   "ping"])
+    sc.add_argument("query_db", nargs="?", default="")
+    sc.add_argument("out_db", nargs="?", default="")
+    sc.add_argument("tmp", nargs="?", default="")
+    sc.add_argument("-e", type=float, default=0.001)
+    sc.add_argument("-a", type=int, default=0)
+    sc.add_argument("--min-seq-id", type=float, default=0.0)
+    sc.add_argument("-c", type=float, default=0.0)
+    sc.add_argument("--cov-mode", type=int, default=0)
+    sc.add_argument("-v", type=int, default=3)
+    sc.set_defaults(fn=cmd_serverclient)
+
+    dbp = sub.add_parser("databases",
+                         help="list/build curated reference databases")
+    dbp.add_argument("name", nargs="?", default="")
+    dbp.add_argument("sequence_db", nargs="?", default="")
+    dbp.add_argument("tmp", nargs="?", default="")
+    dbp.add_argument("--tsv", type=int, default=0)
+    dbp.add_argument("--local-file", type=str, default="",
+                     help="already-fetched FASTA (zero-egress hosts)")
+    dbp.add_argument("--ncbi-tax-dump", type=str, default="")
+    dbp.add_argument("--tax-mapping-file", type=str, default="")
+    dbp.add_argument("--threads", type=int, default=1)
+    dbp.add_argument("-v", type=int, default=3)
+    dbp.set_defaults(fn=cmd_databases)
+
+    en = sub.add_parser("enrich", help="boost search-result diversity "
+                        "through target profiles (the reference's "
+                        "6-path enrich.sh contract)")
+    en.add_argument("query_db")
+    en.add_argument("target_seq_db")
+    en.add_argument("target_prof_db")
+    en.add_argument("target_res_db")
+    en.add_argument("out_db")
+    en.add_argument("tmp")
+    en.add_argument("--num-iterations", type=int, default=3)
+    en.add_argument("-e", type=float, default=0.001)
+    en.add_argument("--e-profile", type=float, default=0.1)
+    en.add_argument("-s", type=float, default=4.0)
+    en.add_argument("--threads", type=int, default=1)
+    en.add_argument("-v", type=int, default=3)
+    en.set_defaults(fn=cmd_enrich)
 
     cc = sub.add_parser("convertca3m", help="expand a compressed-A3M "
                         "DB to alignment results")

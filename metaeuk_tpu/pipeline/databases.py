@@ -1,0 +1,138 @@
+"""databases: the curated reference-database catalog.
+
+Port of lib/mmseqs/src/workflow/Databases.cpp. The catalog entries
+(name, description, citation, URL, taxonomy flag, dbtype) match the
+reference's table; `list_tsv()` is byte-identical to
+`databases --tsv 1` (tests/golden/databases.tsv).
+
+Downloading needs network egress, which deployment hosts often lack
+(and the reference's wget would equally fail there); `download()`
+therefore supports `local_file=` to build the database from an
+already-fetched FASTA (+ optional NCBI taxdump directory for taxonomy
+databases) through the same createdb/createtaxdb path the reference's
+databases.sh uses, and raises a clear error otherwise.
+"""
+
+import os
+
+_AA = "Aminoacid"
+_NUCL = "Nucleotide"
+_PROF = "Profile"
+
+# name, dbtype, taxonomy, url, description
+CATALOG = [
+    ("UniRef100", _AA, True, "https://www.uniprot.org/help/uniref",
+     "The UniProt Reference Clusters provide clustered sets of sequences "
+     "from the UniProt Knowledgebase."),
+    ("UniRef90", _AA, True, "https://www.uniprot.org/help/uniref",
+     "The UniProt Reference Clusters provide clustered sets of sequences "
+     "from the UniProt Knowledgebase."),
+    ("UniRef50", _AA, True, "https://www.uniprot.org/help/uniref",
+     "The UniProt Reference Clusters provide clustered sets of sequences "
+     "from the UniProt Knowledgebase."),
+    ("UniProtKB", _AA, True, "https://www.uniprot.org/help/uniprotkb",
+     "The UniProt Knowledgebase is the central hub for the collection of "
+     "functional information on proteins."),
+    ("UniProtKB/TrEMBL", _AA, True,
+     "https://www.uniprot.org/help/uniprotkb",
+     "UniProtKB/TrEMBL (unreviewed) contains protein sequences associated "
+     "with computationally generated annotation."),
+    ("UniProtKB/Swiss-Prot", _AA, True, "https://uniprot.org",
+     "UniProtKB/Swiss-Prot (reviewed) is a high quality manually "
+     "annotated and non-redundant protein sequence database."),
+    ("NR", _AA, True, "https://ftp.ncbi.nlm.nih.gov/blast/db/FASTA",
+     "Non-redundant protein sequences from GenPept, Swissprot, PIR, PDF, "
+     "PDB, and NCBI RefSeq."),
+    ("NT", _NUCL, False, "https://ftp.ncbi.nlm.nih.gov/blast/db/FASTA",
+     "Partially non-redundant nucleotide sequences from all traditional "
+     "divisions of GenBank, EMBL, and DDBJ."),
+    ("GTDB", _AA, True, "https://gtdb.ecogenomic.org",
+     "Genome Taxonomy Database is a phylogenetically consistent, "
+     "genome-based taxonomy."),
+    ("PDB", _AA, False, "https://www.rcsb.org",
+     "The Protein Data Bank is the single worldwide archive of "
+     "structural data of biological macromolecules."),
+    ("PDB70", _PROF, False, "https://github.com/soedinglab/hh-suite",
+     "PDB clustered to 70% sequence identity and enriched using HHblits "
+     "with Uniclust sequences."),
+    ("Pfam-A.full", _PROF, False, "https://pfam.xfam.org",
+     "The Pfam database is a large collection of protein families, each "
+     "represented by multiple sequence alignments and HMMs."),
+    ("Pfam-A.seed", _PROF, False, "https://pfam.xfam.org",
+     "The Pfam database is a large collection of protein families, each "
+     "represented by multiple sequence alignments and HMMs."),
+    ("Pfam-B", _PROF, False,
+     "https://xfam.wordpress.com/2020/06/30/a-new-pfam-b-is-released",
+     "Pfam-B families from the MMseqs2-based Pfam-B build."),
+    ("CDD", _PROF, False,
+     "https://www.ncbi.nlm.nih.gov/Structure/cdd/cdd.shtml",
+     "Conserved Domain Database is a protein annotation resource of "
+     "well-annotated MSA models."),
+    ("eggNOG", _PROF, False, "http://eggnog5.embl.de",
+     "eggNOG is a hierarchical, functionally and phylogenetically "
+     "annotated orthology resource."),
+    ("VOGDB", _PROF, False, "https://vogdb.org",
+     "VOGDB is a continuously updated resource of Virus Orthologous "
+     "Groups."),
+    ("dbCAN2", _PROF, False, "http://bcb.unl.edu/dbCAN2",
+     "dbCAN2 is a database of automated carbohydrate-active enzyme "
+     "annotation."),
+    ("SILVA", _NUCL, True, "https://www.arb-silva.de",
+     "SILVA provides comprehensive, quality checked and regularly "
+     "updated datasets of aligned small and large subunit rRNA."),
+    ("Resfinder", _NUCL, False,
+     "https://cge.cbs.dtu.dk/services/ResFinder",
+     "ResFinder identifies acquired antimicrobial resistance genes."),
+    ("Kalamari", _NUCL, True, "https://github.com/lskatz/Kalamari",
+     "Kalamari is a curated database of completed assemblies of "
+     "pathogens and their hosts."),
+]
+
+
+def list_tsv():
+    """listDatabasesTsv (Databases.cpp:237-252), byte-identical."""
+    return "".join(f"{n}\t{t}\t{'true' if tax else 'false'}\t{u}\n"
+                   for n, t, tax, u, _ in CATALOG)
+
+
+def list_table():
+    """The human-readable table part of the usage listing
+    (Databases.cpp:180-235)."""
+    name_w = max(len("Name"), max(len(d[0]) for d in CATALOG))
+    type_w = max(len("Type"), max(len(d[1]) for d in CATALOG))
+    lines = [f"  {'Name'.ljust(name_w)}\t{'Type'.ljust(type_w)}\t"
+             f"Taxonomy\tUrl"]
+    for n, t, tax, u, _ in CATALOG:
+        lines.append(f"- {n.ljust(name_w)}\t{t.ljust(type_w)}\t"
+                     f"{'yes' if tax else '-':>8}\t{u}")
+    return "\n".join(lines) + "\n"
+
+
+def download(name, out_db, tmp, local_file=None, taxdump_dir=None,
+             tax_mapping=None):
+    """Build a catalog database. With `local_file` (an already-fetched
+    FASTA), runs the same createdb (+ createtaxdb for taxonomy DBs)
+    pipeline as the reference's databases.sh post-download steps; plain
+    downloading is refused on hosts without network egress."""
+    entry = next((d for d in CATALOG if d[0] == name), None)
+    if entry is None:
+        names = ", ".join(d[0] for d in CATALOG)
+        raise ValueError(f"unknown database {name!r}; available: {names}")
+    if local_file is None:
+        raise RuntimeError(
+            f"downloading {name} needs network egress; fetch "
+            f"{entry[3]} elsewhere and pass local_file=<fasta>")
+    if entry[1] == _PROF:
+        raise NotImplementedError(
+            "profile catalog entries need the upstream archive layout; "
+            "build profiles from MSAs via convertmsa + msa2profile")
+    from ..cli import main
+    os.makedirs(tmp, exist_ok=True)
+    rc = main(["createdb", str(local_file), str(out_db)])
+    if rc != 0:
+        raise RuntimeError("createdb failed")
+    if entry[2] and taxdump_dir and tax_mapping:
+        from ..tax.mmtax import createtaxdb
+        createtaxdb(str(out_db), str(tmp), ncbi_tax_dump=str(taxdump_dir),
+                    tax_mapping_file=str(tax_mapping))
+    return out_db

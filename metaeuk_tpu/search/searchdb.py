@@ -18,29 +18,50 @@ import numpy as np
 from ..io import mmseqsdb
 
 
-def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
-                 max_seqs=300, min_ungapped_score=15,
-                 comp_bias_correction=True, mask_targets=True,
-                 diagonal_scoring=True, cov=0.0, cov_mode=0):
-    """The k-mer prefilter stage between two sequence-DB paths (the
-    byte-parity engine from search/prefilter_kmer.py)."""
+def _load_encoded(path):
     from ..data.submat import AA2NUM
-    from ..search.prefilter_kmer import KmerPrefilter, hits_to_pref_lines
+    db = mmseqsdb.read_seqdb(path)
+    return [AA2NUM[np.asarray(db.seq(i), np.uint8)]
+            for i in range(len(db))], db
 
-    def encs(path):
-        db = mmseqsdb.read_seqdb(path)
-        return [AA2NUM[np.asarray(db.seq(i), np.uint8)]
-                for i in range(len(db))], db
 
-    same = str(query_db) == str(target_db)
-    tencs, tdb = encs(target_db)
-    qencs, qdb = (tencs, tdb) if same else encs(query_db)
+def build_prefilter_state(target_db, sensitivity=5.7, max_seqs=300,
+                          min_ungapped_score=15, comp_bias_correction=True,
+                          mask_targets=True, diagonal_scoring=True):
+    """Preloadable prefilter state (target encodings + k-mer index) —
+    the expensive part a resident server keeps across requests."""
+    from ..search.prefilter_kmer import KmerPrefilter
+
+    tencs, tdb = _load_encoded(target_db)
     pf = KmerPrefilter(tencs, sensitivity=sensitivity,
                        max_res_list_len=max_seqs,
                        min_diag_score=min_ungapped_score,
                        mask_targets=mask_targets,
                        comp_bias_correction=comp_bias_correction,
                        diagonal_scoring=diagonal_scoring)
+    return tencs, tdb, pf
+
+
+def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
+                 max_seqs=300, min_ungapped_score=15,
+                 comp_bias_correction=True, mask_targets=True,
+                 diagonal_scoring=True, cov=0.0, cov_mode=0,
+                 _state=None):
+    """The k-mer prefilter stage between two sequence-DB paths (the
+    byte-parity engine from search/prefilter_kmer.py). `_state` reuses
+    a prebuilt build_prefilter_state tuple (server mode)."""
+    from ..search.prefilter_kmer import hits_to_pref_lines
+
+    same = str(query_db) == str(target_db)
+    if _state is not None:
+        tencs, tdb, pf = _state
+    else:
+        tencs, tdb, pf = build_prefilter_state(
+            target_db, sensitivity=sensitivity, max_seqs=max_seqs,
+            min_ungapped_score=min_ungapped_score,
+            comp_bias_correction=comp_bias_correction,
+            mask_targets=mask_targets, diagonal_scoring=diagonal_scoring)
+    qencs, qdb = (tencs, tdb) if same else _load_encoded(query_db)
     tkeys = np.asarray([int(k) for k in tdb.keys], np.int64)
     tlens = np.asarray([len(e) for e in tencs], np.int64)
     entries = []

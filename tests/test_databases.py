@@ -1,0 +1,33 @@
+"""databases catalog tests: --tsv listing is byte-identical to the
+reference (tests/golden/databases.tsv, `metaeuk databases --tsv 1`);
+local-file builds run the createdb path; plain downloads refuse with a
+clear egress error.
+"""
+
+import pathlib
+
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "databases.tsv"
+DATA = pathlib.Path(__file__).parent / "data"
+
+
+def test_list_tsv_parity():
+    from metaeuk_tpu.pipeline.databases import list_tsv
+    assert list_tsv() == GOLDEN.read_text()
+
+
+def test_download_requires_local_file(tmp_path):
+    from metaeuk_tpu.pipeline.databases import download
+    with pytest.raises(RuntimeError, match="egress"):
+        download("UniRef50", str(tmp_path / "db"), str(tmp_path / "tmp"))
+    with pytest.raises(ValueError, match="unknown database"):
+        download("NoSuchDB", str(tmp_path / "db"), str(tmp_path / "tmp"))
+
+
+def test_local_file_build(tmp_path):
+    from metaeuk_tpu.io import mmseqsdb
+    from metaeuk_tpu.pipeline.databases import download
+    download("PDB", str(tmp_path / "db"), str(tmp_path / "tmp"),
+             local_file=str(DATA / "proteins.faa"))
+    assert len(mmseqsdb.read_db(str(tmp_path / "db"))) == 6
