@@ -57,7 +57,9 @@ def repeat_probs(enc, lr=None):
     if lib is None:
         return _repeat_probs_py(enc, lr)
     _bind(lib)
-    lib.tantan_repeat_probs(enc, n, ALPHABET_SIZE, MAX_CYCLE_LENGTH,
+    # the lr row stride IS the alphabet size: a 5x5 nucleotide matrix must
+    # not be walked with the 21-letter aa stride (out-of-bounds reads)
+    lib.tantan_repeat_probs(enc, n, lr.shape[0], MAX_CYCLE_LENGTH,
                             np.ascontiguousarray(lr),
                             REPEAT_PROB, REPEAT_END_PROB, DECAY, out)
     return out
