@@ -658,6 +658,14 @@ def cmd_profile2pssm(args):
     return 0
 
 
+def cmd_sequence2profile(args):
+    from .pipeline.sequence2profile import sequence2profile
+    sequence2profile(args.seq_db, args.out_db, args.context_lib,
+                     tau=args.tau)
+    print("sequence2profile done")
+    return 0
+
+
 def cmd_convertprofiledb(args):
     """HH-suite .hhm text DB -> HMM-profile DB."""
     from .pipeline.convertprofiledb import convertprofiledb
@@ -1686,6 +1694,17 @@ def main(argv=None):
     cv.add_argument("hhm_db")
     cv.add_argument("out_db")
     cv.set_defaults(fn=cmd_convertprofiledb)
+
+    s2 = sub.add_parser("sequence2profile",
+                        help="sequence DB -> context-specific profile DB")
+    s2.add_argument("seq_db")
+    s2.add_argument("out_db")
+    s2.add_argument("--context-lib", required=True,
+                    help="CRF context library file (the reference bakes "
+                         "K4000.crf into the binary; that blob is a "
+                         "missing LFS object upstream)")
+    s2.add_argument("--tau", type=float, default=0.9)
+    s2.set_defaults(fn=cmd_sequence2profile)
 
     se = sub.add_parser("search", help="protein search -> alignment DB / m8")
     se.add_argument("queries", help="FASTA or MMseqs DB")
