@@ -658,6 +658,30 @@ def cmd_profile2pssm(args):
     return 0
 
 
+def cmd_resultspercontig(args):
+    from .pipeline.percontig import resultspercontig
+    resultspercontig(args.contigs_db, args.fragments_db, args.aln_db,
+                     args.out_db)
+    print("resultspercontig done")
+    return 0
+
+
+def cmd_collectoptimalset(args):
+    from .params import Params
+    from .pipeline.percontig import collectoptimalset
+    p = Params(metaeuk_evalue_thr=args.metaeuk_eval,
+               metaeuk_tcov_thr=args.metaeuk_tcov,
+               min_intron_length=args.min_intron,
+               max_intron_length=args.max_intron,
+               max_aa_overlap=args.max_overlap,
+               set_gap_open_penalty=args.set_gap_open,
+               set_gap_extend_penalty=args.set_gap_extend)
+    collectoptimalset(args.contig_res_db, args.targets_db, args.out_db,
+                      params=p)
+    print("collectoptimalset done")
+    return 0
+
+
 def cmd_sequence2profile(args):
     from .pipeline.sequence2profile import sequence2profile
     sequence2profile(args.seq_db, args.out_db, args.context_lib,
@@ -1694,6 +1718,28 @@ def main(argv=None):
     cv.add_argument("hhm_db")
     cv.add_argument("out_db")
     cv.set_defaults(fn=cmd_convertprofiledb)
+
+    rc = sub.add_parser("resultspercontig",
+                        help="swap fragment-vs-target results to contig keys")
+    rc.add_argument("contigs_db")
+    rc.add_argument("fragments_db")
+    rc.add_argument("aln_db")
+    rc.add_argument("out_db")
+    rc.set_defaults(fn=cmd_resultspercontig)
+
+    co = sub.add_parser("collectoptimalset",
+                        help="exon-chaining DP per contig/target/strand")
+    co.add_argument("contig_res_db")
+    co.add_argument("targets_db")
+    co.add_argument("out_db")
+    co.add_argument("--metaeuk-eval", type=float, default=0.001)
+    co.add_argument("--metaeuk-tcov", type=float, default=0.5)
+    co.add_argument("--min-intron", type=int, default=15)
+    co.add_argument("--max-intron", type=int, default=10000)
+    co.add_argument("--max-overlap", type=int, default=10)
+    co.add_argument("--set-gap-open", type=int, default=-1)
+    co.add_argument("--set-gap-extend", type=int, default=-1)
+    co.set_defaults(fn=cmd_collectoptimalset)
 
     s2 = sub.add_parser("sequence2profile",
                         help="sequence DB -> context-specific profile DB")
