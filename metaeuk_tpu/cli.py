@@ -377,7 +377,9 @@ def cmd_msa2profile(args):
         entries = [(0, open(args.msa_db).read())]
     msa_db_to_profile_db(entries, args.out_db, match_mode=args.match_mode,
                          match_ratio=args.match_ratio,
-                         comp_bias_correction=bool(args.comp_bias_corr))
+                         comp_bias_correction=bool(args.comp_bias_corr),
+                         pcmode=args.pseudo_cnt_mode,
+                         context_lib=args.context_lib)
     print(f"wrote {args.out_db} ({len(entries)} profiles)")
     return 0
 
@@ -395,7 +397,9 @@ def cmd_result2profile(args):
                       mask_prob=args.mask_prob,
                       cov_msa_thr=args.cov, qid=args.qid, qsc=args.qsc,
                       filter_max_seq_id=args.max_seq_id, ndiff=args.diff,
-                      filter_min_enable=args.filter_min_enable)
+                      filter_min_enable=args.filter_min_enable,
+                      pcmode=args.pseudo_cnt_mode,
+                      context_lib=args.context_lib)
     print(f"wrote {args.out_db}")
     return 0
 
@@ -1535,6 +1539,10 @@ def main(argv=None):
     mp.add_argument("--match-mode", type=int, default=0, choices=[0, 1])
     mp.add_argument("--match-ratio", type=float, default=0.5)
     mp.add_argument("--comp-bias-corr", type=int, default=1)
+    mp.add_argument("--pseudo-cnt-mode", type=int, default=0, choices=[0, 1])
+    mp.add_argument("--context-lib", default=None,
+                    help="CRF context library file (required for "
+                         "--pseudo-cnt-mode 1)")
     mp.set_defaults(fn=cmd_msa2profile)
 
     rp = sub.add_parser("result2profile",
@@ -1555,6 +1563,10 @@ def main(argv=None):
     rp.add_argument("--max-seq-id", type=float, default=0.9)
     rp.add_argument("--diff", type=int, default=1000)
     rp.add_argument("--filter-min-enable", type=int, default=0)
+    rp.add_argument("--pseudo-cnt-mode", type=int, default=0, choices=[0, 1])
+    rp.add_argument("--context-lib", default=None,
+                    help="CRF context library file (required for "
+                         "--pseudo-cnt-mode 1)")
     rp.set_defaults(fn=cmd_result2profile)
 
     for tool in ("reverseseq", "sortresult", "tsv2db", "mergedbs",

@@ -203,6 +203,86 @@ def compute_sequence_cs(lib, enc, tau):
     return profile
 
 
+def _profile_context_scores(lib, counts24):
+    """(K, L) float32 context scores for the PROFILE path
+    (computeProfileContextScore, CSProfile.cpp:164-197). The SSE build
+    loads 4 vectors of 4 floats per window column — amino acids 16..19
+    never contribute (an upstream quirk of the non-AVX2 build, which the
+    parity reference replicates); per column the lane-wise tree is
+    (v1+v2)+(v3+v4), accumulated sequentially over the clipped window,
+    and the final simdf32_hadd is (l0+l1)+(l2+l3) (simd.h:495-501)."""
+    K, wlen, center = lib.size, lib.wlen, lib.center
+    L = counts24.shape[0]
+    cw16 = lib.context_weights[:, :, :16].reshape(K, wlen, 4, 4)
+    cnt16 = np.ascontiguousarray(counts24[:, :16]).reshape(L, 4, 4)
+    out = np.zeros((K, L), np.float32)
+
+    def lanes_for(js, i0, Li):
+        """vTotal lanes (K, Li, 4) over window offsets js; counts row for
+        offset t at position i is i - center + t."""
+        tot = np.zeros((K, Li, 4), np.float32)
+        for t in js:
+            c = cnt16[i0 - center + t: i0 - center + t + Li]  # (Li, 4, 4)
+            w = cw16[:, t][:, None]                           # (K, 1, 4, 4)
+            prod = w * c[None]                                # (K, Li, 4, 4)
+            tot += (prod[:, :, 0] + prod[:, :, 1]) \
+                + (prod[:, :, 2] + prod[:, :, 3])
+        return tot
+
+    lo = min(center, L)
+    hi = max(L - center, lo)
+    if hi > lo and L >= wlen:
+        tot = lanes_for(range(wlen), lo, hi - lo)
+        out[:, lo:hi] = (tot[..., 0] + tot[..., 1]) \
+            + (tot[..., 2] + tot[..., 3])
+        bounds = list(range(lo)) + list(range(hi, L))
+    else:
+        bounds = range(L)
+    for i in bounds:
+        beg = max(0, i - center)
+        end = min(L, i + center + 1)
+        js = range(beg - i + center, end - i + center)
+        tot = lanes_for(js, i, 1)[:, 0]
+        out[:, i] = (tot[:, 0] + tot[:, 1]) + (tot[:, 2] + tot[:, 3])
+    return out
+
+
+def compute_profile_cs(lib, match_weight, neff_m, pca=1.4, pcb=5.8):
+    """CSProfile::computeProfileCs (CSProfile.cpp:349-351 +
+    computeProfile<DBTYPE_HMM_PROFILE>): context-specific pseudocounts
+    for an MSA count profile (PSSMCalculator pcmode 1,
+    PSSMCalculator.cpp:177-185). Returns the (L, 20) float32 profile.
+
+    match_weight: (L, 20) float32; neff_m: (L,) float32.
+    """
+    L = match_weight.shape[0]
+    # fillCounteProfile: counts = matchWeight * Neff_M, stride 24 with
+    # zero padding (PSSMCalculator.cpp:697-704)
+    counts24 = np.zeros((L, 24), np.float32)
+    counts24[:, :20] = (match_weight *
+                        neff_m[:, None].astype(np.float32)).astype(np.float32)
+    ppi = lib.bias[:, None] + _profile_context_scores(lib, counts24)
+    post = _state_posteriors(lib, ppi)
+    profile = np.zeros((L, 24), np.float32)
+    for k in range(lib.size):
+        profile[:, :20] += post[k][:, None] * lib.pc[k][None, :]
+    _normalize_rows_20(profile)
+    # tau admix with counts/Neff (CSProfile.cpp:444-451): tau in double
+    # ("1.0" literals), the mix itself in float32 as
+    # tau*prob + ((t*counts)/Neff)
+    ratio = (neff_m.astype(np.float32)
+             / np.float32(pcb)).astype(np.float32).astype(np.float64)
+    tau = np.minimum(1.0, np.float64(np.float32(pca)) / (1.0 + ratio)
+                     ).astype(np.float32)
+    t = (np.float32(1.0) - tau).astype(np.float32)
+    mixed = (tau[:, None] * profile[:, :20]).astype(np.float32) + \
+        ((t[:, None] * counts24[:, :20]).astype(np.float32)
+         / neff_m[:, None].astype(np.float32)).astype(np.float32)
+    profile[:, :20] = mixed.astype(np.float32)
+    _normalize_rows_20(profile)
+    return profile[:, :20].copy()
+
+
 def compute_log_pssm_from_cs(profile24, pback, bit_factor=8.0,
                              score_bias=0.0):
     """PSSMCalculator::computeLogPSSM (PSSMCalculator.cpp:259-272) as

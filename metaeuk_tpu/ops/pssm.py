@@ -226,11 +226,17 @@ def compute_context_specific_weights(msa, wg):
     return match_weight, neff_m
 
 
-def compute_pssm_from_msa(msa, wg_mode=False):
-    """computePSSMFromMSA (pcmode 0, pca/pcb defaults, scoreBias 0).
+def compute_pssm_from_msa(msa, wg_mode=False, pcmode=0, context_lib=None):
+    """computePSSMFromMSA (pca/pcb defaults, scoreBias 0).
 
     msa: (K, L) uint8 in internal codes. Returns dict with pssm (L,20) int8,
     profile, neff, consensus indices.
+
+    pcmode 1 (PCMODE_CONTEXT_SPECIFIC) mixes CRF context-library
+    pseudocounts instead of substitution-matrix ones
+    (PSSMCalculator.cpp:177-185); context_lib is then required (the
+    reference bakes K4000.crf into the binary — a missing LFS blob
+    upstream, so it is caller-supplied here).
     """
     K, L = msa.shape
     seq_weight = compute_sequence_weights(msa)
@@ -254,6 +260,22 @@ def compute_pssm_from_msa(msa, wg_mode=False):
                 maxw = d
                 maxa = aa
         consensus[pos] = maxa
+
+    if pcmode == 1:
+        # context-specific pseudocounts (PCMODE_CONTEXT_SPECIFIC):
+        # fillCounteProfile + CSProfile::computeProfileCs, pca/pcb .cs()
+        # defaults 1.4/5.8 (Parameters.cpp:2497-2498)
+        from .csprofile import compute_profile_cs
+        if context_lib is None:
+            raise ValueError("pcmode 1 requires a CRF context library")
+        profile = compute_profile_cs(context_lib, match_weight, neff_m)
+        log_prob = flog2((profile / PBACK20[None, :].astype(np.float32)
+                          ).astype(np.float32))
+        val = np.float32(8.0) * log_prob
+        val = np.where(val < 0, val - np.float32(0.5), val + np.float32(0.5))
+        pssm = np.clip(val.astype(np.int64).astype(np.float32), -128, 127)
+        return dict(pssm=pssm.astype(np.int8), profile=profile, neff=neff_m,
+                    consensus=consensus)
 
     # substitution pseudocounts: ScalarProd20(R[aa], freq) with the exact
     # SSE reduction tree (lib/simd/simd.h:901-955):

@@ -126,11 +126,16 @@ def _rescore_by_backtrace(ac, a_enc, c_enc, bias8, gap_open=11,
 
 def expandaln_db(a_db, c_db, result_ab, result_bc, out_db,
                  return_aln=True, evalue=1e-3, eval_profile=0.1, cov=0.0,
+                 pcmode=0, context_lib=None,
                  cov_mode=0, min_seq_id=0.0, min_aln_len=0,
                  expansion_mode=0, comp_bias_correction=True,
                  filter_msa=1, compressed=False, **profile_kw):
     """expandaln (return_aln=True) / expand2profile (False)."""
     from ..data.submat import AA2NUM, composition_bias_rounded
+
+    if isinstance(context_lib, str):
+        from ..ops.csprofile import ContextLibrary
+        context_lib = ContextLibrary.from_file(context_lib)
     from ..search.evalue import EvalueComputation
     from ..search.lcaalign import can_be_covered, has_coverage
     from .alnformat import compress_backtrace, matcher_seq_id_text
@@ -231,6 +236,7 @@ def expandaln_db(a_db, c_db, result_ab, result_bc, out_db,
             prof_out.append((akey, profile_from_alignments(
                 a_enc, members, comp_bias_correction=False,
                 mask_profile=True, filter_msa=bool(filter_msa),
+                pcmode=pcmode, context_lib=context_lib,
                 qid=qid_vec,
                 qsc=profile_kw.get("qsc", -20.0),
                 filter_max_seq_id=profile_kw.get("filter_max_seq_id", 0.9),
@@ -241,6 +247,9 @@ def expandaln_db(a_db, c_db, result_ab, result_bc, out_db,
         mmseqsdb.write_db(out_db, out, 5 | (2 << 16),
                           compressed=compressed)
     else:
-        mmseqsdb.write_db(out_db, prof_out, mmseqsdb.DBTYPE_HMM_PROFILE,
+        dbtype = mmseqsdb.DBTYPE_HMM_PROFILE
+        if pcmode == 1:  # expandaln.cpp:150-153
+            dbtype |= (4 & 0x7FFE) << 16
+        mmseqsdb.write_db(out_db, prof_out, dbtype,
                           compressed=compressed)
     return out_db

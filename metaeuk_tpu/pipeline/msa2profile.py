@@ -38,7 +38,8 @@ def _parse_msa_fasta(text):
 def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
                    comp_bias_correction=True, filter_msa=False,
                    cov_msa_thr=0.0, qid=(0,), qsc=-20.0,
-                   filter_max_seq_id=0.9, ndiff=1000, filter_min_enable=0):
+                   filter_max_seq_id=0.9, ndiff=1000, filter_min_enable=0,
+                   pcmode=0, context_lib=None):
     """One MSA -> (profile_payload_bytes, header_str).
 
     entries: [(name, aligned_seq)] — first sequence is the query.
@@ -96,7 +97,8 @@ def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
             max_seqid=int(filter_max_seq_id * 100), ndiff=ndiff,
             filter_min_enable=filter_min_enable)
         msa_m = np.ascontiguousarray(msa_m[order])
-    res = compute_pssm_from_msa(msa_m)
+    res = compute_pssm_from_msa(msa_m, pcmode=pcmode,
+                                context_lib=context_lib)
     pssm = res["pssm"]
     if comp_bias_correction:
         pssm = global_aa_bias_correction(pssm)
@@ -107,16 +109,25 @@ def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
 
 def msa_db_to_profile_db(msa_entries, out_path, match_mode=1, match_ratio=0.5,
                          comp_bias_correction=True, filter_msa=False,
-                         **filter_kw):
+                         pcmode=0, context_lib=None, **filter_kw):
+    if isinstance(context_lib, str):
+        from ..ops.csprofile import ContextLibrary
+        context_lib = ContextLibrary.from_file(context_lib)
     """msa_entries: [(key, msa_text)] -> profile DB triple + _h."""
     payloads, headers = [], []
     for key, text in msa_entries:
         entries = _parse_msa_fasta(text)
         payload, header = msa_to_profile(entries, match_mode, match_ratio,
                                          comp_bias_correction,
-                                         filter_msa=filter_msa, **filter_kw)
+                                         filter_msa=filter_msa,
+                                         pcmode=pcmode,
+                                         context_lib=context_lib,
+                                         **filter_kw)
         payloads.append((key, payload))
         headers.append((key, (header + "\n").encode()))
-    mmseqsdb.write_db(out_path, payloads, mmseqsdb.DBTYPE_HMM_PROFILE)
+    dbtype = mmseqsdb.DBTYPE_HMM_PROFILE
+    if pcmode == 1:  # msa2profile.cpp:130-133
+        dbtype |= (4 & 0x7FFE) << 16
+    mmseqsdb.write_db(out_path, payloads, dbtype)
     mmseqsdb.write_db(f"{out_path}_h", headers, mmseqsdb.DBTYPE_GENERIC)
     return out_path

@@ -50,3 +50,20 @@ def test_msa2profile_filter_msa_byte_parity(tmp_path):
     for (ka, va), (kb, vb) in zip(read_db(out2),
                                   read_db(MSA / "refprof2_f1s")):
         assert ka == kb and va == vb
+
+
+def test_msa2profile_pcmode1_byte_parity(tmp_path):
+    """--pseudo-cnt-mode 1: CRF context-specific pseudocounts (golden
+    from the reference rebuild with tests/data/tiny.crf as K4000.crf);
+    exercises the multi-sequence profile-type CS path (Neff > 1 and the
+    SSE build's 16-aa context-score quirk)."""
+    import pathlib
+    crf = pathlib.Path(__file__).parent / "data" / "tiny.crf"
+    entries = [(k, v.decode()) for k, v in read_db(MSA / "msadb2")]
+    out = tmp_path / "prof"
+    msa_db_to_profile_db(entries, str(out), match_mode=1, pcmode=1,
+                         context_lib=str(crf))
+    for s in ("", ".index", ".dbtype"):
+        a = pathlib.Path(f"{out}{s}").read_bytes()
+        b = pathlib.Path(f"{MSA}/refprof2_pc1{s}").read_bytes()
+        assert a == b, f"refprof2_pc1{s}"

@@ -47,6 +47,11 @@ def dbs(tmp_path_factory):
                         cov_msa_thr=0.3)),
     # multi-bucket qid exercises the reference's Ndiff carry-over quirk
     ("refr2p_f1b", dict(filter_msa=1, eval_profile=10.0, qid="0.1,0.3,0.9")),
+    # context-specific pseudocounts (--pseudo-cnt-mode 1; goldens from the
+    # reference rebuild with tests/data/tiny.crf baked in as K4000.crf)
+    ("refr2p_pc1", dict(pcmode=1, context_lib=str(DATA / "tiny.crf"))),
+    ("refr2p_pc1_ep", dict(eval_profile=10.0, pcmode=1,
+                           context_lib=str(DATA / "tiny.crf"))),
 ])
 def test_result2profile_byte_parity(dbs, tag, kwargs):
     out = dbs / f"out_{tag}"
@@ -55,3 +60,6 @@ def test_result2profile_byte_parity(dbs, tag, kwargs):
     assert out.read_bytes() == (GOLDEN / tag).read_bytes()
     assert (out.with_suffix("").parent / f"out_{tag}.index").read_text() \
         == (GOLDEN / f"{tag}.index").read_text()
+    # pcmode 1 must set the context-pseudo-counts extended dbtype bit
+    assert pathlib.Path(f"{out}.dbtype").read_bytes() \
+        == (GOLDEN / f"{tag}.dbtype").read_bytes()

@@ -71,3 +71,14 @@ def test_multihitdb_and_search(tmp_path):
     assert_db_equal(tmp_path / "mhstmp" / "aggregate",
                     GOLDEN / "mh_aggregate")
     assert_db_equal(tmp_path / "mhres", GOLDEN / "mhres")
+
+
+def test_expand2profile_pcmode1(dbs, tmp_path):
+    """--pseudo-cnt-mode 1: CRF context-specific pseudocounts (golden
+    from the reference rebuild with tests/data/tiny.crf as K4000.crf)."""
+    from metaeuk_tpu.pipeline.expand import expandaln_db
+    expandaln_db(str(dbs / "qdb"), str(dbs / "tdb"), str(dbs / "aln"),
+                 str(dbs / "selfaln"), str(tmp_path / "expprof"),
+                 return_aln=False, pcmode=1,
+                 context_lib=str(DATA / "tiny.crf"))
+    assert_db_equal(tmp_path / "expprof", GOLDEN / "expprof_pc1")
