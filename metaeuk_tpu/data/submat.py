@@ -143,6 +143,17 @@ def composition_bias(encoded_seq, scale=1.0, scores=None, pback=None):
     n = len(encoded_seq)
     if n == 0:
         return np.zeros(0, dtype=np.float32)
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None:
+        native.bind_comp_bias(lib)
+        out = np.empty(n, np.float32)
+        lib.comp_bias(np.ascontiguousarray(encoded_seq, np.uint8), n,
+                      np.ascontiguousarray(scores, np.int32),
+                      scores.shape[1], np.ascontiguousarray(pback,
+                                                            np.float64),
+                      float(scale), out)
+        return out
     w = 20  # windowSize/2
     rows = scores[encoded_seq]  # (n, 21)
     # S[i] = sum over j in window of subMat[seq[i]][seq[j]]

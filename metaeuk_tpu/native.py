@@ -59,6 +59,20 @@ def get_lib():
     return _LIB
 
 
+def bind_comp_bias(lib):
+    """Bind the calcLocalAaBiasCorrection port (host_ops.cpp comp_bias)."""
+    if getattr(lib, "_cb_bound", False):
+        return
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.comp_bias.restype = None
+    lib.comp_bias.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64,
+                              f64p, ctypes.c_double, f32p]
+    lib._cb_bound = True
+
+
 def banded_sw_traceback(q_enc, bias, t_enc, score, band_width,
                         go=11, ge=1, submat=None):
     """CIGAR op string (M/I/D bytes) for an accepted alignment window

@@ -167,6 +167,64 @@ class KmerPrefilter:
                                "the non-overflow path)")
         return out_id[:n].copy(), out_sc[:n].copy(), out_dg[:n].copy()
 
+    def match_batch(self, query_encs, identity_ids=None):
+        """Batched match: one native call for all queries (composition
+        bias computed in C++), eliminating the per-query Python/ctypes
+        round trip. Returns [(ids, scores, diags)] per query in the same
+        order/content as per-query match()."""
+        lib = self._lib
+        if not getattr(lib, "_batch_bound", False):
+            import ctypes
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+            u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.pf_match_batch.restype = ctypes.c_int64
+            lib.pf_match_batch.argtypes = [
+                ctypes.c_void_p, u8p, i64p, ctypes.c_int64,
+                ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, u32p, i32p, i16p, i64p]
+            lib._batch_bound = True
+        nq = len(query_encs)
+        offs = np.zeros(nq + 1, np.int64)
+        for i, q in enumerate(query_encs):
+            offs[i + 1] = offs[i] + len(q)
+        qdata = (np.concatenate([np.asarray(q, np.uint8)
+                                 for q in query_encs])
+                 if nq else np.zeros(0, np.uint8))
+        qdata = np.ascontiguousarray(qdata, np.uint8)
+        cap = max(self.max_hits + 1, 1)
+        out_id = np.empty((nq, cap), np.uint32)
+        out_sc = np.empty((nq, cap), np.int32)
+        out_dg = np.empty((nq, cap), np.int16)
+        counts = np.empty(nq, np.int64)
+        import ctypes
+        scores_arr = (np.ascontiguousarray(VTML80_SCORES_8BIT, np.int32)
+                      if self.comp_bias_correction else None)
+        ids_arr = (np.ascontiguousarray(identity_ids, np.uint32)
+                   if identity_ids is not None else None)
+        lib.pf_match_batch(
+            self._h, qdata, offs, nq,
+            scores_arr.ctypes.data_as(ctypes.c_void_p)
+            if scores_arr is not None else None,
+            np.ascontiguousarray(VTML80_PBACK, np.float64),
+            self.max_hits, self.min_diag_score,
+            ids_arr.ctypes.data_as(ctypes.c_void_p)
+            if ids_arr is not None else None,
+            cap, out_id.reshape(-1), out_sc.reshape(-1),
+            out_dg.reshape(-1), counts)
+        out = []
+        for i in range(nq):
+            n = int(counts[i])
+            if n < 0:
+                raise RuntimeError("prefilter match overflow (db too large "
+                                   "for the non-overflow path)")
+            out.append((out_id[i, :n].copy(), out_sc[i, :n].copy(),
+                        out_dg[i, :n].copy()))
+        return out
+
     def match_profile(self, raw_scores, query_seq, kmer_thr=None,
                       identity_id=None):
         """Hits for one HMM-profile query (the blastpgp/profile-query
@@ -225,9 +283,9 @@ class ReferenceKmerPrefilter:
         """(n_pairs, 2) int64 (orf_idx, target_idx), per fragment in
         prefilter output order (score desc, target asc)."""
         from ..data.submat import encode_aa
+        results = self.pf.match_batch([encode_aa(s) for s in orf_aa_seqs])
         pairs = []
-        for qi, s in enumerate(orf_aa_seqs):
-            ids, _, _ = self.pf.match(encode_aa(s))
+        for qi, (ids, _, _) in enumerate(results):
             for t in ids:
                 pairs.append((qi, int(t)))
         if not pairs:
@@ -239,6 +297,10 @@ def prefilter_db(query_encs, target_encs, identity_pairs=False, **kw):
     """All queries -> list of (ids, scores, diags); identity_pairs=True
     passes the query index as identityId (same-database search)."""
     pf = KmerPrefilter(target_encs, **kw)
+    if pf.diagonal_scoring:
+        ids = (np.arange(len(query_encs), dtype=np.uint32)
+               if identity_pairs else None)
+        return pf.match_batch(list(query_encs), identity_ids=ids)
     out = []
     for qi, q in enumerate(query_encs):
         out.append(pf.match(q, qi if identity_pairs else None))

@@ -435,6 +435,31 @@ int64_t banded_sw_traceback_prof(const int32_t* prof, const uint8_t* t,
 
 extern "C" {
 
+// SubstitutionMatrix::calcLocalAaBiasCorrection
+// (SubstitutionMatrix.cpp:79-109): int window sum, float average, then
+// deltaS_i += pBack[a] * (float)subMat[a] accumulated IN FLOAT per term
+// (double product rounded back to float32 each step).
+void comp_bias(const uint8_t *seq, int64_t n, const int32_t *scores,
+               int64_t alpha, const double *pback, double scale,
+               float *out) {
+    const int w = 20;  // windowSize / 2
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t lo = std::max((int64_t)0, i - w);
+        const int64_t hi = std::min(n, i + w);
+        const int32_t *row = scores + (int64_t)seq[i] * alpha;
+        int64_t sum = 0;
+        for (int64_t j = lo; j < hi; j++) sum += row[seq[j]];
+        sum -= row[seq[i]];
+        float delta = (float)sum;
+        // "deltaS_i /= -1.0 * (float)windowLength": double division
+        delta = (float)((double)delta / (-1.0 * (double)(float)(hi - lo)));
+        for (int64_t a = 0; a < alpha; a++) {
+            delta = (float)((double)delta + pback[a] * (double)(float)row[a]);
+        }
+        out[i] = (float)(scale * (double)delta);
+    }
+}
+
 void rcp_nr(const float *x, float *out, int64_t n) {
     int64_t i = 0;
     for (; i + 4 <= n; i += 4) {

@@ -765,6 +765,11 @@ bool collect_hits(PF *pf, const uint8_t *q, int64_t qlen,
 
 extern "C" {
 
+// host_ops.cpp: calcLocalAaBiasCorrection port
+void comp_bias(const uint8_t *seq, int64_t n, const int32_t *scores,
+               int64_t alpha, const double *pback, double scale,
+               float *out);
+
 // One query against the index. comp_bias: float per query position
 // (calcLocalAaBiasCorrection with the VTML80 matrix). Returns hit count
 // (<= max_hits); -1 on unsupported overflow.
@@ -795,6 +800,35 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
     }
     return finish_match(pf, qprof.data(), q, qlen, max_hits, min_diag_thr,
                         identity_id, out_id, out_score, out_diag);
+}
+
+// Batched pf_match: nq queries concatenated in qdata with qoffs (nq+1
+// prefix offsets). Composition bias is computed in-line per query with
+// the supplied matrix (calcLocalAaBiasCorrection; scores==NULL -> zero
+// bias). identity_ids may be NULL (no identity hit forcing). Outputs are
+// (nq, cap) row-major blocks; out_counts[i] = hits for query i (or -1 on
+// that query's overflow). Eliminates the per-query Python/ctypes round
+// trip that dominated many-fragment workloads.
+int64_t pf_match_batch(void *h, const uint8_t *qdata, const int64_t *qoffs,
+                       int64_t nq, const int32_t *scores,
+                       const double *pback, int64_t max_hits,
+                       int64_t min_diag_thr, const uint32_t *identity_ids,
+                       int64_t cap, uint32_t *out_id, int32_t *out_score,
+                       int16_t *out_diag, int64_t *out_counts) {
+    std::vector<float> bias;
+    for (int64_t qi = 0; qi < nq; qi++) {
+        const uint8_t *q = qdata + qoffs[qi];
+        const int64_t qlen = qoffs[qi + 1] - qoffs[qi];
+        bias.assign((size_t)qlen, 0.0f);
+        if (scores != nullptr) {
+            comp_bias(q, qlen, scores, A21, pback, 1.0, bias.data());
+        }
+        out_counts[qi] = pf_match(
+            h, q, qlen, bias.data(), max_hits, min_diag_thr,
+            identity_ids ? identity_ids[qi] : 0xFFFFFFFFu,
+            out_id + qi * cap, out_score + qi * cap, out_diag + qi * cap);
+    }
+    return 0;
 }
 
 // The --diag-score 0 prefilter (cascaded clustering step 0): score =
