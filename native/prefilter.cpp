@@ -113,16 +113,30 @@ void build_ext3(PF *pf) {
                 }
             }
         }
-        std::stable_sort(row.begin(), row.end(),
-                         [](const std::pair<int16_t, uint32_t> &a,
-                            const std::pair<int16_t, uint32_t> &b) {
-                             return a.first > b.first;
-                         });
+        // stable counting sort, score descending: 3-mer scores span a
+        // few hundred values, ~10x faster than the comparison sort that
+        // dominated prefilter cold-start
+        int16_t mn = row[0].first, mx = row[0].first;
+        for (size_t z = 1; z < SUB3; z++) {
+            mn = std::min(mn, row[z].first);
+            mx = std::max(mx, row[z].first);
+        }
+        const int range = mx - mn + 1;
+        std::vector<uint32_t> cnt((size_t)range + 1, 0);
+        for (size_t z = 0; z < SUB3; z++) cnt[mx - row[z].first]++;
+        uint32_t acc = 0;
+        for (int b = 0; b < range; b++) {
+            uint32_t c = cnt[b];
+            cnt[b] = acc;
+            acc += c;
+        }
         int16_t *sr = pf->m3->score.data() + i * SUB3;
         uint32_t *ir = pf->m3->index.data() + i * SUB3;
         for (size_t z = 0; z < SUB3; z++) {
-            sr[z] = row[z].first;
-            ir[z] = row[z].second;
+            uint32_t &pos = cnt[mx - row[z].first];
+            sr[pos] = row[z].first;
+            ir[pos] = row[z].second;
+            pos++;
         }
     }
 }
