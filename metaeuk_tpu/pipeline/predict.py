@@ -56,7 +56,11 @@ def load_target_input(path):
         from ..io.profiledb import ProfileDB, DBTYPE_HMM_PROFILE
         if mmseqsdb.read_dbtype(path) == DBTYPE_HMM_PROFILE:
             return ProfileDB.from_db(path)
-        return mmseqsdb.read_seqdb(path)
+        db = mmseqsdb.read_seqdb(path)
+        # remember the source so the prefilter can reuse a persisted
+        # createindex artifact ({path}.kidx)
+        db.source_path = str(path)
+        return db
     return SeqDB.from_fasta(path, DBTYPE_AA)
 
 

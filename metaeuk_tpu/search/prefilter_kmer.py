@@ -268,16 +268,30 @@ class ReferenceKmerPrefilter:
     the reference alignment stage would see."""
 
     def __init__(self, params, target_db, min_diag_score=15):
+        import os
         from ..data.submat import encode_aa
+        from ..utils import log
         self.params = params
+        kw = dict(sensitivity=getattr(params, "sensitivity", 4.0),
+                  max_res_list_len=getattr(params, "max_res_list_len", 300),
+                  min_diag_score=min_diag_score,
+                  comp_bias_correction=bool(
+                      getattr(params, "comp_bias_correction", 1)))
+        # reuse a persisted createindex artifact when the target DB came
+        # from a path that has one (the reference's prefilter likewise
+        # auto-loads targetDB.idx); threshold mismatches fall back to a
+        # fresh build
+        src = getattr(target_db, "source_path", None)
+        if src and os.path.exists(f"{src}.kidx"):
+            try:
+                self.pf = KmerPrefilter(None, index_path=f"{src}.kidx", **kw)
+                log.info(f"loaded k-mer index {src}.kidx")
+                return
+            except RuntimeError:
+                log.info(f"k-mer index {src}.kidx incompatible; rebuilding")
         tencs = [encode_aa(target_db.seq_bytes(i))
                  for i in range(len(target_db))]
-        self.pf = KmerPrefilter(
-            tencs, sensitivity=getattr(params, "sensitivity", 4.0),
-            max_res_list_len=getattr(params, "max_res_list_len", 300),
-            min_diag_score=min_diag_score,
-            comp_bias_correction=bool(
-                getattr(params, "comp_bias_correction", 1)))
+        self.pf = KmerPrefilter(tencs, **kw)
 
     def candidate_pairs(self, orf_aa_seqs):
         """(n_pairs, 2) int64 (orf_idx, target_idx), per fragment in
