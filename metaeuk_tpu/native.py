@@ -24,7 +24,7 @@ _SO = _NATIVE_DIR / "libmetaeuk_host.so"
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           *[str(s) for s in _SRCS], "-o", str(_SO)]
+           "-fopenmp", *[str(s) for s in _SRCS], "-o", str(_SO)]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

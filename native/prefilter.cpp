@@ -59,6 +59,26 @@ struct ExtMat3 {
     std::vector<uint32_t> index;
 };
 
+// Per-query scratch state, separated from PF so batched matching can
+// run one instance per OpenMP thread (the duplicate bit-array and the
+// multi-MB hit buffers are written during every match).
+struct Scratch {
+    std::vector<int8_t> byteArr;      // duplicate detection (zero-restored)
+    std::vector<Counter> found;
+    std::vector<uint32_t> klist;
+    std::vector<IndexEntry> hits;
+    std::vector<uint16_t> hitDiag;
+    std::vector<Counter> sorted;
+    std::vector<int8_t> qprof;
+    std::vector<int16_t> gscore[2];
+    std::vector<uint32_t> gindex[2];
+    std::vector<int16_t> psort_s;
+    std::vector<uint8_t> psort_i;
+    void ensure_dup(size_t dup_bytes) {
+        if (byteArr.size() != dup_bytes) byteArr.assign(dup_bytes, 0);
+    }
+};
+
 struct PF {
     int16_t vt[A21 * A21];        // VTML80 8-bit (k-mer seeding)
     int16_t bl[A21 * A21];        // BLOSUM62 2-bit biased (ungapped rescore)
@@ -71,21 +91,11 @@ struct PF {
     int64_t nseq = 0;
     uint32_t bincount = 2;
     uint32_t binbits = 1;
-    // scratch (reused across pf_match calls; per-call allocation of the
-    // multi-MB buffers dominated runtime on many-query workloads)
-    std::vector<int8_t> byteArr;
-    std::vector<Counter> found;
-    std::vector<uint32_t> klist;
-    std::vector<IndexEntry> hits;
-    std::vector<uint16_t> hitDiag;
-    std::vector<Counter> sorted;
-    std::vector<int8_t> qprof;
-    // profile-query scratch: ping-pong (score, kmer) lists for the
-    // per-position KmerGenerator cascade + sorted PSSM rows
-    std::vector<int16_t> gscore[2];
-    std::vector<uint32_t> gindex[2];
-    std::vector<int16_t> psort_s;
-    std::vector<uint8_t> psort_i;
+    // default scratch (reused across single-query pf_match calls;
+    // per-call allocation of the multi-MB buffers dominated runtime on
+    // many-query workloads); pf_match_batch uses per-thread instances
+    Scratch scr;
+    size_t dup_bytes = 3;         // duplicate bit-array size
 };
 
 inline int kidx3(const uint8_t *s) {          // Indexer::int2index base 20
@@ -272,7 +282,8 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
     size_t sz = 1;
     while (sz < (size_t)n) sz <<= 1;
     sz = std::max(sz >> pf->binbits, (size_t)1);
-    pf->byteArr.assign(sz + 2, 0);
+    pf->dup_bytes = sz + 2;
+    pf->scr.ensure_dup(pf->dup_bytes);
 }
 
 int64_t pf_n_entries(void *h) {
@@ -342,11 +353,12 @@ int diag_score_raw(const PF *pf, const int8_t *qprof, int qlen,
 // CacheFriendlyOperations::findDuplicates, computeTotalScore=false
 // (CacheFriendlyOperations.cpp:185-274): two successive hits with equal
 // diagonal byte per id -> duplicate; dedup runs keeping first.
-size_t find_duplicates(PF *pf, const std::vector<IndexEntry> &hits,
+size_t find_duplicates(PF *pf, Scratch &sc,
+                       const std::vector<IndexEntry> &hits,
                        const std::vector<uint16_t> &hitDiag,
                        std::vector<Counter> &out) {
     const uint32_t mask = pf->bincount - 1;
-    int8_t *ba = pf->byteArr.data();
+    int8_t *ba = sc.byteArr.data();
     std::vector<std::pair<uint32_t, uint16_t>> tmp;
     size_t cnt = 0;
     for (uint32_t bin = 0; bin < pf->bincount; bin++) {
@@ -388,11 +400,12 @@ size_t find_duplicates(PF *pf, const std::vector<IndexEntry> &hits,
 // (CacheFriendlyOperations.cpp:214-237): per id, the first double-
 // diagonal occurrence carries the total duplicate count (capped 255);
 // later occurrences are suppressed by the zeroed slot.
-size_t find_duplicates_count(PF *pf, const std::vector<IndexEntry> &hits,
+size_t find_duplicates_count(PF *pf, Scratch &sc,
+                             const std::vector<IndexEntry> &hits,
                              const std::vector<uint16_t> &hitDiag,
                              std::vector<Counter> &out) {
     const uint32_t mask = pf->bincount - 1;
-    int8_t *ba = pf->byteArr.data();
+    int8_t *ba = sc.byteArr.data();
     std::vector<std::pair<uint32_t, uint16_t>> tmp;
     size_t cnt = 0;
     for (uint32_t bin = 0; bin < pf->bincount; bin++) {
@@ -435,17 +448,18 @@ size_t find_duplicates_count(PF *pf, const std::vector<IndexEntry> &hits,
 // The diagonalScoring==false result path (QueryMatcher.cpp:186-205 +
 // getResult<KMER_SCORE>): score = double-diagonal match count, no
 // ungapped rescoring; identity hit scores UCHAR_MAX.
-int64_t finish_match_count(PF *pf, int64_t max_hits, int64_t min_diag_thr,
+int64_t finish_match_count(PF *pf, Scratch &sc, int64_t max_hits,
+                           int64_t min_diag_thr,
                            uint32_t identity_id, uint32_t *out_id,
                            int32_t *out_score, int16_t *out_diag) {
-    std::vector<IndexEntry> &hits = pf->hits;
-    std::vector<uint16_t> &hitDiag = pf->hitDiag;
-    std::vector<Counter> &found = pf->found;
+    std::vector<IndexEntry> &hits = sc.hits;
+    std::vector<uint16_t> &hitDiag = sc.hitDiag;
+    std::vector<Counter> &found = sc.found;
     if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
         found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
     }
     size_t resultSize =
-        hits.empty() ? 0 : find_duplicates_count(pf, hits, hitDiag, found);
+        hits.empty() ? 0 : find_duplicates_count(pf, sc, hits, hitDiag, found);
 
     // threshold from the count histogram (computeScoreThreshold)
     uint64_t hist[256] = {0};
@@ -459,7 +473,7 @@ int64_t finish_match_count(PF *pf, int64_t max_hits, int64_t min_diag_thr,
     thr = std::max((unsigned int)min_diag_thr, thr);
 
     // stable bucket sort desc by count, keeping >= thr
-    std::vector<Counter> &sorted = pf->sorted;
+    std::vector<Counter> &sorted = sc.sorted;
     sorted.clear();
     sorted.reserve(resultSize);
     for (int s = 255; s >= (int)thr; s--) {
@@ -500,9 +514,9 @@ int64_t finish_match_count(PF *pf, int64_t max_hits, int64_t min_diag_thr,
 
 // CacheFriendlyOperations::keepMaxScoreElementOnly + keepMaxElement
 // (CacheFriendlyOperations.cpp:74-80, 350-380)
-size_t keep_max_only(PF *pf, std::vector<Counter> &arr, size_t n) {
+size_t keep_max_only(PF *pf, Scratch &sc, std::vector<Counter> &arr, size_t n) {
     const uint32_t mask = pf->bincount - 1;
-    int8_t *ba = pf->byteArr.data();
+    int8_t *ba = sc.byteArr.data();
     std::vector<Counter> binned;
     binned.reserve(n);
     std::vector<Counter> out(n);
@@ -535,18 +549,19 @@ size_t keep_max_only(PF *pf, std::vector<Counter> &arr, size_t n) {
 // rescale, and the final (score desc, id asc) hit ordering. self_seq is
 // the residue string used for the saturation self-score
 // (QueryMatcher::rescoreHits uses numSequence for profiles too).
-int64_t finish_match(PF *pf, const int8_t *qprof, const uint8_t *self_seq,
+int64_t finish_match(PF *pf, Scratch &sc, const int8_t *qprof,
+                     const uint8_t *self_seq,
                      int64_t qlen, int64_t max_hits, int64_t min_diag_thr,
                      uint32_t identity_id, uint32_t *out_id,
                      int32_t *out_score, int16_t *out_diag) {
-    std::vector<IndexEntry> &hits = pf->hits;
-    std::vector<uint16_t> &hitDiag = pf->hitDiag;
-    std::vector<Counter> &found = pf->found;
+    std::vector<IndexEntry> &hits = sc.hits;
+    std::vector<uint16_t> &hitDiag = sc.hitDiag;
+    std::vector<Counter> &found = sc.found;
     if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
         found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
     }
     size_t resultSize = hits.empty() ? 0
-                                     : find_duplicates(pf, hits, hitDiag, found);
+                                     : find_duplicates(pf, sc, hits, hitDiag, found);
 
     // diagonal ungapped scoring for count==0 entries (ungappedAlignment->
     // align); every entry here has count 0
@@ -558,7 +573,7 @@ int64_t finish_match(PF *pf, const int8_t *qprof, const uint8_t *self_seq,
                                       found[i].diagonal);
         found[i].count = (uint8_t)std::min(255, sc);
     }
-    resultSize = keep_max_only(pf, found, resultSize);
+    resultSize = keep_max_only(pf, sc, found, resultSize);
 
     // threshold from score histogram (computeScoreThreshold)
     uint64_t hist[256] = {0};
@@ -572,7 +587,7 @@ int64_t finish_match(PF *pf, const int8_t *qprof, const uint8_t *self_seq,
     thr = std::max((unsigned int)min_diag_thr, thr);
 
     // stable bucket sort desc by score, keeping >= thr (radixSortByScoreSize)
-    std::vector<Counter> &sorted = pf->sorted;
+    std::vector<Counter> &sorted = sc.sorted;
     sorted.clear();
     sorted.reserve(resultSize);
     const bool truncated = thr >= 255;
@@ -685,7 +700,7 @@ void rank20(int16_t *val, uint8_t *idx) {
 // (profile queries: one sorted 20-entry PSSM row per spaced position,
 // KmerGenerator::setDivideStrategy(ScoreMatrix**) + generateKmerList,
 // KmerGenerator.cpp:30-38,106-185). srow/irow: KK sorted rows.
-size_t gen_profile_kmer_list(PF *pf, const int16_t *srow[KK],
+size_t gen_profile_kmer_list(PF *pf, Scratch &sc, const int16_t *srow[KK],
                              const uint8_t *irow[KK], int threshold,
                              uint32_t *out) {
     static const uint32_t POW20[KK] = {1, 20, 400, 8000, 160000, 3200000};
@@ -695,9 +710,9 @@ size_t gen_profile_kmer_list(PF *pf, const int16_t *srow[KK],
         possibleRest[k - 1] = srow[k][0] + possibleRest[k];
     }
     for (int b = 0; b < 2; b++) {
-        if (pf->gscore[b].size() < MAX_KMER_RESULT_SIZE) {
-            pf->gscore[b].resize(MAX_KMER_RESULT_SIZE);
-            pf->gindex[b].resize(MAX_KMER_RESULT_SIZE);
+        if (sc.gscore[b].size() < MAX_KMER_RESULT_SIZE) {
+            sc.gscore[b].resize(MAX_KMER_RESULT_SIZE);
+            sc.gindex[b].resize(MAX_KMER_RESULT_SIZE);
         }
     }
     int cutoff1 = threshold - possibleRest[0];
@@ -713,8 +728,8 @@ size_t gen_profile_kmer_list(PF *pf, const int16_t *srow[KK],
     size_t inSize = 20;
     size_t counter = 0;
     for (int step = 0; step + 1 < KK; step++) {
-        int16_t *outScore = pf->gscore[step % 2].data();
-        uint32_t *outIndex = pf->gindex[step % 2].data();
+        int16_t *outScore = sc.gscore[step % 2].data();
+        uint32_t *outIndex = sc.gindex[step % 2].data();
         const int16_t *ns = srow[step + 1];
         const uint8_t *nx = irow[step + 1];
         const uint32_t pw = POW20[step + 1];
@@ -743,13 +758,13 @@ size_t gen_profile_kmer_list(PF *pf, const int16_t *srow[KK],
 
 // Collect the (seqId, diagonal) match stream for one query
 // (QueryMatcher::match); false on overflow (unsupported path).
-bool collect_hits(PF *pf, const uint8_t *q, int64_t qlen,
+bool collect_hits(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
                   const float *comp_bias, size_t maxDbMatches) {
-    std::vector<IndexEntry> &hits = pf->hits;
-    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    std::vector<IndexEntry> &hits = sc.hits;
+    std::vector<uint16_t> &hitDiag = sc.hitDiag;
     hits.clear();
     hitDiag.clear();
-    std::vector<uint32_t> &klist = pf->klist;
+    std::vector<uint32_t> &klist = sc.klist;
     uint8_t w[KK];
     for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
         if (!extract_kmer(q, i, w)) continue;
@@ -787,17 +802,17 @@ void comp_bias(const uint8_t *seq, int64_t n, const int32_t *scores,
 // One query against the index. comp_bias: float per query position
 // (calcLocalAaBiasCorrection with the VTML80 matrix). Returns hit count
 // (<= max_hits); -1 on unsupported overflow.
-int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
-                 const float *comp_bias, int64_t max_hits,
-                 int64_t min_diag_thr, uint32_t identity_id,
-                 uint32_t *out_id, int32_t *out_score, int16_t *out_diag) {
-    PF *pf = static_cast<PF *>(h);
+int64_t pf_match_sc(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
+                    const float *comp_bias, int64_t max_hits,
+                    int64_t min_diag_thr, uint32_t identity_id,
+                    uint32_t *out_id, int32_t *out_score,
+                    int16_t *out_diag) {
     const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
     max_hits = std::min(max_hits, pf->nseq);
 
     // query profile: biased BLOSUM62 2-bit + round(bias/4) per position
     // (UngappedAlignment::createProfile, UngappedAlignment.cpp:385-414)
-    std::vector<int8_t> &qprof = pf->qprof;
+    std::vector<int8_t> &qprof = sc.qprof;
     qprof.resize((size_t)qlen * A21);
     for (int64_t pos = 0; pos < qlen; pos++) {
         float b = comp_bias[pos];
@@ -809,11 +824,23 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
         }
     }
 
-    if (!collect_hits(pf, q, qlen, comp_bias, maxDbMatches)) {
+    if (!collect_hits(pf, sc, q, qlen, comp_bias, maxDbMatches)) {
         return -1;  // overflow
     }
-    return finish_match(pf, qprof.data(), q, qlen, max_hits, min_diag_thr,
-                        identity_id, out_id, out_score, out_diag);
+    return finish_match(pf, sc, qprof.data(), q, qlen, max_hits,
+                        min_diag_thr, identity_id, out_id, out_score,
+                        out_diag);
+}
+
+int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
+                 const float *comp_bias, int64_t max_hits,
+                 int64_t min_diag_thr, uint32_t identity_id,
+                 uint32_t *out_id, int32_t *out_score, int16_t *out_diag) {
+    PF *pf = static_cast<PF *>(h);
+    pf->scr.ensure_dup(pf->dup_bytes);
+    return pf_match_sc(pf, pf->scr, q, qlen, comp_bias, max_hits,
+                       min_diag_thr, identity_id, out_id, out_score,
+                       out_diag);
 }
 
 // Batched pf_match: nq queries concatenated in qdata with qoffs (nq+1
@@ -829,18 +856,30 @@ int64_t pf_match_batch(void *h, const uint8_t *qdata, const int64_t *qoffs,
                        int64_t min_diag_thr, const uint32_t *identity_ids,
                        int64_t cap, uint32_t *out_id, int32_t *out_score,
                        int16_t *out_diag, int64_t *out_counts) {
-    std::vector<float> bias;
-    for (int64_t qi = 0; qi < nq; qi++) {
-        const uint8_t *q = qdata + qoffs[qi];
-        const int64_t qlen = qoffs[qi + 1] - qoffs[qi];
-        bias.assign((size_t)qlen, 0.0f);
-        if (scores != nullptr) {
-            comp_bias(q, qlen, scores, A21, pback, 1.0, bias.data());
+    PF *pf = static_cast<PF *>(h);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        Scratch sc;  // per-thread: hit buffers + duplicate bit-array
+        sc.ensure_dup(pf->dup_bytes);
+        std::vector<float> bias;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+        for (int64_t qi = 0; qi < nq; qi++) {
+            const uint8_t *q = qdata + qoffs[qi];
+            const int64_t qlen = qoffs[qi + 1] - qoffs[qi];
+            bias.assign((size_t)qlen, 0.0f);
+            if (scores != nullptr) {
+                comp_bias(q, qlen, scores, A21, pback, 1.0, bias.data());
+            }
+            out_counts[qi] = pf_match_sc(
+                pf, sc, q, qlen, bias.data(), max_hits, min_diag_thr,
+                identity_ids ? identity_ids[qi] : 0xFFFFFFFFu,
+                out_id + qi * cap, out_score + qi * cap,
+                out_diag + qi * cap);
         }
-        out_counts[qi] = pf_match(
-            h, q, qlen, bias.data(), max_hits, min_diag_thr,
-            identity_ids ? identity_ids[qi] : 0xFFFFFFFFu,
-            out_id + qi * cap, out_score + qi * cap, out_diag + qi * cap);
     }
     return 0;
 }
@@ -856,11 +895,12 @@ int64_t pf_match_count(void *h, const uint8_t *q, int64_t qlen,
     PF *pf = static_cast<PF *>(h);
     const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
     max_hits = std::min(max_hits, pf->nseq);
-    if (!collect_hits(pf, q, qlen, comp_bias, maxDbMatches)) {
+    pf->scr.ensure_dup(pf->dup_bytes);
+    if (!collect_hits(pf, pf->scr, q, qlen, comp_bias, maxDbMatches)) {
         return -1;  // overflow
     }
-    return finish_match_count(pf, max_hits, min_diag_thr, identity_id,
-                              out_id, out_score, out_diag);
+    return finish_match_count(pf, pf->scr, max_hits, min_diag_thr,
+                              identity_id, out_id, out_score, out_diag);
 }
 
 // One HMM-profile query against the index (blastpgp.sh / profile-query
@@ -886,11 +926,13 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
 
     // sorted PSSM rows (Sequence::mapProfile kmerSize!=0 branch:
     // rankedDescSort20 per position)
-    pf->psort_s.resize((size_t)qlen * 20);
-    pf->psort_i.resize((size_t)qlen * 20);
+    Scratch &sc = pf->scr;
+    sc.ensure_dup(pf->dup_bytes);
+    sc.psort_s.resize((size_t)qlen * 20);
+    sc.psort_i.resize((size_t)qlen * 20);
     for (int64_t pos = 0; pos < qlen; pos++) {
-        int16_t *sr = pf->psort_s.data() + pos * 20;
-        uint8_t *ir = pf->psort_i.data() + pos * 20;
+        int16_t *sr = sc.psort_s.data() + pos * 20;
+        uint8_t *ir = sc.psort_i.data() + pos * 20;
         for (int a = 0; a < 20; a++) {
             sr[a] = raw_scores[pos * 20 + a];
             ir[a] = (uint8_t)a;
@@ -898,11 +940,11 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
         rank20(sr, ir);
     }
 
-    std::vector<IndexEntry> &hits = pf->hits;
-    std::vector<uint16_t> &hitDiag = pf->hitDiag;
+    std::vector<IndexEntry> &hits = sc.hits;
+    std::vector<uint16_t> &hitDiag = sc.hitDiag;
     hits.clear();
     hitDiag.clear();
-    std::vector<uint32_t> &klist = pf->klist;
+    std::vector<uint32_t> &klist = sc.klist;
     const int thr = std::max((int)kmer_thr, 0);
     for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
         bool hasX = false;
@@ -911,12 +953,12 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
         for (int k = 0; k < KK; k++) {
             const int64_t p = i + PAT_POS[k];
             hasX |= (qnum[p] == ALPH);
-            srow[k] = pf->psort_s.data() + p * 20;
-            irow[k] = pf->psort_i.data() + p * 20;
+            srow[k] = sc.psort_s.data() + p * 20;
+            irow[k] = sc.psort_i.data() + p * 20;
         }
         if (hasX) continue;
         if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
-        const size_t nk = gen_profile_kmer_list(pf, srow, irow, thr,
+        const size_t nk = gen_profile_kmer_list(pf, sc, srow, irow, thr,
                                                 klist.data());
         for (size_t kp = 0; kp < nk; kp++) {
             const uint64_t a = pf->offsets[klist[kp]];
@@ -929,7 +971,7 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
             }
         }
     }
-    return finish_match(pf, qprof, qnum, qlen, max_hits, min_diag_thr,
+    return finish_match(pf, sc, qprof, qnum, qlen, max_hits, min_diag_thr,
                         identity_id, out_id, out_score, out_diag);
 }
 
@@ -1028,7 +1070,8 @@ int64_t pf_load_index(void *h, const char *path) {
     size_t sz = 1;
     while (sz < (size_t)pf->nseq) sz <<= 1;
     sz = std::max(sz >> pf->binbits, (size_t)1);
-    pf->byteArr.assign(sz + 2, 0);
+    pf->dup_bytes = sz + 2;
+    pf->scr.ensure_dup(pf->dup_bytes);
     return (int64_t)pf->nseq;
 }
 
