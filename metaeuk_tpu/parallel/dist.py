@@ -85,3 +85,59 @@ def sharded_search_step(mesh, Lq, Lt):
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def sharded_search_topk_step(mesh, Lq, Lt, k):
+    """Bandwidth-efficient variant for large target DBs: each target
+    shard reduces its local scores to the per-fragment top-k BEFORE the
+    gather, so the ICI collective carries k hits per shard instead of the
+    whole shard row (the reference's --max-seqs 300 contract:
+    QueryMatcher keeps top max-seqs per query, QueryMatcher.h:206).
+
+    Returns a jitted step -> (score, q_end, t_end, target_idx), each
+    (Bq, k), target_idx in GLOBAL target numbering; rows are the exact
+    top-k of the dense cross product (score desc, stable in global
+    target order for ties within a shard; cross-shard ties resolve by
+    shard order via the +shard-offset index tiebreak-free top_k).
+    """
+
+    n_target_shards = mesh.shape[TARGETS_AXIS]
+
+    def local_step(q_enc, q_bias, q_len, t_enc, t_len):
+        nq = q_enc.shape[0]
+        nt = t_enc.shape[0]          # local shard size
+        qi = jnp.repeat(jnp.arange(nq), nt)
+        ti = jnp.tile(jnp.arange(nt), nq)
+        score, q_end, t_end = sw_batch_ends(
+            q_enc[qi], q_bias[qi], q_len[qi], t_enc[ti], Lq, Lt,
+            t_len=t_len[ti])
+        score = score.reshape(nq, nt)
+        q_end = q_end.reshape(nq, nt)
+        t_end = t_end.reshape(nq, nt)
+        k_local = min(k, nt)
+        sc_k, idx_k = jax.lax.top_k(score, k_local)
+        off = jax.lax.axis_index(TARGETS_AXIS) * nt
+        gid_k = idx_k + off
+        qe_k = jnp.take_along_axis(q_end, idx_k, axis=1)
+        te_k = jnp.take_along_axis(t_end, idx_k, axis=1)
+        # gather the per-shard candidate lists (k per shard, not nt)
+        sc_all = jax.lax.all_gather(sc_k, TARGETS_AXIS, axis=1, tiled=True)
+        gid_all = jax.lax.all_gather(gid_k, TARGETS_AXIS, axis=1, tiled=True)
+        qe_all = jax.lax.all_gather(qe_k, TARGETS_AXIS, axis=1, tiled=True)
+        te_all = jax.lax.all_gather(te_k, TARGETS_AXIS, axis=1, tiled=True)
+        # final reduce to the global top-k
+        kk = min(k, k_local * n_target_shards)
+        sc_f, sel = jax.lax.top_k(sc_all, kk)
+        gid_f = jnp.take_along_axis(gid_all, sel, axis=1)
+        qe_f = jnp.take_along_axis(qe_all, sel, axis=1)
+        te_f = jnp.take_along_axis(te_all, sel, axis=1)
+        return sc_f, qe_f, te_f, gid_f
+
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(FRAGS_AXIS, None), P(FRAGS_AXIS, None), P(FRAGS_AXIS),
+                  P(TARGETS_AXIS, None), P(TARGETS_AXIS)),
+        out_specs=(P(FRAGS_AXIS, None),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -55,3 +55,32 @@ def test_contig_partition_bounds():
     assert parts == [(0, 4), (4, 7), (7, 10)]
     assert contig_partition(2, 1, 4) == (1, 2)
     assert contig_partition(2, 3, 4) == (2, 2)  # empty partition ok
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_topk_matches_dense():
+    """The bandwidth-efficient per-shard top-k reduction returns exactly
+    the dense cross product's top-k rows (scores and endpoints)."""
+    from metaeuk_tpu.parallel.dist import sharded_search_topk_step
+    mesh = make_mesh(frags=2, targets=4)
+    Bq, Nt, Lq, Lt, K = 4, 16, 32, 32, 5
+    q_enc = rng.integers(0, 20, (Bq, Lq)).astype(np.int32)
+    q_bias = np.zeros((Bq, Lq), np.int32)
+    q_len = np.full(Bq, Lq, np.int32)
+    t_enc = rng.integers(0, 20, (Nt, Lt)).astype(np.int32)
+    t_len = np.full(Nt, Lt, np.int32)
+    dense = sharded_search_step(mesh, Lq, Lt)
+    sc_d, qe_d, te_d = (np.asarray(a)
+                        for a in dense(q_enc, q_bias, q_len, t_enc, t_len))
+    topk = sharded_search_topk_step(mesh, Lq, Lt, K)
+    sc, qe, te, gid = (np.asarray(a)
+                       for a in topk(q_enc, q_bias, q_len, t_enc, t_len))
+    assert sc.shape == (Bq, K) and gid.shape == (Bq, K)
+    for i in range(Bq):
+        want = np.sort(sc_d[i])[::-1][:K]
+        np.testing.assert_array_equal(sc[i], want)
+        for r in range(K):
+            j = gid[i, r]
+            assert sc[i, r] == sc_d[i, j]
+            assert qe[i, r] == qe_d[i, j]
+            assert te[i, r] == te_d[i, j]
