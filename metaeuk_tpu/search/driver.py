@@ -147,9 +147,6 @@ class SearchDriver:
         """
         p = self.params
         orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
-        orf_bias = [composition_bias_rounded(e, p.comp_bias_correction_scale)
-                    if p.comp_bias_correction else np.zeros(len(e), np.int8)
-                    for e in orfs_enc]
         n_orfs = len(orfs_enc)
         n_targets = len(self.targets_enc)
 
@@ -161,6 +158,15 @@ class SearchDriver:
             if len(pairs) == 0:
                 return np.zeros(0, dtype=HIT_DTYPE)
             oi, ti = pairs[:, 0], pairs[:, 1]
+
+        # bias only for fragments that actually align (after a selective
+        # prefilter most fragments have no candidates)
+        orf_bias = {}
+        for i in np.unique(oi):
+            e = orfs_enc[i]
+            orf_bias[i] = (composition_bias_rounded(
+                e, p.comp_bias_correction_scale)
+                if p.comp_bias_correction else np.zeros(len(e), np.int8))
 
         orf_lens = np.array([len(e) for e in orfs_enc], np.int64)
         # drop pairs with empty sequences
