@@ -326,6 +326,37 @@ def _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret):
     TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
     S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len)
+    return _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret)
+
+
+def _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad):
+    """S[j, i, b] = pssm[i, t_j] for per-pair PSSM queries (the inverted
+    profile search, PROFILE_SEQ alignment — no composition bias). Same
+    MXU one-hot contraction as the sequence path; PSSM scores are
+    int8-range so bf16 is exact."""
+    prof = jnp.asarray(prof, jnp.int32)  # (B, Lq, 21)
+    iq = jnp.arange(Lq)[None, :]
+    valid = (iq < jnp.asarray(q_len)[:, None])[:, :, None]
+    prof = jnp.where(valid, prof, -128).astype(jnp.bfloat16)
+    t_pad = jnp.pad(t_enc, ((0, 0), (0, Lt_pad - Lt)), constant_values=20)
+    t_oh = jax.nn.one_hot(t_pad, 21, dtype=jnp.bfloat16)
+    S = jnp.einsum("bia,bja->jib", prof, t_oh,
+                   preferred_element_type=jnp.bfloat16).astype(jnp.int8)
+    return S
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _align_full_prof(prof, q_len, t_enc, t_len, Lq, Lt, interpret):
+    """One-dispatch full PSSM-vs-sequence alignment (ends + starts)."""
+    B = prof.shape[0]
+    TJ = _tj_for(Lq)
+    Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
+    S = _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad)
+    return _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret)
+
+
+def _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret):
+    TJ = _tj_for(Lq)
     qlen2 = q_len.reshape(1, B).astype(jnp.int32)
     tlen2 = t_len.reshape(1, B).astype(jnp.int32)
     nb = B // TB
@@ -396,4 +427,25 @@ def sw_pallas_align_batch(q_enc, q_bias, q_len, t_enc, t_len, interpret=False):
         out = _sharded_align(n_dev)(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt)
     else:
         out = _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret)
+    return tuple(np.asarray(o)[:B] for o in out)
+
+
+def sw_pallas_align_batch_prof(prof, q_len, t_enc, t_len, interpret=False):
+    """Full batched PSSM-vs-sequence alignment via the fused Pallas
+    kernel; drop-in for sw_jax.sw_align_batch_prof (the inverted profile
+    search's inner loop)."""
+    prof = np.asarray(prof, np.int32)
+    q_len = np.asarray(q_len, np.int32)
+    t_enc = np.asarray(t_enc, np.int32)
+    t_len = np.asarray(t_len, np.int32)
+    B = prof.shape[0]
+    Bp = ((B + TB - 1) // TB) * TB
+    if Bp != B:
+        pad = Bp - B
+        prof = np.pad(prof, ((0, pad), (0, 0), (0, 0)))
+        q_len = np.pad(q_len, (0, pad))
+        t_enc = np.pad(t_enc, ((0, pad), (0, 0)))
+        t_len = np.pad(t_len, (0, pad))
+    Lq, Lt = int(prof.shape[1]), int(t_enc.shape[1])
+    out = _align_full_prof(prof, q_len, t_enc, t_len, Lq, Lt, interpret)
     return tuple(np.asarray(o)[:B] for o in out)

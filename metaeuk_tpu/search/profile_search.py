@@ -69,6 +69,45 @@ def slice_search_db(query_db, prof_db, out_db, evalue=0.001,
     return out_db
 
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _gathered_align_prof_jit(prof_mat, p_lens, t_mat, t_lens, li, lj,
+                             Lq, Lt, use_pallas):
+    """Device-side pair gather + full PSSM-vs-sequence alignment in one
+    dispatch (padded tail pairs flagged by li < 0)."""
+    valid = li >= 0
+    li = jnp.maximum(li, 0)
+    prof = prof_mat[li]
+    q_len = jnp.where(valid, p_lens[li], 0)
+    t_enc = t_mat[lj]
+    t_len = jnp.where(valid, t_lens[lj], 0)
+    if use_pallas:
+        from ..ops.sw_pallas import _align_full_prof
+        return _align_full_prof(prof, q_len, t_enc, t_len, Lq, Lt, False)
+    from ..ops.sw_jax import sw_batch_ends_prof
+    score, q_end, t_end = sw_batch_ends_prof(prof, q_len, t_enc, Lq, Lt,
+                                             t_len=t_len)
+    qe = jnp.maximum(q_end, 0)
+    te = jnp.maximum(t_end, 0)
+    iq = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    it = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    prof_rev = jnp.take_along_axis(
+        prof, jnp.maximum(qe[:, None] - iq, 0)[:, :, None], axis=1)
+    tr = jnp.take_along_axis(t_enc, jnp.maximum(te[:, None] - it, 0), axis=1)
+    score2, qr_end, tr_end = sw_batch_ends_prof(
+        prof_rev, (qe + 1).astype(jnp.int32), tr, Lq, Lt,
+        t_len=(te + 1).astype(jnp.int32))
+    aligned = (t_end >= 0) & (score > 0)
+    q_start = jnp.where(aligned, qe - qr_end, -1)
+    t_start = jnp.where(aligned, te - tr_end, -1)
+    return score, q_start, q_end, t_start, t_end
+
+
 class ProfileSearchDriver:
     """Aligns encoded fragments against an HMM-profile DB (inverted)."""
 
@@ -99,42 +138,78 @@ class ProfileSearchDriver:
         keep = (orf_lens[oi] > 0) & (self.profile_lens[pi] > 0)
         pi, oi = pi[keep], oi[keep]
 
+        # stage per-bucket padded matrices once and gather pairs on the
+        # device (the exhaustive cross product repeats each profile
+        # n_orfs times — re-uploading it per chunk dominated wall clock
+        # on high-latency links); fetches are deferred and concatenated
         lq_b = np.array([_bucket(l) for l in self.profile_lens])[pi]
         lt_b = np.array([_bucket(max(l, 1)) for l in orf_lens])[oi]
+        import jax
+        import jax.numpy as jnp
+        use_pallas = jax.default_backend() != "cpu"
         parts = []
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
+            p_ids = np.unique(pi[sel])
+            o_ids = np.unique(oi[sel])
+            prof_mat = np.zeros((len(p_ids), Lq, 21), np.int32)
+            p_lens = np.zeros(len(p_ids), np.int32)
+            for k, pid in enumerate(p_ids):
+                pssm = self.profiles.pssms[pid]
+                prof_mat[k, :len(pssm)] = pssm
+                p_lens[k] = len(pssm)
+            t_mat = np.zeros((len(o_ids), Lt), np.int32)
+            t_lens = np.zeros(len(o_ids), np.int32)
+            for k, oid in enumerate(o_ids):
+                te = orfs_enc[oid]
+                t_mat[k, :len(te)] = te
+                t_lens[k] = len(te)
+            prof_dev = jnp.asarray(prof_mat)
+            plens_dev = jnp.asarray(p_lens)
+            t_dev = jnp.asarray(t_mat)
+            tlens_dev = jnp.asarray(t_lens)
+            p_remap = np.zeros(int(p_ids.max()) + 1, np.int32)
+            p_remap[p_ids] = np.arange(len(p_ids), dtype=np.int32)
+            o_remap = np.zeros(int(o_ids.max()) + 1, np.int32)
+            o_remap[o_ids] = np.arange(len(o_ids), dtype=np.int32)
             cap = max(8, CELL_BUDGET // (Lq * Lt))
             for s in range(0, len(sel), cap):
                 chunk = sel[s:s + cap]
-                parts.append(self._align_chunk(
-                    pi[chunk], oi[chunk], orfs_enc, orf_lens, Lq, Lt))
-        hits = np.concatenate(parts) if parts else np.zeros(0, HIT_DTYPE)
+                fixed = cap if len(sel) > cap else None
+                li = p_remap[pi[chunk]]
+                lj = o_remap[oi[chunk]]
+                mult = 128 if use_pallas else 8
+                Bp = ((max(len(li), fixed or 0) + mult - 1) // mult) * mult
+                li_p = np.full(Bp, -1, np.int32)
+                lj_p = np.zeros(Bp, np.int32)
+                li_p[:len(li)] = li
+                lj_p[:len(lj)] = lj
+                outs = _gathered_align_prof_jit(
+                    prof_dev, plens_dev, t_dev, tlens_dev,
+                    jnp.asarray(li_p), jnp.asarray(lj_p), Lq, Lt, use_pallas)
+                parts.append((pi[chunk], oi[chunk], p_lens[li], t_lens[lj],
+                              outs))
+        if not parts:
+            return np.zeros(0, dtype=HIT_DTYPE)
+        cat = [np.asarray(jnp.concatenate([p[4][k] for p in parts]))
+               for k in range(5)]
+        offs = np.cumsum([0] + [p[4][0].shape[0] for p in parts])
+        resolved = []
+        for idx, (pi_c, oi_c, q_len_c, t_len_c, _outs) in enumerate(parts):
+            B = len(pi_c)
+            sl = slice(offs[idx], offs[idx] + B)
+            out = np.zeros(B, dtype=HIT_DTYPE)
+            # store inverted-orientation coords; swapped later
+            out["orf_idx"] = oi_c
+            out["target_idx"] = pi_c
+            out["score_raw"] = cat[0][sl]
+            out["q_start"], out["q_end"] = cat[1][sl], cat[2][sl]
+            out["q_len"] = q_len_c
+            out["t_start"], out["t_end"] = cat[3][sl], cat[4][sl]
+            out["t_len"] = t_len_c
+            resolved.append(out)
+        hits = np.concatenate(resolved)
         return self._filter_swap_sort(hits, ev_inv, ev_swap, scaled_thr)
-
-    def _align_chunk(self, pi, oi, orfs_enc, orf_lens, Lq, Lt):
-        B = len(pi)
-        prof = np.zeros((B, Lq, 21), np.int32)
-        q_len = np.zeros(B, np.int32)
-        t_enc = np.zeros((B, Lt), np.int32)
-        t_len = np.zeros(B, np.int32)
-        for k in range(B):
-            pssm = self.profiles.pssms[pi[k]]
-            prof[k, :len(pssm)] = pssm
-            q_len[k] = len(pssm)
-            te = orfs_enc[oi[k]]
-            t_enc[k, :len(te)] = te
-            t_len[k] = len(te)
-        score, q_start, q_end, t_start, t_end = sw_align_batch_prof(
-            prof, q_len, t_enc, t_len)
-        out = np.zeros(B, dtype=HIT_DTYPE)
-        # store inverted-orientation coords; swapped later
-        out["orf_idx"] = oi
-        out["target_idx"] = pi
-        out["score_raw"] = score
-        out["q_start"], out["q_end"], out["q_len"] = q_start, q_end, q_len
-        out["t_start"], out["t_end"], out["t_len"] = t_start, t_end, t_len
-        return out
 
     def backtraces(self, hits, orfs_enc):
         """True backtraces + seqIds for SWAPPED output rows (the -a /

@@ -29,3 +29,24 @@ def test_pallas_matches_oracle_interpret():
         if ref["score"] > 0:
             assert (q_start[i], q_end[i], t_start[i], t_end[i]) == (
                 ref["q_start"], ref["q_end"], ref["t_start"], ref["t_end"]), i
+
+
+def test_pallas_prof_matches_oracle_interpret():
+    """PSSM-vs-sequence Pallas path (the inverted profile search's inner
+    kernel) == the XLA sw_jax prof path: scores and all four endpoints,
+    ragged lengths included."""
+    import numpy as np
+    from metaeuk_tpu.ops.sw_jax import sw_align_batch_prof
+    from metaeuk_tpu.ops.sw_pallas import sw_pallas_align_batch_prof
+    rng = np.random.default_rng(11)
+    B, Lq, Lt = 144, 48, 64
+    prof = rng.integers(-10, 12, (B, Lq, 21)).astype(np.int32)
+    q_len = rng.integers(5, Lq + 1, B).astype(np.int32)
+    t_enc = rng.integers(0, 21, (B, Lt)).astype(np.int32)
+    t_len = rng.integers(5, Lt + 1, B).astype(np.int32)
+    ref = sw_align_batch_prof(prof, q_len, t_enc, t_len)
+    got = sw_pallas_align_batch_prof(prof, q_len, t_enc, t_len,
+                                     interpret=True)
+    for name, a, b in zip(("score", "q_start", "q_end", "t_start", "t_end"),
+                          ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
