@@ -41,6 +41,13 @@ def _add_predict_flags(p):
                    help="kmer = the reference default (sens-calibrated)")
     p.add_argument("--min-ungapped-score", type=int, default=15)
     p.add_argument("--comp-bias-corr", type=int, default=1)
+    p.add_argument("--search-type", type=int, default=0,
+                   choices=[0, 1, 2, 3],
+                   help="0 auto, 1 amino acid, 2 translated, 3 nucleotide "
+                        "(the reference flag; nucl/nucl inputs are also "
+                        "auto-detected)")
+    p.add_argument("--max-seq-len", type=int, default=10000,
+                   help="split window for nucleotide search")
 
 
 def _params_from_args(args):
@@ -753,8 +760,11 @@ def cmd_search(args):
         return samples > 0 and votes == samples
 
     from .io.seqdb import SeqDB
-    if isinstance(targets, SeqDB) and _looks_nucl(query_seqs) and \
-            _looks_nucl([targets.seq_bytes(i) for i in range(len(targets))]):
+    want_nucl = getattr(args, "search_type", 0) == 3
+    if isinstance(targets, SeqDB) and (want_nucl or (
+            _looks_nucl(query_seqs) and
+            _looks_nucl([targets.seq_bytes(i)
+                         for i in range(len(targets))]))):
         # nucleotide/nucleotide: the blastn.sh path at byte parity
         # (search/nucl_search.py)
         import tempfile
@@ -766,7 +776,8 @@ def cmd_search(args):
         nucl_search_workflow(q_db, t_db, args.out_db, f"{td}/tmp",
                              evalue=p.search_evalue_thr,
                              max_seqs=p.max_res_list_len,
-                             add_backtrace=True)
+                             max_seq_len=args.max_seq_len,
+                             add_backtrace=bool(args.backtrace) or bool(args.m8))
         if args.m8:
             from .pipeline.dbtools2 import parse_aln_record, _lines
             with open(args.m8, "w") as f:

@@ -43,7 +43,7 @@ def nucl_search_workflow(query_db, target_db, out_db, tmp_dir,
     prefilter_nucl_db(qs, ts, pref, max_seqs=max_seqs, kmer_size=kmer_size)
     aln = os.path.join(tmp_dir, "aln")
     align_module_nucl(qs, ts, pref, aln, evalue=evalue,
-                      add_backtrace=True, cov_thr=cov_thr,
+                      add_backtrace=add_backtrace, cov_thr=cov_thr,
                       cov_mode=cov_mode, seq_id_thr=seq_id_thr)
     offsetalignment(query_db, qs, target_db, ts, aln, out_db,
                     search_type=3)
