@@ -41,8 +41,11 @@ HIT_DTYPE = np.dtype([
 CELL_BUDGET = 1 << 27
 
 
-def _bucket(n, lo=64):
-    """Coarse length buckets (x4 steps) to bound compile count."""
+def _bucket(n, lo=256):
+    """Coarse length buckets (x4 steps). Deliberately very coarse: each
+    distinct jit shape costs seconds of executable load over a tunneled
+    TPU link, while padded DP cells are nearly free (the fused kernel
+    runs at ~23 Gcells/s), so few big shapes beat many tight ones."""
     b = lo
     while b < n:
         b *= 4
@@ -61,6 +64,13 @@ def pad_rows(seqs, width, dtype=np.int32):
     mask = np.arange(width)[None, :] < lens[:, None]
     out[mask] = flat
     return out
+
+
+def _pad_rows_to(mat, n_rows):
+    """Pad a (n, W) matrix with zero rows up to n_rows (shape tiering)."""
+    if mat.shape[0] >= n_rows:
+        return mat
+    return np.pad(mat, ((0, n_rows - mat.shape[0]), (0, 0)))
 
 
 def estimate_seq_id(score, q_aln_len, t_aln_len):
@@ -108,7 +118,9 @@ def _gathered_align_jit(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
 
 def _gathered_align(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
                     fixed_b=None):
-    use_pallas = jax.default_backend() != "cpu"
+    # very long queries overflow the Pallas kernel's VMEM scratch
+    # ((Lq, TB) int32 x4 carries); fall back to the XLA scan there
+    use_pallas = jax.default_backend() != "cpu" and q_mat.shape[1] <= 4096
     if use_pallas:
         from ..ops.sw_pallas import TB
         mult = TB
@@ -186,14 +198,24 @@ class SearchDriver:
             q_ids = np.unique(oi[sel])
             t_ids = np.unique(ti[sel])
             # stage on device once per bucket (repeated host->device
-            # uploads dominate on high-latency links otherwise)
-            q_mat = jnp.asarray(pad_rows([orfs_enc[i] for i in q_ids], Lq))
-            qb_mat = jnp.asarray(pad_rows([orf_bias[i] for i in q_ids], Lq))
+            # uploads dominate on high-latency links otherwise); row
+            # counts are padded to power-of-two tiers so the jit shapes
+            # are dataset-independent — any workload reuses the same
+            # compiled executables (XLA persistent cache hits)
+            nq_pad = _bucket(max(len(q_ids), 1), lo=8)
+            nt_pad = _bucket(max(len(t_ids), 1), lo=8)
+            q_mat = jnp.asarray(_pad_rows_to(
+                pad_rows([orfs_enc[i] for i in q_ids], Lq), nq_pad))
+            qb_mat = jnp.asarray(_pad_rows_to(
+                pad_rows([orf_bias[i] for i in q_ids], Lq), nq_pad))
             q_lens = orf_lens[q_ids].astype(np.int32)
-            q_lens_dev = jnp.asarray(q_lens)
-            t_mat = jnp.asarray(pad_rows([self.targets_enc[i] for i in t_ids], Lt))
+            q_lens_dev = jnp.asarray(np.pad(q_lens,
+                                            (0, nq_pad - len(q_ids))))
+            t_mat = jnp.asarray(_pad_rows_to(
+                pad_rows([self.targets_enc[i] for i in t_ids], Lt), nt_pad))
             t_lens = self.target_lens[t_ids].astype(np.int32)
-            t_lens_dev = jnp.asarray(t_lens)
+            t_lens_dev = jnp.asarray(np.pad(t_lens,
+                                            (0, nt_pad - len(t_ids))))
             q_remap = np.zeros(int(q_ids.max()) + 1, np.int32)
             q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
             t_remap = np.zeros(int(t_ids.max()) + 1, np.int32)

@@ -20,10 +20,13 @@ from .evalue import EvalueComputation
 CELL_BUDGET = 1 << 24
 
 
-def _bucket(n, lo=32):
+def _bucket(n, lo=256):
+    """Coarse x4 length tiers: each distinct jit shape costs seconds of
+    executable load over a tunneled link; padded DP cells are nearly
+    free on the fused kernel."""
     b = lo
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
@@ -146,20 +149,26 @@ class ProfileSearchDriver:
         lt_b = np.array([_bucket(max(l, 1)) for l in orf_lens])[oi]
         import jax
         import jax.numpy as jnp
-        use_pallas = jax.default_backend() != "cpu"
         parts = []
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
+            # very long profiles overflow the Pallas VMEM scratch; XLA
+            # scan fallback there
+            use_pallas = jax.default_backend() != "cpu" and Lq <= 4096
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
             p_ids = np.unique(pi[sel])
             o_ids = np.unique(oi[sel])
-            prof_mat = np.zeros((len(p_ids), Lq, 21), np.int32)
-            p_lens = np.zeros(len(p_ids), np.int32)
+            # row counts padded to tiers -> dataset-independent jit
+            # shapes (persistent-cache hits across workloads)
+            np_pad = _bucket(max(len(p_ids), 1), lo=8)
+            no_pad = _bucket(max(len(o_ids), 1), lo=8)
+            prof_mat = np.zeros((np_pad, Lq, 21), np.int32)
+            p_lens = np.zeros(np_pad, np.int32)
             for k, pid in enumerate(p_ids):
                 pssm = self.profiles.pssms[pid]
                 prof_mat[k, :len(pssm)] = pssm
                 p_lens[k] = len(pssm)
-            t_mat = np.zeros((len(o_ids), Lt), np.int32)
-            t_lens = np.zeros(len(o_ids), np.int32)
+            t_mat = np.zeros((no_pad, Lt), np.int32)
+            t_lens = np.zeros(no_pad, np.int32)
             for k, oid in enumerate(o_ids):
                 te = orfs_enc[oid]
                 t_mat[k, :len(te)] = te
