@@ -298,13 +298,12 @@ class ReferenceKmerPrefilter:
         prefilter output order (score desc, target asc)."""
         from ..data.submat import encode_aa
         results = self.pf.match_batch([encode_aa(s) for s in orf_aa_seqs])
-        pairs = []
-        for qi, (ids, _, _) in enumerate(results):
-            for t in ids:
-                pairs.append((qi, int(t)))
-        if not pairs:
+        counts = np.array([len(ids) for ids, _, _ in results], np.int64)
+        if counts.sum() == 0:
             return np.zeros((0, 2), np.int64)
-        return np.asarray(pairs, np.int64)
+        qi = np.repeat(np.arange(len(results), dtype=np.int64), counts)
+        ti = np.concatenate([ids for ids, _, _ in results]).astype(np.int64)
+        return np.stack([qi, ti], axis=1)
 
 
 def prefilter_db(query_encs, target_encs, identity_pairs=False, **kw):
