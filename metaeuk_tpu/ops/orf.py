@@ -172,6 +172,23 @@ class OrfExtractor:
         """Fragment nucleotides -> AA bytes (translatenucs equivalent)."""
         return self.gencode.translate_ascii(nucl_fragment)
 
+    def translate_fragments(self, nucl_fragments):
+        """Batched translation: one vectorized pass over the concatenated
+        fragments (the per-fragment numpy call overhead dominated
+        many-fragment contigs)."""
+        import numpy as np
+        lens = [len(f) for f in nucl_fragments]
+        if not lens or any(l % 3 for l in lens):
+            return [self.translate_fragment(f) for f in nucl_fragments]
+        flat = b"".join(bytes(f) for f in nucl_fragments)
+        aa = self.gencode.translate_ascii(flat)
+        out = []
+        off = 0
+        for l in lens:
+            out.append(aa[off:off + l // 3])
+            off += l // 3
+        return out
+
 
 def orf_header_fields(loc):
     """(from, signed_len) pair as encoded in the ORF header

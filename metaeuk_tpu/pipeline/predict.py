@@ -154,11 +154,9 @@ class EasyPredict:
         orf_contig = []
         for ci in range(lo, hi):
             locs, frags = extractor.extract_contig(contigs.seq_bytes(ci), ci)
-            for loc, frag in zip(locs, frags):
-                orf_locs.append(loc)
-                aa = extractor.translate_fragment(frag)
-                orf_aa.append(aa)
-                orf_contig.append(ci)
+            orf_locs.extend(locs)
+            orf_aa.extend(extractor.translate_fragments(frags))
+            orf_contig.extend([ci] * len(locs))
         if p.reverse_fragments:
             orf_aa = [aa[::-1] for aa in orf_aa]
         timer_ctx.__exit__(None, None, None)
