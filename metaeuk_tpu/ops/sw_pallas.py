@@ -46,88 +46,110 @@ def _tj_for(Lq):
     return max(UNROLL, tj // UNROLL * UNROLL)
 
 
-def _dp_kernel(Lq, Lt, TJ, s_ref, qlen_ref, tlen_ref,
-               best_out, qend_out, tend_out,
-               h_ref, e_ref, rowbest_ref, rowcol_ref):
+def _shift_down(x, k, fill):
+    """x shifted down k sublanes (rows), top filled. Shifts by multiples
+    of 8 sublanes are vreg-aligned moves (~2x cheaper than rotates on
+    v5e — measured in tools/kbench.py)."""
+    TBx = x.shape[1]
+    return jnp.concatenate(
+        [jnp.full((k, TBx), fill, x.dtype), x[:-k]], axis=0)
+
+
+def _shift_up(x, k, fill):
+    TBx = x.shape[1]
+    return jnp.concatenate(
+        [x[k:], jnp.full((k, TBx), fill, x.dtype)], axis=0)
+
+
+def _cummax_down(A, Lq):
+    """Inclusive running max down the sublane axis: hierarchical doubling
+    (unaligned rotates only for shifts 1/2/4, vreg-aligned slices after)."""
+    shift = 1
+    while shift < Lq:
+        A = jnp.maximum(A, _shift_down(A, shift, NEG))
+        shift *= 2
+    return A
+
+
+def _cummax_up(A, Lq):
+    shift = 1
+    while shift < Lq:
+        A = jnp.maximum(A, _shift_up(A, shift, NEG))
+        shift *= 2
+    return A
+
+
+SCORE_CAP = 32767  # the reference word kernel saturates here
+                   # (StripedSmithWaterman.cpp:943 sw_sse2_word)
+
+
+def _dp_kernel(Lq, Lt, TJ, s_ref, best_out, qend_out, tend_out,
+               h_ref, e_ref, bp_ref):
+    """Forward SW ends. S is fully premasked (query padding rows and
+    target padding columns are -128), so no length checks are needed:
+    padded cells can never strictly improve the running best. The
+    per-row running best is a single packed int32
+        BP = Hn * 65536 + (65535 - j)
+    whose max realises the reference tie-break (max score, then the
+    FIRST column attaining it — sw_sse2_byte:879-916) with one max op
+    per column. E carries are unclamped (bounded below by -GO since the
+    max includes Hn - GO; G clamps at 0 anyway)."""
     j_chunk = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
 
     @pl.when(j_chunk == 0)
     def _():
         h_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        e_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        rowbest_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        rowcol_ref[:] = jnp.full((Lq, TB), -1, jnp.int32)
+        e_ref[:] = jnp.full((Lq, TB), -GO, jnp.int32)
+        bp_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
 
     iq = jax.lax.broadcasted_iota(jnp.int32, (Lq, TB), 0)
     f_base = -GO - (iq - 1) * GE
     igge = iq * GE
-    t_len = tlen_ref[0:1, :]
 
-    # number of shift steps for the cumulative max
-    n_steps = max(1, (Lq - 1).bit_length())
-
-    def one_col(j_global, jj, H, E, RB, RC):
-        # padding query rows carry -128 in S (premasked at build time)
+    def one_col(j_global, jj, H, E, BP):
         s = s_ref[jj].astype(jnp.int32)
-        Hd = jnp.concatenate(
-            [jnp.zeros((1, TB), jnp.int32), H[:-1]], axis=0)
-        G = jnp.maximum(0, jnp.maximum(Hd + s, E))
-        # shifted cumulative max of A = G + i*ge along sublanes
-        A = G + igge
-        shift = 1
-        for _ in range(n_steps):
-            A = jnp.maximum(
-                A, jnp.concatenate(
-                    [jnp.full((shift, TB), NEG, jnp.int32), A[:-shift]], axis=0))
-            shift *= 2
-        M = jnp.concatenate(
-            [jnp.full((1, TB), NEG, jnp.int32), A[:-1]], axis=0)
-        Hn = jnp.maximum(G, M + f_base)
-        # per-row running max + column of its latest strict improvement;
-        # global endpoints (first improving column, then smallest row)
-        # are reconstructed once at the end — saves two sublane
-        # reductions per column
-        strict = (Hn > RB) & (j_global < t_len)
-        RC = jnp.where(strict, j_global, RC)
-        RB = jnp.where(strict, Hn, RB)
-        E = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
-        return Hn, E, RB, RC
+        Hd = _shift_down(H, 1, 0)
+        G = jnp.maximum(jnp.maximum(Hd + s, E), 0)
+        # F(i) = max_{k<i}(G(k) + k*ge) - go - (i-1)*ge
+        A = _cummax_down(G + igge, Lq)
+        Hn = jnp.maximum(G, _shift_down(A, 1, NEG) + f_base)
+        Hn = jnp.minimum(Hn, SCORE_CAP)
+        BP = jnp.maximum(BP, Hn * 65536 + (65535 - j_global))
+        E = jnp.maximum(E - GE, Hn - GO)
+        return Hn, E, BP
 
     def col_block(blk, carry):
         del carry
         # DP state carried in registers across an unrolled block of
         # columns: one scratch load/store per UNROLL columns
-        H, E, RB, RC = h_ref[:], e_ref[:], rowbest_ref[:], rowcol_ref[:]
+        H, E, BP = h_ref[:], e_ref[:], bp_ref[:]
         for u in range(UNROLL):
             jj = blk * UNROLL + u
-            H, E, RB, RC = one_col(j_chunk * TJ + jj, jj, H, E, RB, RC)
+            H, E, BP = one_col(j_chunk * TJ + jj, jj, H, E, BP)
         h_ref[:], e_ref[:] = H, E
-        rowbest_ref[:], rowcol_ref[:] = RB, RC
+        bp_ref[:] = BP
         return 0
 
     jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
 
-    @pl.when(j_chunk == n_chunks - 1)
+    @pl.when(j_chunk == pl.num_programs(1) - 1)
     def _():
-        rb = rowbest_ref[:]
-        rc = rowcol_ref[:]
-        M = jnp.max(rb, axis=0, keepdims=True)
-        cand = rb == M
-        js = jnp.min(jnp.where(cand, rc, BIG), axis=0, keepdims=True)
-        qe = jnp.min(jnp.where(cand & (rc == js), iq, BIG), axis=0,
-                     keepdims=True)
+        bp = bp_ref[:]
+        Mp = jnp.max(bp, axis=0, keepdims=True)
+        qe = jnp.min(jnp.where(bp == Mp, iq, BIG), axis=0, keepdims=True)
+        M = Mp // 65536
         has = M > 0
         best_out[:] = jnp.where(has, M, 0)
-        tend_out[:] = jnp.where(has, js, -1)
+        tend_out[:] = jnp.where(has, 65535 - (Mp & 65535), -1)
         qend_out[:] = jnp.where(has, qe, Lq - 1)
 
 
-def _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=None):
+def _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=None,
+                    t_len=None):
     """S[j, i, b] = blosum[q_i, t_j] + bias_i via batched MXU matmul.
-    Padding query rows (i >= q_len) are scored -128 so the DP kernels
-    need no per-column row mask (derived values stay strictly below any
-    real maximum)."""
+    Padding query rows (i >= q_len) AND padding target columns
+    (j >= t_len) are scored -128 so the DP kernels need no per-column
+    masks (derived values stay strictly below any real maximum)."""
     submat = jnp.asarray(BLOSUM62_SCORES, dtype=jnp.int32)
     prof = submat[q_enc] + q_bias[:, :, None]                        # (B,Lq,21)
     if q_len is not None:
@@ -139,7 +161,14 @@ def _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=None):
     prof = prof.astype(jnp.bfloat16)
     t_pad = jnp.pad(t_enc, ((0, 0), (0, Lt_pad - Lt)),
                     constant_values=20)                              # X
-    t_oh = jax.nn.one_hot(t_pad, 21, dtype=jnp.bfloat16)             # (B,Ltp,21)
+    if t_len is not None:
+        # class 21 selects the appended -128 profile column
+        jt = jnp.arange(Lt_pad)[None, :]
+        t_pad = jnp.where(jt < jnp.asarray(t_len)[:, None], t_pad, 21)
+        prof = jnp.concatenate(
+            [prof, jnp.full((prof.shape[0], Lq, 1), -128, prof.dtype)],
+            axis=2)
+    t_oh = jax.nn.one_hot(t_pad, prof.shape[2], dtype=jnp.bfloat16)  # (B,Ltp,A)
     S = jnp.einsum("bia,bja->jib", prof, t_oh,
                    preferred_element_type=jnp.bfloat16).astype(jnp.int8)
     return S
@@ -155,10 +184,13 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
     assert B % TB == 0, B
     TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
-    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len)
-    qlen2 = q_len.reshape(1, B).astype(jnp.int32)
-    tlen2 = t_len.reshape(1, B).astype(jnp.int32)
+    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len,
+                        t_len=t_len)
+    return _sw_pallas_ends_from_S(S, Lq, Lt_pad, B, interpret)
 
+
+def _sw_pallas_ends_from_S(S, Lq, Lt_pad, B, interpret):
+    TJ = _tj_for(Lq)
     nb = B // TB
     nj = Lt_pad // TJ
     kernel = functools.partial(_dp_kernel, Lq, Lt_pad, TJ)
@@ -168,8 +200,6 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
         in_specs=[
             pl.BlockSpec((TJ, Lq, TB), lambda b, j: (j, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM),
@@ -180,89 +210,73 @@ def sw_pallas_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((Lq, TB), jnp.int32),   # H
             pltpu.VMEM((Lq, TB), jnp.int32),   # E
-            pltpu.VMEM((Lq, TB), jnp.int32),   # per-row best
-            pltpu.VMEM((Lq, TB), jnp.int32),   # per-row column
+            pltpu.VMEM((Lq, TB), jnp.int32),   # packed per-row best
         ],
         interpret=interpret,
-    )(S, qlen2, tlen2)
+    )(S)
     return best[0], q_end[0], t_end[0]
 
 
 def _dp_kernel_rev(Lq, Lt, TJ, s_ref, qe_ref, te_ref,
                    score_out, qstart_out, tstart_out,
-                   h_ref, e_ref, rowbest_ref, rowcol_ref):
+                   h_ref, e_ref, bp_ref):
     """Reverse-prefix DP on the SAME streamed score matrix: columns walk
     te..0 and rows are mirrored, which is exactly the reference's
     reversed-prefix pass (ssw_align_private:398-482) without any host or
-    device gathers. Tie-breaking: first strict improvement in the reversed
-    scan (largest original column), then the largest query row — both
-    reconstructed from per-row maxima at the end."""
+    device gathers. Tie-breaking: first strict improvement in the
+    reversed scan (LARGEST original column), then the largest query row
+    — realised by the packed per-row best BP = Hn * 65536 + j."""
     j_chunk = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
     @pl.when(j_chunk == 0)
     def _():
         h_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        e_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        rowbest_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
-        rowcol_ref[:] = jnp.full((Lq, TB), -1, jnp.int32)
+        e_ref[:] = jnp.full((Lq, TB), -GO, jnp.int32)
+        bp_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
 
     iq = jax.lax.broadcasted_iota(jnp.int32, (Lq, TB), 0)
     q_mask = iq <= qe_ref[0:1, :]
     f_base = -GO + (iq + 1) * GE
     te = te_ref[0:1, :]
-    n_steps = max(1, (Lq - 1).bit_length())
 
-    def one_col(j_global, jj, H, E, RB, RC):
+    def one_col(j_global, jj, H, E, BP):
         s = jnp.where(q_mask & (j_global <= te),
                       s_ref[jj].astype(jnp.int32), NEG)
         # diagonal predecessor is one row BELOW (i+1)
-        Hd = jnp.concatenate([H[1:], jnp.zeros((1, TB), jnp.int32)], axis=0)
-        G = jnp.maximum(0, jnp.maximum(Hd + s, E))
+        Hd = _shift_up(H, 1, 0)
+        G = jnp.maximum(jnp.maximum(Hd + s, E), 0)
         # F(i) = max_{k>i} (G(k) - go - (k-1-i)*ge): suffix cummax
-        A = G - iq * GE
-        shift = 1
-        for _ in range(n_steps):
-            A = jnp.maximum(
-                A, jnp.concatenate(
-                    [A[shift:], jnp.full((shift, TB), NEG, jnp.int32)], axis=0))
-            shift *= 2
-        M = jnp.concatenate([A[1:], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
-        Hn = jnp.maximum(G, M + f_base)
-        # scan order is decreasing j, so the scan-first improving column
-        # is the LARGEST rowcol among rows attaining the global max
-        strict = Hn > RB
-        RC = jnp.where(strict, j_global, RC)
-        RB = jnp.where(strict, Hn, RB)
-        E = jnp.maximum(jnp.maximum(E - GE, Hn - GO), 0)
-        return Hn, E, RB, RC
+        A = _cummax_up(G - iq * GE, Lq)
+        Hn = jnp.maximum(G, _shift_up(A, 1, NEG) + f_base)
+        Hn = jnp.minimum(Hn, SCORE_CAP)
+        BP = jnp.maximum(BP, Hn * 65536 + j_global)
+        E = jnp.maximum(E - GE, Hn - GO)
+        return Hn, E, BP
 
     def col_block(blk, carry):
         del carry
-        H, E, RB, RC = h_ref[:], e_ref[:], rowbest_ref[:], rowcol_ref[:]
+        H, E, BP = h_ref[:], e_ref[:], bp_ref[:]
         for u in range(UNROLL):
             # grid chunks and columns both run high -> low
             jj = TJ - 1 - (blk * UNROLL + u)
             j_global = (n_chunks - 1 - j_chunk) * TJ + jj
-            H, E, RB, RC = one_col(j_global, jj, H, E, RB, RC)
+            H, E, BP = one_col(j_global, jj, H, E, BP)
         h_ref[:], e_ref[:] = H, E
-        rowbest_ref[:], rowcol_ref[:] = RB, RC
+        bp_ref[:] = BP
         return 0
 
     jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
 
     @pl.when(j_chunk == n_chunks - 1)
     def _():
-        rb = rowbest_ref[:]
-        rc = rowcol_ref[:]
-        Mx = jnp.max(rb, axis=0, keepdims=True)
-        cand = rb == Mx
-        js = jnp.max(jnp.where(cand, rc, -BIG), axis=0, keepdims=True)
-        qs = jnp.max(jnp.where(cand & (rc == js), iq, -BIG), axis=0,
-                     keepdims=True)
+        bp = bp_ref[:]
+        Mp = jnp.max(bp, axis=0, keepdims=True)
+        qs = jnp.max(jnp.where(bp == Mp, iq, -BIG), axis=0, keepdims=True)
+        Mx = Mp // 65536
         has = Mx > 0
         score_out[:] = jnp.where(has, Mx, 0)
-        tstart_out[:] = jnp.where(has, js, -1)
+        tstart_out[:] = jnp.where(has, Mp & 65535, -1)
         qstart_out[:] = jnp.where(has, qs, 0)
 
 
@@ -290,7 +304,6 @@ def _sw_pallas_starts_from_S(S, q_end, t_end, Lq, Lt_pad, B, interpret):
         ],
         out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((Lq, TB), jnp.int32),
             pltpu.VMEM((Lq, TB), jnp.int32),
             pltpu.VMEM((Lq, TB), jnp.int32),
             pltpu.VMEM((Lq, TB), jnp.int32),
@@ -325,11 +338,12 @@ def _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, interpret):
     B = q_enc.shape[0]
     TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
-    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len)
+    S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad, q_len=q_len,
+                        t_len=t_len)
     return _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret)
 
 
-def _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad):
+def _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad, t_len=None):
     """S[j, i, b] = pssm[i, t_j] for per-pair PSSM queries (the inverted
     profile search, PROFILE_SEQ alignment — no composition bias). Same
     MXU one-hot contraction as the sequence path; PSSM scores are
@@ -339,7 +353,13 @@ def _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad):
     valid = (iq < jnp.asarray(q_len)[:, None])[:, :, None]
     prof = jnp.where(valid, prof, -128).astype(jnp.bfloat16)
     t_pad = jnp.pad(t_enc, ((0, 0), (0, Lt_pad - Lt)), constant_values=20)
-    t_oh = jax.nn.one_hot(t_pad, 21, dtype=jnp.bfloat16)
+    if t_len is not None:
+        jt = jnp.arange(Lt_pad)[None, :]
+        t_pad = jnp.where(jt < jnp.asarray(t_len)[:, None], t_pad, 21)
+        prof = jnp.concatenate(
+            [prof, jnp.full((prof.shape[0], Lq, 1), -128, prof.dtype)],
+            axis=2)
+    t_oh = jax.nn.one_hot(t_pad, prof.shape[2], dtype=jnp.bfloat16)
     S = jnp.einsum("bia,bja->jib", prof, t_oh,
                    preferred_element_type=jnp.bfloat16).astype(jnp.int8)
     return S
@@ -351,39 +371,12 @@ def _align_full_prof(prof, q_len, t_enc, t_len, Lq, Lt, interpret):
     B = prof.shape[0]
     TJ = _tj_for(Lq)
     Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
-    S = _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad)
+    S = _build_S_prof(prof, q_len, t_enc, Lq, Lt, Lt_pad, t_len=t_len)
     return _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret)
 
 
 def _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret):
-    TJ = _tj_for(Lq)
-    qlen2 = q_len.reshape(1, B).astype(jnp.int32)
-    tlen2 = t_len.reshape(1, B).astype(jnp.int32)
-    nb = B // TB
-    nj = Lt_pad // TJ
-    kernel = functools.partial(_dp_kernel, Lq, Lt_pad, TJ)
-    best, q_end, t_end = pl.pallas_call(
-        kernel,
-        grid=(nb, nj),
-        in_specs=[
-            pl.BlockSpec((TJ, Lq, TB), lambda b, j: (j, 0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM),
-        ] * 3,
-        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((Lq, TB), jnp.int32),
-            pltpu.VMEM((Lq, TB), jnp.int32),
-            pltpu.VMEM((Lq, TB), jnp.int32),
-            pltpu.VMEM((Lq, TB), jnp.int32),
-        ],
-        interpret=interpret,
-    )(S, qlen2, tlen2)
-    score, q_end, t_end = best[0], q_end[0], t_end[0]
+    score, q_end, t_end = _sw_pallas_ends_from_S(S, Lq, Lt_pad, B, interpret)
     qe = jnp.maximum(q_end, 0)
     te = jnp.maximum(t_end, 0)
     score2, q_start, t_start = _sw_pallas_starts_from_S(
