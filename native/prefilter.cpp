@@ -356,7 +356,7 @@ int diag_score_raw(const PF *pf, const int8_t *qprof, int qlen,
 size_t find_duplicates(PF *pf, Scratch &sc,
                        const std::vector<IndexEntry> &hits,
                        const std::vector<uint16_t> &hitDiag,
-                       std::vector<Counter> &out) {
+                       Counter *out) {
     const uint32_t mask = pf->bincount - 1;
     int8_t *ba = sc.byteArr.data();
     std::vector<std::pair<uint32_t, uint16_t>> tmp;
@@ -403,7 +403,7 @@ size_t find_duplicates(PF *pf, Scratch &sc,
 size_t find_duplicates_count(PF *pf, Scratch &sc,
                              const std::vector<IndexEntry> &hits,
                              const std::vector<uint16_t> &hitDiag,
-                             std::vector<Counter> &out) {
+                             Counter *out) {
     const uint32_t mask = pf->bincount - 1;
     int8_t *ba = sc.byteArr.data();
     std::vector<std::pair<uint32_t, uint16_t>> tmp;
@@ -448,18 +448,11 @@ size_t find_duplicates_count(PF *pf, Scratch &sc,
 // The diagonalScoring==false result path (QueryMatcher.cpp:186-205 +
 // getResult<KMER_SCORE>): score = double-diagonal match count, no
 // ungapped rescoring; identity hit scores UCHAR_MAX.
-int64_t finish_match_count(PF *pf, Scratch &sc, int64_t max_hits,
-                           int64_t min_diag_thr,
+int64_t finish_match_count(PF *pf, Scratch &sc, size_t resultSize,
+                           int64_t max_hits, int64_t min_diag_thr,
                            uint32_t identity_id, uint32_t *out_id,
                            int32_t *out_score, int16_t *out_diag) {
-    std::vector<IndexEntry> &hits = sc.hits;
-    std::vector<uint16_t> &hitDiag = sc.hitDiag;
     std::vector<Counter> &found = sc.found;
-    if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
-        found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
-    }
-    size_t resultSize =
-        hits.empty() ? 0 : find_duplicates_count(pf, sc, hits, hitDiag, found);
 
     // threshold from the count histogram (computeScoreThreshold)
     uint64_t hist[256] = {0};
@@ -543,36 +536,200 @@ size_t keep_max_only(PF *pf, Scratch &sc, std::vector<Counter> &arr, size_t n) {
     return cnt;
 }
 
+// CacheFriendlyOperations::mergeElementsByDiagonal
+// (CacheFriendlyOperations.cpp:61-70 + mergeDiagonal[KeepScoredHits]
+// Duplicates): dedup the concatenated overflow chunks by (id, diagonal
+// byte); keep_scored additionally keeps every already-scored entry
+// (count != 0). Bin iteration order mirrors find_duplicates.
+size_t merge_diag_dups(PF *pf, Scratch &sc, Counter *arr, size_t n,
+                       bool keep_scored) {
+    const uint32_t mask = pf->bincount - 1;
+    int8_t *ba = sc.byteArr.data();
+    std::vector<Counter> binned;
+    std::vector<Counter> out;
+    out.reserve(n);
+    for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        binned.clear();
+        for (size_t i = 0; i < n; i++) {
+            if ((arr[i].id & mask) == bin) binned.push_back(arr[i]);
+        }
+        if (keep_scored) {
+            // forward pass marks, reverse pass extracts (the reference
+            // keeps the LAST element of each same-diagonal run here;
+            // output order is reversed within the bin, exactly like
+            // mergeDiagonalKeepScoredHitsDuplicates)
+            for (size_t i = 0; i < binned.size(); i++) {
+                ba[binned[i].id >> pf->binbits] =
+                    (int8_t)((uint8_t)binned[i].diagonal + 1);
+            }
+            for (size_t i = binned.size(); i-- > 0;) {
+                const Counter &e = binned[i];
+                const uint32_t key = e.id >> pf->binbits;
+                if (e.count != 0 ||
+                    (uint8_t)ba[key] != (uint8_t)e.diagonal) {
+                    out.push_back(e);
+                }
+                ba[key] = (int8_t)(uint8_t)e.diagonal;
+            }
+        } else {
+            for (size_t i = binned.size(); i-- > 0;) {
+                ba[binned[i].id >> pf->binbits] =
+                    (int8_t)((uint8_t)binned[i].diagonal + 1);
+            }
+            for (size_t i = 0; i < binned.size(); i++) {
+                const Counter &e = binned[i];
+                const uint32_t key = e.id >> pf->binbits;
+                if ((uint8_t)ba[key] != (uint8_t)e.diagonal) out.push_back(e);
+                ba[key] = (int8_t)(uint8_t)e.diagonal;
+            }
+        }
+    }
+    // ba stays diagonal-dirty in the reference too; the following
+    // keepMaxScoreElementOnly pass restores the zero invariant for every
+    // id present here (QueryMatcher.cpp:293-297, 109-149)
+    std::copy(out.begin(), out.end(), arr);
+    return out.size();
+}
+
+// CacheFriendlyOperations::mergeElementsByScore + mergeScoreDuplicates
+// (CacheFriendlyOperations.cpp:~315): per id, first occurrence carries
+// the 255-saturating sum of chunk counts; later occurrences reproduce
+// the reference's quirk of re-emitting with count = previous element's
+// diagonal byte when that byte is non-zero.
+size_t merge_score_dups(PF *pf, Scratch &sc, Counter *arr, size_t n) {
+    const uint32_t mask = pf->bincount - 1;
+    int8_t *ba = sc.byteArr.data();
+    std::vector<Counter> binned;
+    std::vector<Counter> out;
+    out.reserve(n);
+    for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        binned.clear();
+        for (size_t i = 0; i < n; i++) {
+            if ((arr[i].id & mask) == bin) binned.push_back(arr[i]);
+        }
+        for (auto &e : binned) {
+            const uint32_t key = e.id >> pf->binbits;
+            const uint8_t cur = e.count, db = (uint8_t)ba[key];
+            ba[key] = (int8_t)((cur > 0xFF - db) ? 0xFF : db + cur);
+        }
+        for (auto &e : binned) {
+            const uint32_t key = e.id >> pf->binbits;
+            Counter c = e;
+            c.count = (uint8_t)ba[key];
+            if (c.count != 0) out.push_back(c);
+            ba[key] = (int8_t)(uint8_t)e.diagonal;
+        }
+        // restore the zero invariant for the next query (the reference
+        // leaves ba diagonal-dirty here — observable only as cross-query
+        // thread-schedule-dependent state, which cannot be reproduced
+        // deterministically; we re-zero instead)
+        for (auto &e : binned) ba[e.id >> pf->binbits] = 0;
+    }
+    std::copy(out.begin(), out.end(), arr);
+    return out.size();
+}
+
+// ungappedAlignment->align: diagonal-score every still-unscored entry
+// (UngappedAlignment::computeScores skips count != 0,
+// UngappedAlignment.cpp:37-39)
+void align_unscored(PF *pf, const int8_t *qprof, int qlen, Counter *arr,
+                    size_t n) {
+    for (size_t i = 0; i < n; i++) {
+        if (arr[i].count != 0) continue;
+        const uint32_t id = arr[i].id;
+        const uint8_t *t = pf->tdata.data() + pf->toff[id];
+        const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
+        const int sc = diag_score_raw(pf, qprof, qlen, t, tlen,
+                                      arr[i].diagonal);
+        arr[i].count = (uint8_t)std::min(255, sc);
+    }
+}
+
+// Per-query prefilter statistics (statistics_t, QueryMatcher.h:16)
+struct QStats {
+    uint64_t kmer_list_len = 0;
+    uint64_t db_matches = 0;
+    bool overflowed = false;
+};
+
+void ensure_found(PF *pf, Scratch &sc) {
+    const size_t need = 2 * std::max((size_t)1000000, (size_t)pf->nseq) + 16;
+    if (sc.found.size() < need) sc.found.resize(need);
+}
+
+// QueryMatcher::match overflow handling (QueryMatcher.cpp:283-311):
+// dedup the collected posting chunk behind the carried results; on the
+// second and later overflows merge + rescore + keep max per id. Returns
+// the new carry count; clears the posting buffers.
+size_t flush_chunk(PF *pf, Scratch &sc, size_t ovf, bool diag_scoring,
+                   const int8_t *qprof, int qlen) {
+    ensure_found(pf, sc);
+    const size_t hitCount = diag_scoring
+        ? find_duplicates(pf, sc, sc.hits, sc.hitDiag, sc.found.data() + ovf)
+        : find_duplicates_count(pf, sc, sc.hits, sc.hitDiag,
+                                sc.found.data() + ovf);
+    size_t newOvf;
+    if (ovf != 0) {
+        if (diag_scoring) {
+            const size_t n2 =
+                merge_diag_dups(pf, sc, sc.found.data(), ovf + hitCount, true);
+            align_unscored(pf, qprof, qlen, sc.found.data(), n2);
+            newOvf = keep_max_only(pf, sc, sc.found, n2);
+        } else {
+            newOvf = merge_score_dups(pf, sc, sc.found.data(), ovf + hitCount);
+        }
+    } else {
+        newOvf = hitCount;
+    }
+    sc.hits.clear();
+    sc.hitDiag.clear();
+    return newOvf;
+}
+
+// Final dedup of the last posting chunk + merge with the overflow carry
+// (QueryMatcher.cpp:325-333). Returns the deduped result count in
+// sc.found.
+size_t final_dedup(PF *pf, Scratch &sc, size_t ovf, bool diag_scoring,
+                   QStats *st) {
+    ensure_found(pf, sc);
+    size_t hitCount = 0;
+    if (!sc.hits.empty()) {
+        hitCount = diag_scoring
+            ? find_duplicates(pf, sc, sc.hits, sc.hitDiag,
+                              sc.found.data() + ovf)
+            : find_duplicates_count(pf, sc, sc.hits, sc.hitDiag,
+                                    sc.found.data() + ovf);
+        if (ovf != 0) {
+            hitCount = diag_scoring
+                ? merge_diag_dups(pf, sc, sc.found.data(), ovf + hitCount,
+                                  false)
+                : merge_score_dups(pf, sc, sc.found.data(), ovf + hitCount);
+        }
+    }
+    // when the final chunk is empty the reference discards the carry
+    // entirely (QueryMatcher.cpp:325-333: hitCount stays 0 when
+    // numMatches == 0) — replicated for parity
+    if (st) st->overflowed = st->overflowed || (ovf != 0);
+    return hitCount;
+}
+
 // Shared back half of a prefilter match: duplicate detection over the
 // collected (seqId, diagonal) stream, ungapped diagonal rescoring with
 // the given query profile, histogram thresholding, 255-saturation
 // rescale, and the final (score desc, id asc) hit ordering. self_seq is
 // the residue string used for the saturation self-score
 // (QueryMatcher::rescoreHits uses numSequence for profiles too).
-int64_t finish_match(PF *pf, Scratch &sc, const int8_t *qprof,
-                     const uint8_t *self_seq,
+int64_t finish_match(PF *pf, Scratch &sc, size_t resultSize,
+                     const int8_t *qprof, const uint8_t *self_seq,
                      int64_t qlen, int64_t max_hits, int64_t min_diag_thr,
                      uint32_t identity_id, uint32_t *out_id,
                      int32_t *out_score, int16_t *out_diag) {
-    std::vector<IndexEntry> &hits = sc.hits;
-    std::vector<uint16_t> &hitDiag = sc.hitDiag;
     std::vector<Counter> &found = sc.found;
-    if (found.size() < std::max((size_t)1000000, (size_t)pf->nseq)) {
-        found.resize(std::max((size_t)1000000, (size_t)pf->nseq));
-    }
-    size_t resultSize = hits.empty() ? 0
-                                     : find_duplicates(pf, sc, hits, hitDiag, found);
 
     // diagonal ungapped scoring for count==0 entries (ungappedAlignment->
-    // align); every entry here has count 0
-    for (size_t i = 0; i < resultSize; i++) {
-        const uint32_t id = found[i].id;
-        const uint8_t *t = pf->tdata.data() + pf->toff[id];
-        const int tlen = (int)(pf->toff[id + 1] - pf->toff[id]);
-        const int sc = diag_score_raw(pf, qprof, (int)qlen, t, tlen,
-                                      found[i].diagonal);
-        found[i].count = (uint8_t)std::min(255, sc);
-    }
+    // align); entries carried through an overflow merge are already
+    // scored and skipped (UngappedAlignment.cpp:37-39)
+    align_unscored(pf, qprof, (int)qlen, found.data(), resultSize);
     resultSize = keep_max_only(pf, sc, found, resultSize);
 
     // threshold from score histogram (computeScoreThreshold)
@@ -757,14 +914,22 @@ size_t gen_profile_kmer_list(PF *pf, Scratch &sc, const int16_t *srow[KK],
 }
 
 // Collect the (seqId, diagonal) match stream for one query
-// (QueryMatcher::match); false on overflow (unsupported path).
-bool collect_hits(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
-                  const float *comp_bias, size_t maxDbMatches) {
+// QueryMatcher::match (QueryMatcher.cpp:213-340): scan query k-mers,
+// gather postings into the chunk buffer, flushing overflowing chunks
+// through flush_chunk; final dedup+merge leaves the result in sc.found.
+// diag_scoring selects the per-chunk duplicate semantics (false = count
+// mode). Returns the deduped result count.
+size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
+                     const float *comp_bias, bool diag_scoring,
+                     const int8_t *qprof, QStats *st) {
+    const size_t maxDbMatches =
+        std::max((size_t)1000000, (size_t)pf->nseq) * 2;
     std::vector<IndexEntry> &hits = sc.hits;
     std::vector<uint16_t> &hitDiag = sc.hitDiag;
     hits.clear();
     hitDiag.clear();
     std::vector<uint32_t> &klist = sc.klist;
+    size_t ovf = 0;
     uint8_t w[KK];
     for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
         if (!extract_kmer(q, i, w)) continue;
@@ -776,18 +941,27 @@ bool collect_hits(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
         const short thr = std::max((short)(pf->kmer_thr - bias), (short)0);
         if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
         const size_t nk = gen_kmer_list(pf, w, thr, klist.data());
+        if (st) st->kmer_list_len += nk;
         for (size_t kp = 0; kp < nk; kp++) {
             const uint64_t a = pf->offsets[klist[kp]];
             const uint64_t b = pf->offsets[klist[kp] + 1];
-            if (hits.size() + (b - a) >= maxDbMatches) return false;
+            if (hits.size() + (b - a) >= maxDbMatches) {
+                if (st) st->overflowed = true;
+                ovf = flush_chunk(pf, sc, ovf, diag_scoring, qprof, (int)qlen);
+                // a single posting list larger than the whole buffer
+                // ends the scan (QueryMatcher.cpp:312-314)
+                if (b - a >= maxDbMatches) goto outer;
+            }
             for (uint64_t e = a; e < b; e++) {
                 hits.push_back(pf->entries[e]);
                 hitDiag.push_back((uint16_t)((uint16_t)i -
                                              pf->entries[e].pos_j));
             }
+            if (st) st->db_matches += b - a;
         }
     }
-    return true;
+    outer:
+    return final_dedup(pf, sc, ovf, diag_scoring, st);
 }
 
 }  // namespace
@@ -806,8 +980,7 @@ int64_t pf_match_sc(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
                     const float *comp_bias, int64_t max_hits,
                     int64_t min_diag_thr, uint32_t identity_id,
                     uint32_t *out_id, int32_t *out_score,
-                    int16_t *out_diag) {
-    const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
+                    int16_t *out_diag, QStats *st = nullptr) {
     max_hits = std::min(max_hits, pf->nseq);
 
     // query profile: biased BLOSUM62 2-bit + round(bias/4) per position
@@ -824,10 +997,9 @@ int64_t pf_match_sc(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
         }
     }
 
-    if (!collect_hits(pf, sc, q, qlen, comp_bias, maxDbMatches)) {
-        return -1;  // overflow
-    }
-    return finish_match(pf, sc, qprof.data(), q, qlen, max_hits,
+    const size_t resultSize =
+        match_collect(pf, sc, q, qlen, comp_bias, true, qprof.data(), st);
+    return finish_match(pf, sc, resultSize, qprof.data(), q, qlen, max_hits,
                         min_diag_thr, identity_id, out_id, out_score,
                         out_diag);
 }
@@ -850,15 +1022,23 @@ int64_t pf_match(void *h, const uint8_t *q, int64_t qlen,
 // (nq, cap) row-major blocks; out_counts[i] = hits for query i (or -1 on
 // that query's overflow). Eliminates the per-query Python/ctypes round
 // trip that dominated many-fragment workloads.
-int64_t pf_match_batch(void *h, const uint8_t *qdata, const int64_t *qoffs,
-                       int64_t nq, const int32_t *scores,
-                       const double *pback, int64_t max_hits,
-                       int64_t min_diag_thr, const uint32_t *identity_ids,
-                       int64_t cap, uint32_t *out_id, int32_t *out_score,
-                       int16_t *out_diag, int64_t *out_counts) {
+// out_stats (may be NULL): int64[5] accumulated over queries —
+// [0] sum of similar-k-mer list lengths, [1] sum of query lengths,
+// [2] sum of gathered DB matches, [3] queries that hit the posting-
+// buffer overflow path, [4] sum of returned hit counts. These are the
+// reference's per-run prefilter statistics
+// (Prefiltering::printStatistics, Prefiltering.cpp:953-975).
+int64_t pf_match_batch2(void *h, const uint8_t *qdata, const int64_t *qoffs,
+                        int64_t nq, const int32_t *scores,
+                        const double *pback, int64_t max_hits,
+                        int64_t min_diag_thr, const uint32_t *identity_ids,
+                        int64_t cap, uint32_t *out_id, int32_t *out_score,
+                        int16_t *out_diag, int64_t *out_counts,
+                        int64_t *out_stats) {
     PF *pf = static_cast<PF *>(h);
+    int64_t s_klen = 0, s_qlen = 0, s_db = 0, s_ovf = 0, s_hits = 0;
 #ifdef _OPENMP
-#pragma omp parallel
+#pragma omp parallel reduction(+:s_klen, s_qlen, s_db, s_ovf, s_hits)
 #endif
     {
         Scratch sc;  // per-thread: hit buffers + duplicate bit-array
@@ -874,14 +1054,38 @@ int64_t pf_match_batch(void *h, const uint8_t *qdata, const int64_t *qoffs,
             if (scores != nullptr) {
                 comp_bias(q, qlen, scores, A21, pback, 1.0, bias.data());
             }
+            QStats st;
             out_counts[qi] = pf_match_sc(
                 pf, sc, q, qlen, bias.data(), max_hits, min_diag_thr,
                 identity_ids ? identity_ids[qi] : 0xFFFFFFFFu,
                 out_id + qi * cap, out_score + qi * cap,
-                out_diag + qi * cap);
+                out_diag + qi * cap, &st);
+            s_klen += (int64_t)st.kmer_list_len;
+            s_qlen += qlen;
+            s_db += (int64_t)st.db_matches;
+            s_ovf += st.overflowed ? 1 : 0;
+            s_hits += out_counts[qi] > 0 ? out_counts[qi] : 0;
         }
     }
+    if (out_stats != nullptr) {
+        out_stats[0] = s_klen;
+        out_stats[1] = s_qlen;
+        out_stats[2] = s_db;
+        out_stats[3] = s_ovf;
+        out_stats[4] = s_hits;
+    }
     return 0;
+}
+
+int64_t pf_match_batch(void *h, const uint8_t *qdata, const int64_t *qoffs,
+                       int64_t nq, const int32_t *scores,
+                       const double *pback, int64_t max_hits,
+                       int64_t min_diag_thr, const uint32_t *identity_ids,
+                       int64_t cap, uint32_t *out_id, int32_t *out_score,
+                       int16_t *out_diag, int64_t *out_counts) {
+    return pf_match_batch2(h, qdata, qoffs, nq, scores, pback, max_hits,
+                           min_diag_thr, identity_ids, cap, out_id,
+                           out_score, out_diag, out_counts, nullptr);
 }
 
 // The --diag-score 0 prefilter (cascaded clustering step 0): score =
@@ -893,14 +1097,13 @@ int64_t pf_match_count(void *h, const uint8_t *q, int64_t qlen,
                        uint32_t *out_id, int32_t *out_score,
                        int16_t *out_diag) {
     PF *pf = static_cast<PF *>(h);
-    const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
     max_hits = std::min(max_hits, pf->nseq);
     pf->scr.ensure_dup(pf->dup_bytes);
-    if (!collect_hits(pf, pf->scr, q, qlen, comp_bias, maxDbMatches)) {
-        return -1;  // overflow
-    }
-    return finish_match_count(pf, pf->scr, max_hits, min_diag_thr,
-                              identity_id, out_id, out_score, out_diag);
+    const size_t resultSize = match_collect(pf, pf->scr, q, qlen, comp_bias,
+                                            false, nullptr, nullptr);
+    return finish_match_count(pf, pf->scr, resultSize, max_hits,
+                              min_diag_thr, identity_id, out_id, out_score,
+                              out_diag);
 }
 
 // One HMM-profile query against the index (blastpgp.sh / profile-query
@@ -946,6 +1149,7 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
     hitDiag.clear();
     std::vector<uint32_t> &klist = sc.klist;
     const int thr = std::max((int)kmer_thr, 0);
+    size_t ovf = 0;
     for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
         bool hasX = false;
         const int16_t *srow[KK];
@@ -963,7 +1167,12 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
         for (size_t kp = 0; kp < nk; kp++) {
             const uint64_t a = pf->offsets[klist[kp]];
             const uint64_t b = pf->offsets[klist[kp] + 1];
-            if (hits.size() + (b - a) >= maxDbMatches) return -1;  // overflow
+            if (hits.size() + (b - a) >= maxDbMatches) {
+                // chunked overflow handling, same as the sequence path
+                // (QueryMatcher::match is shared by profile queries)
+                ovf = flush_chunk(pf, sc, ovf, true, qprof, (int)qlen);
+                if (b - a >= maxDbMatches) goto outer;
+            }
             for (uint64_t e = a; e < b; e++) {
                 hits.push_back(pf->entries[e]);
                 hitDiag.push_back((uint16_t)((uint16_t)i -
@@ -971,8 +1180,13 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
             }
         }
     }
-    return finish_match(pf, sc, qprof, qnum, qlen, max_hits, min_diag_thr,
-                        identity_id, out_id, out_score, out_diag);
+    outer:
+    {
+        const size_t resultSize = final_dedup(pf, sc, ovf, true, nullptr);
+        return finish_match(pf, sc, resultSize, qprof, qnum, qlen, max_hits,
+                            min_diag_thr, identity_id, out_id, out_score,
+                            out_diag);
+    }
 }
 
 }  // extern "C"

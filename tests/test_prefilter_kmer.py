@@ -98,3 +98,21 @@ def test_profile_query_prefilter_byte_parity():
         lines = "".join(f"{int(t)}\t{int(s)}\t{int(d)}\n"
                         for t, s, d in zip(ids, sc, dg))
         assert lines.encode() == ref.get(pdb.keys[i], b""), f"profile {i}"
+
+
+def test_prefilter_overflow_parity():
+    """Chunked-overflow regime byte parity (QueryMatcher.cpp:283-340):
+    the fixture drives ~4.76M gathered postings per query against
+    maxDbMatches=2M, so hits flow through findDuplicates-per-chunk +
+    mergeElementsByDiagonal + keepMaxScoreElementOnly; golden from the
+    reference binary reports 3 overflowed queries."""
+    from fixture_ovf import make_ovf_seqs
+
+    targets, queries = make_ovf_seqs()
+    enc = lambda s: AA2NUM[np.frombuffer(s.encode(), np.uint8)]
+    pf = KmerPrefilter([enc(t) for t in targets])
+    res = pf.match_batch([enc(q) for q in queries])
+    ref = dict(mmseqsdb.read_db(str(GOLDEN.parent / "ovf" / "pfres_ovf")))
+    for qi, (ids, sc, dg) in enumerate(res):
+        assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
+            f"ovf q{qi}"
