@@ -13,6 +13,15 @@ import sys
 from .params import Params
 
 
+def _byte_size(s):
+    """Byte sizes with the reference's suffixes (ByteParser): 4G, 512M."""
+    s = str(s).strip()
+    mult = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+    if s and s[-1].upper() in mult:
+        return int(float(s[:-1]) * mult[s[-1].upper()])
+    return int(s)
+
+
 def _add_predict_flags(p):
     p.add_argument("--metaeuk-eval", type=float, default=0.001,
                    help="max combined E-value of an optimal exon set")
@@ -36,6 +45,10 @@ def _add_predict_flags(p):
     p.add_argument("-e", "--evalue", type=float, default=100.0,
                    help="search E-value threshold")
     p.add_argument("--max-seqs", type=int, default=300)
+    p.add_argument("--split", type=int, default=0,
+                   help="target DB splits (0 = set by --split-memory-limit)")
+    p.add_argument("--split-memory-limit", type=_byte_size, default=0,
+                   help="max RAM per prefilter split, e.g. 4G (0 = free RAM)")
     p.add_argument("--prefilter-mode", choices=["exhaustive", "ungapped", "kmer"],
                    default="kmer",
                    help="kmer = the reference default (sens-calibrated)")
@@ -73,6 +86,8 @@ def _params_from_args(args):
         min_diag_score=args.min_ungapped_score,
         comp_bias_correction=bool(args.comp_bias_corr),
         aln_len_thr=args.min_exon_aa,
+        split=args.split,
+        split_memory_limit=args.split_memory_limit,
     )
 
 

@@ -48,6 +48,8 @@ class Params:
     gap_extend: int = 1
     comp_bias_correction: bool = True
     comp_bias_correction_scale: float = 1.0
+    split: int = 0                        # --split (0 = auto by memory)
+    split_memory_limit: int = 0           # --split-memory-limit (0 = free RAM)
     cov_thr: float = 0.0
     cov_mode: int = 0
     seq_id_thr: float = 0.0

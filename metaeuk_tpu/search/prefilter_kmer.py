@@ -262,6 +262,148 @@ class KmerPrefilter:
         return out_id[:n].copy(), out_sc[:n].copy(), out_dg[:n].copy()
 
 
+def decompose_by_residues(seq_lens, n_splits):
+    """DBReader::decomposeDomainByAminoAcid (DBReader.cpp:463-505) over
+    sequence entry lengths (data lengths include the trailing newline and
+    NUL, i.e. len+2). Returns [(start, count)] per split; counts can be 0
+    (the reference skips empty splits, Prefiltering.cpp:736-738)."""
+    lens = np.asarray(seq_lens, np.int64) + 2
+    n = len(lens)
+    if n_splits == 1:
+        return [(0, n)]
+    if n <= n_splits:
+        return [(i, 1) if i < n else (0, 0) for i in range(n_splits)]
+    chunk = int(np.ceil(lens.sum() / n_splits))
+    counts = [0] * n_splits
+    cur, acc = 0, 0
+    for l in lens.tolist():
+        if acc >= chunk:
+            acc = 0
+            cur += 1
+        acc += l
+        counts[cur] += 1
+    out, s = [], 0
+    for c in counts:
+        out.append((s, c))
+        s += c
+    return out
+
+
+def split_max_res_list_len(max_res_list_len, n_splits):
+    """Per-split hit budget so the merged lists stay near the requested
+    size (Prefiltering.cpp:357-360): L/split + 4*sqrt(L/split)."""
+    if n_splits <= 1:
+        return max_res_list_len
+    four_std = int(4.0 * np.sqrt(float(max_res_list_len) / n_splits))
+    return max(1, max_res_list_len // n_splits + four_std)
+
+
+KSPACE_BYTES = 4 * (20 ** 6 + 1)  # fixed k-mer offset table per index
+
+
+def estimate_split_memory(total_residues, n_seqs, n_splits, threads=1):
+    """Peak host bytes for one split of OUR index + per-thread match
+    scratch (the role of Prefiltering::estimateMemoryConsumption,
+    Prefiltering.cpp:1067-1100, with this framework's own structures:
+    8-byte IndexEntry per residue position, byte-encoded targets, and
+    the chunked-overflow found/hits buffers sized by max(1e6, nseq))."""
+    res_split = total_residues // max(n_splits, 1) + 1
+    nseq_split = n_seqs // max(n_splits, 1) + 1
+    per_entry = 8 + 1  # IndexEntry + tdata byte
+    scratch_n = 2 * max(1_000_000, nseq_split)
+    # found (8B Counter) + hits (8B IndexEntry) + hitDiag (2B) per thread
+    scratch = threads * scratch_n * (8 + 8 + 2)
+    return KSPACE_BYTES + res_split * per_entry + 8 * nseq_split + scratch
+
+
+def optimize_split(total_residues, n_seqs, memory_limit=0, threads=None):
+    """Smallest split count whose per-split peak fits the budget
+    (Prefiltering::optimizeSplit role). memory_limit 0 = all free RAM,
+    like --split-memory-limit 0."""
+    import os
+    if threads is None:
+        threads = os.cpu_count() or 1
+    if memory_limit <= 0:
+        try:
+            memory_limit = (os.sysconf("SC_AVPHYS_PAGES")
+                            * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            memory_limit = 8 << 30
+    for n in range(1, max(n_seqs, 1) + 1):
+        if estimate_split_memory(total_residues, n_seqs, n, threads) \
+                <= memory_limit:
+            return n
+    return max(n_seqs, 1)
+
+
+class SplitKmerPrefilter:
+    """Memory-budgeted target-split prefilter: the contract of
+    Prefiltering::runSplits + mergeTargetSplits (Prefiltering.cpp:662,
+    379). The target set is decomposed into residue-balanced contiguous
+    splits (decomposeDomainByAminoAcid boundaries), each split's index is
+    built sequentially (bounding peak memory to one split), every query
+    is matched per split with the reduced per-split hit budget, and the
+    per-query lists are merged by (|score| desc, id asc) without
+    re-truncation — byte-identical to a reference --split N run."""
+
+    def __init__(self, target_encs, n_splits=None, split_memory_limit=0,
+                 **kw):
+        self.target_encs = target_encs
+        self.kw = kw
+        lens = [len(t) for t in target_encs]
+        if n_splits is None:
+            n_splits = optimize_split(sum(lens), len(lens),
+                                      split_memory_limit)
+        self.n_splits = n_splits
+        self.ranges = decompose_by_residues(lens, n_splits)
+        mrl = kw.get("max_res_list_len", 300)
+        # the global clamp happens before the split adjustment
+        # (Prefiltering.cpp:169, then :357-360)
+        mrl = min(len(target_encs), mrl)
+        self.split_mrl = split_max_res_list_len(mrl, n_splits)
+        self.n_targets = len(target_encs)
+
+    def match_batch(self, query_encs, identity_ids=None):
+        """Same contract as KmerPrefilter.match_batch, over all splits."""
+        from ..utils import log
+        nq = len(query_encs)
+        parts = [[] for _ in range(nq)]
+        kw = dict(self.kw)
+        kw["max_res_list_len"] = self.split_mrl
+        for si, (start, count) in enumerate(self.ranges):
+            if count == 0:
+                continue
+            if self.n_splits > 1:
+                log.info(f"prefilter split {si + 1}/{self.n_splits}: "
+                         f"targets {start}..{start + count}")
+            pf = KmerPrefilter(self.target_encs[start:start + count], **kw)
+            ids_local = None
+            if identity_ids is not None:
+                gid = np.asarray(identity_ids, np.int64)
+                in_range = (gid >= start) & (gid < start + count)
+                ids_local = np.where(in_range, gid - start,
+                                     0xFFFFFFFF).astype(np.uint32)
+            res = pf.match_batch(query_encs, identity_ids=ids_local)
+            for qi, (ids, sc, dg) in enumerate(res):
+                if len(ids):
+                    parts[qi].append((ids.astype(np.int64) + start, sc, dg))
+            del pf
+        out = []
+        for qi in range(nq):
+            if not parts[qi]:
+                out.append((np.zeros(0, np.uint32), np.zeros(0, np.int32),
+                            np.zeros(0, np.int16)))
+                continue
+            ids = np.concatenate([p[0] for p in parts[qi]])
+            sc = np.concatenate([p[1] for p in parts[qi]])
+            dg = np.concatenate([p[2] for p in parts[qi]])
+            # hit_t::compareHitsByScoreAndId over the concatenated lists
+            # (mergeTargetSplits, Prefiltering.cpp:464-466)
+            order = np.lexsort((ids, -np.abs(sc.astype(np.int64))))
+            out.append((ids[order].astype(np.uint32), sc[order], dg[order]))
+        return out
+
+
 class ReferenceKmerPrefilter:
     """candidate_pairs() adapter for SearchDriver: the reference-default
     prefilter (sens 4, spaced 6-mers) producing the exact candidate set
@@ -291,7 +433,19 @@ class ReferenceKmerPrefilter:
                 log.info(f"k-mer index {src}.kidx incompatible; rebuilding")
         tencs = [encode_aa(target_db.seq_bytes(i))
                  for i in range(len(target_db))]
-        self.pf = KmerPrefilter(tencs, **kw)
+        # memory-driven target splitting (Prefiltering::optimizeSplit
+        # role): forced via --split, or automatic when one split's index
+        # + match scratch would not fit --split-memory-limit / free RAM
+        n_splits = int(getattr(params, "split", 0)) or None
+        mem_limit = int(getattr(params, "split_memory_limit", 0))
+        if n_splits is None:
+            n_splits = optimize_split(
+                sum(len(t) for t in tencs), len(tencs), mem_limit)
+        if n_splits > 1:
+            log.info(f"prefilter target split: {n_splits} splits")
+            self.pf = SplitKmerPrefilter(tencs, n_splits=n_splits, **kw)
+        else:
+            self.pf = KmerPrefilter(tencs, **kw)
 
     def candidate_pairs(self, orf_aa_seqs):
         """(n_pairs, 2) int64 (orf_idx, target_idx), per fragment in

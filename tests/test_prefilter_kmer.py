@@ -116,3 +116,33 @@ def test_prefilter_overflow_parity():
     for qi, (ids, sc, dg) in enumerate(res):
         assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
             f"ovf q{qi}"
+
+
+def test_split_prefilter_parity(seqs):
+    """Target-DB-split prefilter byte parity vs a reference --split 3
+    --split-mode 0 run: decomposeDomainByAminoAcid boundaries, per-split
+    hit budget L/split + 4*sqrt(L/split), and the (|score| desc, id asc)
+    merge without re-truncation (Prefiltering.cpp:357-466)."""
+    from metaeuk_tpu.search.prefilter_kmer import SplitKmerPrefilter
+
+    T, Q = seqs
+    pf = SplitKmerPrefilter(T, n_splits=3)
+    res = pf.match_batch(Q)
+    ref = dict(mmseqsdb.read_db(str(GOLDEN / "pfres_split3")))
+    for qi, (ids, sc, dg) in enumerate(res):
+        assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
+            f"split3 q{qi}"
+
+
+def test_split_prefilter_self_parity(seqs):
+    """Split self-search: the identity hit is forced only inside the
+    split that contains the query (Prefiltering.cpp:828-829)."""
+    from metaeuk_tpu.search.prefilter_kmer import SplitKmerPrefilter
+
+    T, _ = seqs
+    pf = SplitKmerPrefilter(T, n_splits=2)
+    res = pf.match_batch(T, identity_ids=np.arange(len(T), dtype=np.uint32))
+    ref = dict(mmseqsdb.read_db(str(GOLDEN / "pfres_split2_self")))
+    for qi, (ids, sc, dg) in enumerate(res):
+        assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
+            f"split2self q{qi}"
