@@ -52,7 +52,8 @@ def device_time_of(trace_dir, name_substr):
 
 
 def kernel_rate():
-    """Fused-alignment device cells/s at B=1024, 256x256 (fwd+rev)."""
+    """Pair-batched fused-alignment device cells/s at B=1024, 256x256
+    (fwd+rev; the small-candidate-list path)."""
     import jax
     from metaeuk_tpu.ops.sw_pallas import _align_full
 
@@ -77,6 +78,40 @@ def kernel_rate():
     if not n:
         return None
     return float(B) * Lq * Lt / (dev_s / n)
+
+
+def kernel_rate_qm():
+    """Query-major kernel device cells/s at 8 tiles x TB lanes, 256x256:
+    (forward ends, fwd+rev complete) — the pipeline's hot path (forward
+    on every candidate pair, reverse only on E-value survivors)."""
+    import jax
+    import jax.numpy as jnp
+    from metaeuk_tpu.ops.sw_pallas import (
+        TB, PCOLS, _align_ends_qm, _align_full_qm)
+
+    Lq, Lt = 256, 256
+    n_tiles = 8
+    B = n_tiles * TB
+    rng = np.random.default_rng(0)
+    prof = rng.integers(-4, 12, (n_tiles, Lq, PCOLS)).astype(np.float32)
+    prof[:, :, 21:] = -128
+    prof = jnp.asarray(prof, jnp.bfloat16)
+    tc = jnp.asarray(rng.integers(0, 20, (Lt, B)).astype(np.int32))
+
+    rates = {}
+    for name, fn, sub in [
+            ("fwd", lambda: _align_ends_qm(prof, tc, Lq, Lt, False),
+             "jit__align_ends_qm("),
+            ("full", lambda: _align_full_qm(prof, tc, Lq, Lt, False),
+             "jit__align_full_qm(")]:
+        np.asarray(fn()[0])
+        trace_dir = tempfile.mkdtemp(prefix="swbenchqm")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(10):
+                np.asarray(fn()[0])
+        dev_s, n = device_time_of(trace_dir, sub)
+        rates[name] = float(B) * Lq * Lt / (dev_s / n) if n else None
+    return rates
 
 
 def make_inputs(tmp):
@@ -118,6 +153,72 @@ def run_reference(cpath, ppath, tmp):
     return time.perf_counter() - t0
 
 
+def selftest_qm():
+    """Compiled query-major kernels (fwd ends + survivors reverse) vs the
+    numpy oracle, ragged candidate lists across tile boundaries."""
+    import jax.numpy as jnp
+    from metaeuk_tpu.ops.sw import sw_align
+    from metaeuk_tpu.ops.sw_pallas import (
+        TB, _align_ends_qm, _align_starts_qm, build_prof_tiles,
+        build_tcodes_T)
+    from metaeuk_tpu.data.submat import composition_bias_rounded
+
+    rng = np.random.default_rng(3)
+    fails = 0
+    # (8192, 256) exercises the row-tiled long-query kernels
+    for Lq, Lt, n_tiles in [(256, 256, 8), (1024, 512, 4), (512, 4096, 2),
+                            (8192, 256, 1)]:
+        nq = n_tiles
+        qs = [rng.integers(0, 20, int(rng.integers(Lq // 4, Lq + 1)))
+              .astype(np.int32) for _ in range(nq)]
+        biases = [composition_bias_rounded(q, 1.0) for q in qs]
+        q_mat = np.zeros((nq, Lq), np.int32)
+        qb_mat = np.zeros((nq, Lq), np.int32)
+        q_lens = np.array([len(q) for q in qs], np.int32)
+        for i in range(nq):
+            q_mat[i, :q_lens[i]] = qs[i]
+            qb_mat[i, :q_lens[i]] = biases[i]
+        nt = 64
+        ts = [rng.integers(0, 20, int(rng.integers(Lt // 4, Lt + 1)))
+              .astype(np.int32) for _ in range(nt)]
+        t_mat = np.zeros((nt, Lt), np.int32)
+        t_lens = np.array([len(t) for t in ts], np.int32)
+        for i in range(nt):
+            t_mat[i, :t_lens[i]] = ts[i]
+        qidx = np.arange(n_tiles, dtype=np.int32)
+        lj = np.full((n_tiles, TB), -1, np.int32)
+        for tile in range(n_tiles):
+            # sparse lanes keep the host-side numpy oracle tractable;
+            # the kernel computes all TB lanes either way
+            k = int(rng.integers(1, 17))
+            lj[tile, :k] = rng.integers(0, nt, k)
+        prof = build_prof_tiles(jnp.asarray(q_mat), jnp.asarray(qb_mat),
+                                jnp.asarray(q_lens), jnp.asarray(qidx), Lq)
+        tc = build_tcodes_T(jnp.asarray(t_mat), jnp.asarray(t_lens),
+                            jnp.asarray(lj), Lt)
+        sc, qe, te = map(np.asarray, _align_ends_qm(prof, tc, Lq, Lt, False))
+        qs_, ts_ = map(np.asarray, _align_starts_qm(
+            prof, tc, np.maximum(qe, 0), np.maximum(te, 0),
+            Lq, Lt, False)[1:])
+        for tile in range(n_tiles):
+            for lane in range(TB):
+                tj = lj[tile, lane]
+                if tj < 0:
+                    continue
+                b = tile * TB + lane
+                ref = sw_align(qs[tile], ts[tj], bias=biases[tile])
+                got = dict(score=int(sc[b]), q_start=int(qs_[b]),
+                           q_end=int(qe[b]), t_start=int(ts_[b]),
+                           t_end=int(te[b]))
+                ok = (got["score"] == 0 if ref["score"] == 0
+                      else all(got[k] == ref[k] for k in ref))
+                if not ok:
+                    fails += 1
+                    print(f"QM MISMATCH Lq{Lq}/Lt{Lt} tile {tile} lane "
+                          f"{lane}: ref {ref} got {got}", file=sys.stderr)
+    return fails
+
+
 def selftest():
     """Compiled Pallas kernels vs the numpy oracle on ragged batches
     spanning the driver bucket boundaries (Lq/Lt = 256/1024/4096 tiers)."""
@@ -126,7 +227,7 @@ def selftest():
     from metaeuk_tpu.data.submat import composition_bias_rounded
 
     rng = np.random.default_rng(7)
-    fails = 0
+    fails = selftest_qm()
     for Lq_hi, Lt_hi, B in [(256, 256, 64), (1024, 256, 24),
                             (256, 1024, 24), (1024, 4096, 6)]:
         q_lens = rng.integers(max(8, Lq_hi // 8), Lq_hi + 1, B)
@@ -181,8 +282,10 @@ def main():
     vs = contigs_per_s / ref_rate if ref_rate else None
 
     krate = None
+    krate_qm = None
     try:
         krate = kernel_rate()
+        krate_qm = kernel_rate_qm()
     except Exception as e:
         print(f"kernel bench failed: {e}", file=sys.stderr)
 
@@ -198,6 +301,7 @@ def main():
             "ref_wall_s": round(ref_wall, 2) if ref_wall else None,
             "stage_seconds": stages,
             "sw_kernel_cells_per_s": krate,
+            "sw_kernel_qm_cells_per_s": krate_qm,
         },
     }))
 

@@ -522,17 +522,252 @@ def _tj_qm(Lt_pad):
     return min(512, max(UNROLL, Lt_pad))
 
 
+# ---------------------------------------------------------------------------
+# Row-tiled query-major kernels for very long queries (Lq > QM_TQ): the
+# (Lq, TB) DP carries no longer fit VMEM, so the query axis is processed
+# in TQ-row tiles (grid dim between batch and columns). Two boundary
+# arrays carry the inter-tile dependency per target column: the last
+# row's H (diagonal feed) and the inclusive F-chain max
+# A = max_k (G(k,j) + k*ge). They live in a (Lt_pad, TB) VMEM scratch,
+# which bounds Lt_pad <= ~4096 — the reference regime (ORF fragments up
+# to 32734 AA vs normal-length protein targets).
+# ---------------------------------------------------------------------------
+
+QM_TQ = 2048  # rows per tile; 3 int32 carries = 3MB VMEM
+
+
+def _dp_kernel_qm_rt(Lq, TQ, TJ, prof_ref, tc_ref, best_out, qend_out,
+                     tend_out, h_ref, e_ref, bp_ref, hb_ref, ab_ref,
+                     hbp_ref, gm_ref, gqe_ref):
+    """Forward ends, query-major, row-tiled. Grid (b, r, j); prof block
+    is this row tile's (TQ, PCOLS) slice; scratch h/e/bp are per-row-tile
+    carries, hb/ab the per-column boundaries from the tile above (hb:
+    last-row H, ab: inclusive F-chain max), hbp the previous COLUMN's hb
+    (the diagonal predecessor of this tile's first row), gm/gqe the
+    cross-tile running best."""
+    r = pl.program_id(1)
+    j_chunk = pl.program_id(2)
+    nr = pl.num_programs(1)
+
+    @pl.when((r == 0) & (j_chunk == 0))
+    def _():
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+        ab_ref[:] = jnp.full_like(ab_ref, NEG)
+        gm_ref[:] = jnp.zeros_like(gm_ref)
+        gqe_ref[:] = jnp.full_like(gqe_ref, Lq - 1)
+
+    @pl.when(j_chunk == 0)
+    def _():
+        h_ref[:] = jnp.zeros((TQ, TB), jnp.int32)
+        e_ref[:] = jnp.full((TQ, TB), -GO, jnp.int32)
+        bp_ref[:] = jnp.zeros((TQ, TB), jnp.int32)
+        hbp_ref[:] = jnp.zeros((1, TB), jnp.int32)
+
+    iq = r * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TB), 0)
+    f_base = -GO - (iq - 1) * GE
+    igge = iq * GE
+    P = prof_ref[0]
+    ia = jax.lax.broadcasted_iota(jnp.int32, (PCOLS, TB), 0)
+
+    def one_col(j_global, jj, H, E, BP, HBP):
+        oh = (ia == tc_ref[jj, :][None, :]).astype(jnp.bfloat16)
+        s = jnp.dot(P, oh, preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+        # boundary values from the tile above: hb_cur at this column
+        # feeds the NEXT column's diagonal; HBP (previous column's hb)
+        # is this column's first-row diagonal predecessor
+        hb_cur = hb_ref[j_global].reshape(1, TB)
+        ab = ab_ref[j_global].reshape(1, TB)
+        Hd = jnp.concatenate([HBP, H[:-1]], axis=0)
+        G = jnp.maximum(jnp.maximum(Hd + s, E), 0)
+        A = _cummax_down(G + igge, TQ)
+        Aex = jnp.maximum(_shift_down(A, 1, NEG),
+                          jnp.broadcast_to(ab, (TQ, TB)))
+        Hn = jnp.maximum(G, Aex + f_base)
+        Hn = jnp.minimum(Hn, SCORE_CAP)
+        BP = jnp.maximum(BP, Hn * 65536 + (65535 - j_global))
+        E = jnp.maximum(E - GE, Hn - GO)
+        hb_ref[j_global] = Hn[TQ - 1]
+        ab_ref[j_global] = jnp.maximum(A[TQ - 1], ab[0])
+        return Hn, E, BP, hb_cur
+
+    def col_block(blk, carry):
+        del carry
+        H, E, BP = h_ref[:], e_ref[:], bp_ref[:]
+        HBP = hbp_ref[:]
+        for u in range(UNROLL):
+            jj = blk * UNROLL + u
+            H, E, BP, HBP = one_col(j_chunk * TJ + jj, jj, H, E, BP, HBP)
+        h_ref[:], e_ref[:] = H, E
+        bp_ref[:] = BP
+        hbp_ref[:] = HBP
+        return 0
+
+    jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
+
+    @pl.when(j_chunk == pl.num_programs(2) - 1)
+    def _():
+        bp = bp_ref[:]
+        Mp = jnp.max(bp, axis=0, keepdims=True)
+        qe = jnp.min(jnp.where(bp == Mp, iq, BIG), axis=0, keepdims=True)
+        better = Mp > gm_ref[:]
+        gm_ref[:] = jnp.where(better, Mp, gm_ref[:])
+        gqe_ref[:] = jnp.where(better, qe, gqe_ref[:])
+
+    @pl.when((r == nr - 1) & (j_chunk == pl.num_programs(2) - 1))
+    def _():
+        Mp = gm_ref[:]
+        M = Mp // 65536
+        has = M > 0
+        best_out[:] = jnp.where(has, M, 0)
+        tend_out[:] = jnp.where(has, 65535 - (Mp & 65535), -1)
+        qend_out[:] = jnp.where(has, gqe_ref[:], Lq - 1)
+
+
+def _dp_kernel_qm_rev_rt(Lq, TQ, TJ, prof_ref, tc_ref, qe_ref, te_ref,
+                         score_out, qstart_out, tstart_out,
+                         h_ref, e_ref, bp_ref, hb_ref, ab_ref,
+                         hbp_ref, gm_ref, gqs_ref):
+    """Reverse-prefix starts, query-major, row-tiled: columns walk
+    te..0, row tiles walk bottom-up (the grid index map remaps r), and
+    the boundary arrays carry the tile BELOW's first-row H and suffix
+    F-chain max; hbp is the previously processed column's hb (column
+    j+1 — the diagonal predecessor of this tile's last row)."""
+    r = pl.program_id(1)          # 0 = bottom tile (grid remap)
+    j_chunk = pl.program_id(2)
+    nr = pl.num_programs(1)
+    n_chunks = pl.num_programs(2)
+    rt = nr - 1 - r               # actual row-tile index (top-based)
+
+    @pl.when((r == 0) & (j_chunk == 0))
+    def _():
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+        ab_ref[:] = jnp.full_like(ab_ref, NEG)
+        gm_ref[:] = jnp.zeros_like(gm_ref)
+        gqs_ref[:] = jnp.zeros_like(gqs_ref)
+
+    @pl.when(j_chunk == 0)
+    def _():
+        h_ref[:] = jnp.zeros((TQ, TB), jnp.int32)
+        e_ref[:] = jnp.full((TQ, TB), -GO, jnp.int32)
+        bp_ref[:] = jnp.zeros((TQ, TB), jnp.int32)
+        hbp_ref[:] = jnp.zeros((1, TB), jnp.int32)
+
+    iq = rt * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TB), 0)
+    q_mask = iq <= qe_ref[0:1, :]
+    f_base = -GO + (iq + 1) * GE
+    te = te_ref[0:1, :]
+    P = prof_ref[0]
+    ia = jax.lax.broadcasted_iota(jnp.int32, (PCOLS, TB), 0)
+
+    def one_col(j_global, jj, H, E, BP, HBP):
+        oh = (ia == tc_ref[jj, :][None, :]).astype(jnp.bfloat16)
+        s0 = jnp.dot(P, oh, preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+        s = jnp.where(q_mask & (j_global <= te), s0, NEG)
+        hb_cur = hb_ref[j_global].reshape(1, TB)
+        ab = ab_ref[j_global].reshape(1, TB)
+        Hd = jnp.concatenate([H[1:], HBP], axis=0)
+        G = jnp.maximum(jnp.maximum(Hd + s, E), 0)
+        A = _cummax_up(G - iq * GE, TQ)
+        Aex = jnp.maximum(_shift_up(A, 1, NEG),
+                          jnp.broadcast_to(ab, (TQ, TB)))
+        Hn = jnp.maximum(G, Aex + f_base)
+        Hn = jnp.minimum(Hn, SCORE_CAP)
+        BP = jnp.maximum(BP, Hn * 65536 + j_global)
+        E = jnp.maximum(E - GE, Hn - GO)
+        hb_ref[j_global] = Hn[0]
+        ab_ref[j_global] = jnp.maximum(A[0], ab[0])
+        return Hn, E, BP, hb_cur
+
+    def col_block(blk, carry):
+        del carry
+        H, E, BP = h_ref[:], e_ref[:], bp_ref[:]
+        HBP = hbp_ref[:]
+        for u in range(UNROLL):
+            jj = TJ - 1 - (blk * UNROLL + u)
+            j_global = (n_chunks - 1 - j_chunk) * TJ + jj
+            H, E, BP, HBP = one_col(j_global, jj, H, E, BP, HBP)
+        h_ref[:], e_ref[:] = H, E
+        bp_ref[:] = BP
+        hbp_ref[:] = HBP
+        return 0
+
+    jax.lax.fori_loop(0, TJ // UNROLL, col_block, 0)
+
+    @pl.when(j_chunk == n_chunks - 1)
+    def _():
+        bp = bp_ref[:]
+        Mp = jnp.max(bp, axis=0, keepdims=True)
+        qs = jnp.max(jnp.where(bp == Mp, iq, -BIG), axis=0, keepdims=True)
+        # bottom tiles (largest rows) run first; on ties keep the
+        # earlier tile so the LARGEST query row wins
+        better = Mp > gm_ref[:]
+        gm_ref[:] = jnp.where(better, Mp, gm_ref[:])
+        gqs_ref[:] = jnp.where(better, qs, gqs_ref[:])
+
+    @pl.when((r == nr - 1) & (j_chunk == n_chunks - 1))
+    def _():
+        Mp = gm_ref[:]
+        Mx = Mp // 65536
+        has = Mx > 0
+        score_out[:] = jnp.where(has, Mx, 0)
+        tstart_out[:] = jnp.where(has, Mp & 65535, -1)
+        qstart_out[:] = jnp.where(has, gqs_ref[:], 0)
+
+
+def _qm_call_rt(kernel_fn, n_extra, Lq, Lt_pad, n_tiles, prof, tcodes_T,
+                extras, n_out, interpret):
+    """pallas_call for the row-tiled query-major kernels."""
+    TQ = QM_TQ
+    TJ = _tj_qm(Lt_pad)
+    nj = Lt_pad // TJ
+    nr = Lq // TQ
+    rev = kernel_fn is _dp_kernel_qm_rev_rt
+    kernel = functools.partial(kernel_fn, Lq, TQ, TJ)
+    B = n_tiles * TB
+    if rev:
+        prof_map = lambda b, r, j: (b, pl.num_programs(1) - 1 - r, 0)
+        tc_map = lambda b, r, j: (pl.num_programs(2) - 1 - j, b)
+    else:
+        prof_map = lambda b, r, j: (b, r, 0)
+        tc_map = lambda b, r, j: (j, b)
+    in_specs = [
+        pl.BlockSpec((1, TQ, PCOLS), prof_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TJ, TB), tc_map, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, TB), lambda b, r, j: (0, b),
+                      memory_space=pltpu.VMEM)] * n_extra
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, nr, nj),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, TB), lambda b, r, j: (0, b),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * n_out,
+        scratch_shapes=[pltpu.VMEM((TQ, TB), jnp.int32)] * 3
+        + [pltpu.VMEM((Lt_pad, TB), jnp.int32)] * 2
+        + [pltpu.VMEM((1, TB), jnp.int32)] * 3,
+        interpret=interpret,
+    )(prof, tcodes_T, *extras)
+    return [o[0] for o in outs]
+
+
 def _qm_call(kernel_fn, n_extra, Lq, Lt_pad, n_tiles, prof, tcodes_T,
              extras, n_out, interpret):
     TJ = _tj_qm(Lt_pad)
     nj = Lt_pad // TJ
     kernel = functools.partial(kernel_fn, Lq, TJ)
     B = n_tiles * TB
+    if kernel_fn is _dp_kernel_qm_rev:
+        # reverse kernel walks columns high -> low: grid step j consumes
+        # target-code chunk nj-1-j
+        tc_map = lambda b, j: (pl.num_programs(1) - 1 - j, b)
+    else:
+        tc_map = lambda b, j: (j, b)
     in_specs = [
         pl.BlockSpec((1, Lq, PCOLS), lambda b, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TJ, TB), lambda b, j: (j, b),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TJ, TB), tc_map, memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec((1, TB), lambda b, j: (0, b),
                       memory_space=pltpu.VMEM)] * n_extra
     outs = pl.pallas_call(
@@ -572,12 +807,68 @@ def _align_full_qm(prof, tcodes_T, Lq, Lt_pad, interpret):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _align_ends_qm(prof, tcodes_T, Lq, Lt_pad, interpret):
     """Forward-only query-major ends (the survivors-only pipeline runs
-    the reverse pass on the few pairs that pass the E-value gate)."""
+    the reverse pass on the few pairs that pass the E-value gate).
+    Queries longer than QM_TQ*2 take the row-tiled kernel, so long ORF
+    fragments (orfMaxLength 32734) stay on Pallas."""
     n_tiles = prof.shape[0]
+    if Lq > 2 * QM_TQ:
+        return _qm_call_rt(
+            _dp_kernel_qm_rt, 0, Lq, Lt_pad, n_tiles, prof, tcodes_T, (),
+            3, interpret)
     best, q_end, t_end = _qm_call(
         _dp_kernel_qm, 0, Lq, Lt_pad, n_tiles, prof, tcodes_T, (),
         3, interpret)
     return best, q_end, t_end
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _align_starts_qm(prof, tcodes_T, q_end, t_end, Lq, Lt_pad, interpret):
+    """Reverse-prefix-only query-major starts for lanes with known ends
+    (the survivors-only second pass). Returns (score2, q_start, t_start)
+    in direct coordinates."""
+    n_tiles = prof.shape[0]
+    qe = jnp.maximum(q_end, 0).reshape(1, -1)
+    te = jnp.maximum(t_end, 0).reshape(1, -1)
+    if Lq > 2 * QM_TQ:
+        return _qm_call_rt(
+            _dp_kernel_qm_rev_rt, 2, Lq, Lt_pad, n_tiles, prof, tcodes_T,
+            (qe, te), 3, interpret)
+    return _qm_call(
+        _dp_kernel_qm_rev, 2, Lq, Lt_pad, n_tiles, prof, tcodes_T,
+        (qe, te), 3, interpret)
+
+
+def build_prof_tiles(q_mat, qb_mat, q_lens, qidx, Lq):
+    """Device-side per-tile query profiles for the query-major kernels:
+    (n_tiles, Lq, PCOLS) bf16 from staged (nq, Lq) codes + bias rows.
+    qidx < 0 marks padding tiles (fully -128)."""
+    submat = jnp.asarray(BLOSUM62_SCORES, dtype=jnp.int32)
+    valid_tile = qidx >= 0
+    qi = jnp.maximum(qidx, 0)
+    prof = submat[q_mat[qi]] + qb_mat[qi][:, :, None]      # (nT, Lq, A)
+    a = prof.shape[2]
+    prof = jnp.pad(prof, ((0, 0), (0, 0), (0, PCOLS - a)),
+                   constant_values=-128)
+    iq = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    qlen = jnp.where(valid_tile, q_lens[qi], 0)
+    prof = jnp.where((iq < qlen[:, None])[:, :, None], prof, -128)
+    return prof.astype(jnp.bfloat16)
+
+
+def build_tcodes_T(t_mat, t_lens, lj, Lt_pad):
+    """Device-side lane-major target codes for the query-major kernels:
+    (Lt_pad, n_tiles*TB) int32, padding positions and invalid lanes
+    (lj < 0) carry code 21 (the -128 profile column)."""
+    valid = lj >= 0
+    ljc = jnp.maximum(lj, 0)
+    tc = t_mat[ljc]                                        # (nT, TB, Lt)
+    tl = jnp.where(valid, t_lens[ljc], 0)
+    if tc.shape[2] < Lt_pad:
+        tc = jnp.pad(tc, ((0, 0), (0, 0), (0, Lt_pad - tc.shape[2])))
+    jt = jnp.arange(Lt_pad, dtype=jnp.int32)[None, None, :]
+    tc = jnp.where(jt < tl[:, :, None], tc, 21)
+    B = tc.shape[0] * tc.shape[1]
+    return tc.reshape(B, Lt_pad).T
 
 
 def _sharded_align(n_dev):

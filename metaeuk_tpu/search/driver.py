@@ -82,62 +82,173 @@ def estimate_seq_id(score, q_aln_len, t_aln_len):
 
 
 import functools
+import os
 
 import jax.numpy as jnp
 
+# minimum candidate-list length for a query to take the query-major
+# kernel path: below this, padding each query's candidates to TB=128
+# lanes wastes more device time than the pair-batched S-tensor build
+QM_MIN_CANDS = int(os.environ.get("METAEUK_QM_MIN", "48"))
+# query-major device work per dispatch (tiles * TB * Lq * Lt cells); no
+# S tensor exists, so this is bounded by dispatch granularity not HBM
+QM_CELL_BUDGET = 1 << 31
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
-def _gathered_align_jit(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
-                        Lq, Lt, use_pallas):
-    """Device-side pair gather + full alignment in one dispatch."""
+
+def _qm_mode():
+    """(enabled, interpret) for the query-major Pallas path.
+    METAEUK_QM=force runs it in interpret mode on CPU (tests);
+    METAEUK_QM=off disables it."""
+    m = os.environ.get("METAEUK_QM", "auto")
+    if m == "off":
+        return False, False
+    if m == "force":
+        return True, jax.default_backend() == "cpu"
+    return jax.default_backend() != "cpu", False
+
+
+def _pair_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
+                    Lq, Lt, use_pallas):
+    """Device-side pair gather + forward ends in one dispatch."""
     # padded tail pairs are flagged by li < 0
     valid = li >= 0
     li = jnp.maximum(li, 0)
     q_enc = q_mat[li]
     q_bias = qb_mat[li]
-    q_len = q_lens[li]
+    q_len = jnp.where(valid, q_lens[li], 0)
     t_enc = t_mat[lj]
-    t_len = t_lens[lj]
-    q_len = jnp.where(valid, q_len, 0)
-    t_len = jnp.where(valid, t_len, 0)
+    t_len = jnp.where(valid, t_lens[lj], 0)
     if use_pallas:
-        from ..ops.sw_pallas import _align_full
-        return _align_full(q_enc, q_bias, q_len, t_enc, t_len, Lq, Lt, False)
-    from ..ops.sw_jax import sw_batch_ends, sw_batch_starts
-    score, q_end, t_end = sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt,
-                                        t_len=t_len)
-    qe = jnp.maximum(q_end, 0)
-    te = jnp.maximum(t_end, 0)
+        from ..ops.sw_pallas import (_build_S_gapped,
+                                     _sw_pallas_ends_from_S, _tj_for)
+        B = q_enc.shape[0]
+        TJ = _tj_for(Lq)
+        Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
+        S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad,
+                            q_len=q_len, t_len=t_len)
+        return _sw_pallas_ends_from_S(S, Lq, Lt_pad, B, False)
+    from ..ops.sw_jax import sw_batch_ends
+    return sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len)
+
+
+def _pair_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj, qe, te,
+                      Lq, Lt, use_pallas):
+    """Device-side pair gather + reverse-prefix starts (survivors only)."""
+    valid = li >= 0
+    li = jnp.maximum(li, 0)
+    q_enc = q_mat[li]
+    q_bias = qb_mat[li]
+    q_len = jnp.where(valid, q_lens[li], 0)
+    t_enc = t_mat[lj]
+    t_len = jnp.where(valid, t_lens[lj], 0)
+    qe = jnp.where(valid, qe, 0)
+    te = jnp.where(valid, te, 0)
+    if use_pallas:
+        from ..ops.sw_pallas import (_build_S_gapped,
+                                     _sw_pallas_starts_from_S, _tj_for)
+        B = q_enc.shape[0]
+        TJ = _tj_for(Lq)
+        Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
+        S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad,
+                            q_len=q_len, t_len=t_len)
+        score2, q_start, t_start = _sw_pallas_starts_from_S(
+            S, qe, te, Lq, Lt_pad, B, False)
+        return q_start, t_start
+    from ..ops.sw_jax import sw_batch_starts
     score2, qr_end, tr_end = sw_batch_starts(
         q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len, q_end=qe, t_end=te)
-    aligned = (t_end >= 0) & (score > 0)
-    q_start = jnp.where(aligned, qe - qr_end, -1)
-    t_start = jnp.where(aligned, te - tr_end, -1)
-    return score, q_start, q_end, t_start, t_end
+    return qe - qr_end, te - tr_end
 
 
-def _gathered_align(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
-                    fixed_b=None):
-    # very long queries overflow the Pallas kernel's VMEM scratch
-    # ((Lq, TB) int32 x4 carries); fall back to the XLA scan there
-    use_pallas = jax.default_backend() != "cpu" and q_mat.shape[1] <= 4096
-    if use_pallas:
-        from ..ops.sw_pallas import TB
-        mult = TB
-    else:
-        mult = 8
-    B = len(li)
-    Bp = ((max(B, fixed_b or 0) + mult - 1) // mult) * mult
-    li_p = np.full(Bp, -1, np.int32)
-    lj_p = np.zeros(Bp, np.int32)
-    li_p[:B] = li
-    lj_p[:B] = lj
-    Lq, Lt = int(q_mat.shape[1]), int(t_mat.shape[1])
-    outs = _gathered_align_jit(
-        q_mat, qb_mat, jnp.asarray(q_lens, jnp.int32), t_mat,
-        jnp.asarray(t_lens, jnp.int32), jnp.asarray(li_p),
-        jnp.asarray(lj_p), Lq, Lt, use_pallas)
-    return outs
+def _qm_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, qidx, lj,
+                  Lq, Lt_pad, interpret):
+    """Query-major forward ends: per-tile profile + lane-major target
+    codes built on device from the staged bucket matrices — no (Lt, Lq,
+    B) score tensor is ever materialized."""
+    from ..ops.sw_pallas import (_align_ends_qm, build_prof_tiles,
+                                 build_tcodes_T)
+    prof = build_prof_tiles(q_mat, qb_mat, q_lens, qidx, Lq)
+    tc = build_tcodes_T(t_mat, t_lens, lj, Lt_pad)
+    return _align_ends_qm(prof, tc, Lq, Lt_pad, interpret)
+
+
+def _qm_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, qidx, lj, qe, te,
+                    Lq, Lt_pad, interpret):
+    from ..ops.sw_pallas import (_align_starts_qm, build_prof_tiles,
+                                 build_tcodes_T)
+    prof = build_prof_tiles(q_mat, qb_mat, q_lens, qidx, Lq)
+    tc = build_tcodes_T(t_mat, t_lens, lj, Lt_pad)
+    score2, q_start, t_start = _align_starts_qm(
+        prof, tc, qe, te, Lq, Lt_pad, interpret)
+    return q_start, t_start
+
+
+_IMPLS = {
+    # name -> (impl, sharded arg count, output count); the first five
+    # args (the staged bucket matrices) are replicated across the mesh
+    "pair_ends": (_pair_ends_impl, 2, 3),
+    "pair_starts": (_pair_starts_impl, 4, 2),
+    "qm_ends": (_qm_ends_impl, 2, 3),
+    "qm_starts": (_qm_starts_impl, 4, 2),
+}
+
+
+def n_devices():
+    """Alignment data-parallel width: all local devices (the reference's
+    MPI rank fan-out over queries, Alignment.cpp:219-243 — here pure
+    data parallelism over candidate pairs / query tiles on a 1D mesh),
+    cappable via METAEUK_DEVICES."""
+    n = len(jax.devices())
+    cap = os.environ.get("METAEUK_DEVICES")
+    if cap:
+        n = min(n, max(1, int(cap)))
+    return n
+
+
+@functools.lru_cache(maxsize=None)
+def _dispatcher(name, Lq, Lt, flag, n_dev):
+    """Jitted (and, on a multi-device mesh, shard_mapped) entry point
+    for one alignment impl at one bucket shape. Staged matrices are
+    replicated; pair/tile index arrays and outputs are sharded over the
+    1D "pairs" mesh axis — device-parallel alignment with no collectives
+    (results are fetched shard-wise by the host merge)."""
+    impl, n_shard, n_out = _IMPLS[name]
+
+    def core(*arrs):
+        return impl(*arrs, Lq, Lt, flag)
+
+    if n_dev == 1:
+        return jax.jit(core)
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("pairs",))
+    f = jax.shard_map(
+        core, mesh=mesh,
+        in_specs=(P(),) * 5 + (P("pairs"),) * n_shard,
+        out_specs=(P("pairs"),) * n_out,
+        check_vma=False)
+    return jax.jit(f)
+
+
+def _make_qm_tiles(li_sel, lj_sel, pair_rows):
+    """Group candidate pairs by staged query row into TB-lane tiles.
+    Returns (qidx (nT,), lj (nT, TB), lane_pair (nT, TB)) with -1 lane
+    padding; lane_pair maps lanes back to global pair rows."""
+    from ..ops.sw_pallas import TB
+    order = np.argsort(li_sel, kind="stable")
+    sorted_li = li_sel[order]
+    bounds = np.flatnonzero(np.diff(sorted_li)) + 1
+    qidx, ljs, prs = [], [], []
+    for g in np.split(order, bounds):
+        for s in range(0, len(g), TB):
+            chunk = g[s:s + TB]
+            lj_row = np.full(TB, -1, np.int32)
+            pr = np.full(TB, -1, np.int64)
+            lj_row[:len(chunk)] = lj_sel[chunk]
+            pr[:len(chunk)] = pair_rows[chunk]
+            qidx.append(int(li_sel[g[0]]))
+            ljs.append(lj_row)
+            prs.append(pr)
+    return (np.asarray(qidx, np.int32), np.stack(ljs), np.stack(prs))
 
 
 class SearchDriver:
@@ -192,7 +303,12 @@ class SearchDriver:
         lq_of = np.array([_bucket(max(l, 1)) for l in orf_lens])
         lt_of = np.array([_bucket(max(l, 1)) for l in self.target_lens])
         lq_b, lt_b = lq_of[oi], lt_of[ti]
-        hits_parts = []
+        n_pairs = len(oi)
+        qm_on, qm_interp = _qm_mode()
+
+        # ---- phase 1: stage buckets + submit forward-ends dispatches ----
+        buckets = []
+        fwd_parts = []  # (kind, mapping, deferred (score, q_end, t_end))
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
             q_ids = np.unique(oi[sel])
@@ -220,46 +336,207 @@ class SearchDriver:
             q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
             t_remap = np.zeros(int(t_ids.max()) + 1, np.int32)
             t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
-            batch_cap = max(8, CELL_BUDGET // (Lq * Lt))
-            for s in range(0, len(sel), batch_cap):
-                chunk = sel[s:s + batch_cap]
-                # fixed chunk shape per bucket -> exactly one compile
-                fixed = batch_cap if len(sel) > batch_cap else None
-                hits_parts.append(self._align_chunk(
-                    oi[chunk], ti[chunk], q_remap, t_remap,
-                    q_mat, qb_mat, q_lens, q_lens_dev, t_mat, t_lens,
-                    t_lens_dev, fixed_b=fixed))
-        if not hits_parts:
+            ctx = dict(Lq=Lq, Lt=Lt, sel=sel, q_mat=q_mat, qb_mat=qb_mat,
+                       q_lens_dev=q_lens_dev, t_mat=t_mat,
+                       t_lens_dev=t_lens_dev, q_remap=q_remap,
+                       t_remap=t_remap, nq=len(q_ids))
+            buckets.append(ctx)
+            li_sel = q_remap[oi[sel]]
+            qm_rows, pair_rows = self._split_qm(ctx, sel, li_sel, qm_on)
+            for rows, li, lj, outs in self._submit_pair(
+                    ctx, pair_rows, oi, ti, "pair_ends", None):
+                fwd_parts.append(("rows", rows, outs))
+            for lane_pair, outs in self._submit_qm(
+                    ctx, qm_rows, oi, ti, "qm_ends", None, None,
+                    qm_interp):
+                fwd_parts.append(("lanes", lane_pair, outs))
+        if not fwd_parts:
             return np.zeros(0, dtype=HIT_DTYPE)
-        # one concatenated device->host fetch for all chunks
-        cat = [np.asarray(jnp.concatenate([p[4][k] for p in hits_parts]))
-               for k in range(5)]
-        offs = np.cumsum([0] + [p[4][0].shape[0] for p in hits_parts])
-        resolved = []
-        for idx, (oi_c, ti_c, q_len_c, t_len_c, _outs) in enumerate(hits_parts):
-            B = len(oi_c)
-            sl = slice(offs[idx], offs[idx] + B)
-            out = np.zeros(B, dtype=HIT_DTYPE)
-            out["orf_idx"] = oi_c
-            out["target_idx"] = ti_c
-            out["score_raw"] = cat[0][sl]
-            out["q_start"], out["q_end"] = cat[1][sl], cat[2][sl]
-            out["q_len"] = q_len_c
-            out["t_start"], out["t_end"] = cat[3][sl], cat[4][sl]
-            out["t_len"] = t_len_c
-            resolved.append(out)
-        hits = np.concatenate(resolved)
+
+        # ---- phase 2: one concatenated fetch, assemble per-pair ends ----
+        score_all = np.zeros(n_pairs, np.int32)
+        qe_all = np.zeros(n_pairs, np.int32)
+        te_all = np.full(n_pairs, -1, np.int32)
+        cat = [np.asarray(jnp.concatenate([p[2][k] for p in fwd_parts]))
+               for k in range(3)]
+        off = 0
+        for kind, mapping, outs in fwd_parts:
+            n = int(outs[0].shape[0])
+            sl = slice(off, off + n)
+            off += n
+            if kind == "rows":
+                m = len(mapping)
+                score_all[mapping] = cat[0][sl][:m]
+                qe_all[mapping] = cat[1][sl][:m]
+                te_all[mapping] = cat[2][sl][:m]
+            else:
+                lanes = mapping.reshape(-1)
+                ok = lanes >= 0
+                score_all[lanes[ok]] = cat[0][sl][ok]
+                qe_all[lanes[ok]] = cat[1][sl][ok]
+                te_all[lanes[ok]] = cat[2][sl][ok]
+
+        # ---- phase 3: E-value gate; reverse pass on survivors only ----
+        # (Alignment::checkCriteria drops rows failing the E-value gate
+        # regardless of start coordinates, so the expensive reverse-prefix
+        # pass only needs to run on rows that can possibly survive.)
+        p = self.params
+        q_len_pairs = orf_lens[oi]
+        ev_gate = self.evaluer.compute_evalue(
+            score_all.astype(np.float64), q_len_pairs.astype(np.float64))
+        surv = ((te_all >= 0) & (score_all > 0)
+                & (ev_gate <= p.search_evalue_thr))
+        qs_all = np.full(n_pairs, -1, np.int32)
+        ts_all = np.full(n_pairs, -1, np.int32)
+        rev_parts = []
+        for ctx in buckets:
+            sel = ctx["sel"]
+            rows_s = sel[surv[sel]]
+            if not len(rows_s):
+                continue
+            li_s = ctx["q_remap"][oi[rows_s]]
+            qm_rows, pair_rows = self._split_qm(ctx, rows_s, li_s, qm_on)
+            for rows, li, lj, outs in self._submit_pair(
+                    ctx, pair_rows, oi, ti, "pair_starts",
+                    (qe_all, te_all)):
+                rev_parts.append(("rows", rows, outs))
+            for lane_pair, outs in self._submit_qm(
+                    ctx, qm_rows, oi, ti, "qm_starts", qe_all, te_all,
+                    qm_interp):
+                rev_parts.append(("lanes", lane_pair, outs))
+        if rev_parts:
+            cat = [np.asarray(jnp.concatenate([p[2][k] for p in rev_parts]))
+                   for k in range(2)]
+            off = 0
+            for kind, mapping, outs in rev_parts:
+                n = int(outs[0].shape[0])
+                sl = slice(off, off + n)
+                off += n
+                if kind == "rows":
+                    m = len(mapping)
+                    qs_all[mapping] = cat[0][sl][:m]
+                    ts_all[mapping] = cat[1][sl][:m]
+                else:
+                    lanes = mapping.reshape(-1)
+                    ok = lanes >= 0
+                    qs_all[lanes[ok]] = cat[0][sl][ok]
+                    ts_all[lanes[ok]] = cat[1][sl][ok]
+
+        hits = np.zeros(n_pairs, dtype=HIT_DTYPE)
+        hits["orf_idx"] = oi
+        hits["target_idx"] = ti
+        hits["score_raw"] = score_all
+        hits["q_start"], hits["q_end"] = qs_all, qe_all
+        hits["q_len"] = q_len_pairs
+        hits["t_start"], hits["t_end"] = ts_all, te_all
+        hits["t_len"] = self.target_lens[ti]
         return self._filter_and_sort(hits)
 
-    def _align_chunk(self, oi, ti, q_remap, t_remap,
-                     q_mat, qb_mat, q_lens, q_lens_dev, t_mat, t_lens,
-                     t_lens_dev, fixed_b=None):
-        """Submit one chunk; returns deferred device outputs (no fetch)."""
-        li = q_remap[oi]
-        lj = t_remap[ti]
-        outs = _gathered_align(q_mat, qb_mat, q_lens_dev, t_mat, t_lens_dev,
-                               li, lj, fixed_b=fixed_b)
-        return oi, ti, q_lens[li], t_lens[lj], outs
+    def _split_qm(self, ctx, rows, li_rows, qm_on):
+        """Route each candidate pair to the query-major kernel (queries
+        with >= QM_MIN_CANDS candidates in this bucket) or the
+        pair-batched path. Returns (qm_rows, pair_rows). Queries longer
+        than 4096 go query-major regardless of candidate count (the
+        row-tiled kernel is the only Pallas path there), unless the
+        target tier exceeds the row-tiled boundary-scratch bound."""
+        if not qm_on or not len(rows):
+            return rows[:0], rows
+        if ctx["Lq"] > 4096:
+            if ctx["Lt"] <= 4096:
+                return rows, rows[:0]
+            from ..utils.log import warning
+            warning(f"SW bucket Lq={ctx['Lq']} Lt={ctx['Lt']}: both axes "
+                    "exceed the Pallas tiling bounds; using the XLA scan")
+            return rows[:0], rows
+        counts = np.bincount(li_rows, minlength=ctx["nq"])
+        m = counts[li_rows] >= QM_MIN_CANDS
+        return rows[m], rows[~m]
+
+    def _submit_pair(self, ctx, rows, oi, ti, name, ends):
+        """Chunk + pad + dispatch the pair-batched path; yields deferred
+        device outputs per chunk."""
+        if not len(rows):
+            return
+        Lq, Lt = ctx["Lq"], ctx["Lt"]
+        use_pallas = jax.default_backend() != "cpu" and Lq <= 4096
+        if use_pallas:
+            from ..ops.sw_pallas import TB
+            mult = TB
+        else:
+            mult = 8
+        n_dev = n_devices()
+        mult *= n_dev
+        fn = _dispatcher(name, Lq, Lt, use_pallas, n_dev)
+        batch_cap = max(8, CELL_BUDGET // (Lq * Lt))
+        for s in range(0, len(rows), batch_cap):
+            r = rows[s:s + batch_cap]
+            fixed = batch_cap if len(rows) > batch_cap else None
+            B = len(r)
+            Bp = ((max(B, fixed or 0) + mult - 1) // mult) * mult
+            li_p = np.full(Bp, -1, np.int32)
+            lj_p = np.zeros(Bp, np.int32)
+            li_p[:B] = ctx["q_remap"][oi[r]]
+            lj_p[:B] = ctx["t_remap"][ti[r]]
+            if ends is None:
+                outs = fn(ctx["q_mat"], ctx["qb_mat"], ctx["q_lens_dev"],
+                          ctx["t_mat"], ctx["t_lens_dev"],
+                          jnp.asarray(li_p), jnp.asarray(lj_p))
+            else:
+                qe_p = np.zeros(Bp, np.int32)
+                te_p = np.zeros(Bp, np.int32)
+                qe_p[:B] = ends[0][r]
+                te_p[:B] = ends[1][r]
+                outs = fn(ctx["q_mat"], ctx["qb_mat"], ctx["q_lens_dev"],
+                          ctx["t_mat"], ctx["t_lens_dev"],
+                          jnp.asarray(li_p), jnp.asarray(lj_p),
+                          jnp.asarray(qe_p), jnp.asarray(te_p))
+            yield r, li_p, lj_p, outs
+
+    def _submit_qm(self, ctx, rows, oi, ti, name, qe_all, te_all,
+                   interpret):
+        """Tile + pad + dispatch the query-major path; yields
+        (lane_pair map, deferred outputs) per chunk."""
+        if not len(rows):
+            return
+        from ..ops.sw_pallas import TB
+        Lq, Lt = ctx["Lq"], ctx["Lt"]
+        Lt_pad = Lt if Lt <= 512 else ((Lt + 511) // 512) * 512
+        qidx, ljt, lane_pair = _make_qm_tiles(
+            ctx["q_remap"][oi[rows]], ctx["t_remap"][ti[rows]], rows)
+        n_tiles = len(qidx)
+        n_dev = n_devices()
+        fn = _dispatcher(name, Lq, Lt_pad, interpret, n_dev)
+        tiles_cap = max(8, QM_CELL_BUDGET // (Lq * Lt_pad * TB))
+        tiles_cap = ((tiles_cap + n_dev - 1) // n_dev) * n_dev
+        for s in range(0, n_tiles, tiles_cap):
+            q_c = qidx[s:s + tiles_cap]
+            lj_c = ljt[s:s + tiles_cap]
+            lp_c = lane_pair[s:s + tiles_cap]
+            nT = len(q_c)
+            nT_pad = tiles_cap if n_tiles > tiles_cap \
+                else _bucket(max(nT, 1), lo=8 * n_dev)
+            q_p = np.full(nT_pad, -1, np.int32)
+            lj_p = np.full((nT_pad, TB), -1, np.int32)
+            lp_p = np.full((nT_pad, TB), -1, np.int64)
+            q_p[:nT] = q_c
+            lj_p[:nT] = lj_c
+            lp_p[:nT] = lp_c
+            if qe_all is None:
+                outs = fn(ctx["q_mat"], ctx["qb_mat"], ctx["q_lens_dev"],
+                          ctx["t_mat"], ctx["t_lens_dev"],
+                          jnp.asarray(q_p), jnp.asarray(lj_p))
+            else:
+                lanes = lp_p.reshape(-1)
+                okl = lanes >= 0
+                qe_l = np.zeros(nT_pad * TB, np.int32)
+                te_l = np.zeros(nT_pad * TB, np.int32)
+                qe_l[okl] = qe_all[lanes[okl]]
+                te_l[okl] = te_all[lanes[okl]]
+                outs = fn(ctx["q_mat"], ctx["qb_mat"], ctx["q_lens_dev"],
+                          ctx["t_mat"], ctx["t_lens_dev"],
+                          jnp.asarray(q_p), jnp.asarray(lj_p),
+                          jnp.asarray(qe_l), jnp.asarray(te_l))
+            yield lp_p, outs
 
     def _filter_and_sort(self, hits):
         p = self.params

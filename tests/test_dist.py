@@ -49,6 +49,30 @@ def test_contig_partition_merge_byte_identical(tmp_path):
             == (golden / f"easypredict.{s}").read_bytes(), s
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_easy_predict_matches_goldens(tmp_path, monkeypatch):
+    """Full easy-predict with the alignment stage shard_mapped over the
+    8-device mesh (search/driver.py `_dispatcher`) is byte-identical to
+    the single-device goldens. The suite exercises the mesh implicitly
+    (conftest gives every test 8 CPU devices); this pins it explicitly
+    and guards against a future single-device default."""
+    import pathlib
+    from metaeuk_tpu.params import Params
+    from metaeuk_tpu.pipeline.predict import EasyPredict
+    from metaeuk_tpu.search import driver
+
+    monkeypatch.setenv("METAEUK_DEVICES", "8")
+    assert driver.n_devices() == 8
+    data = pathlib.Path(__file__).parent / "data"
+    golden = pathlib.Path(__file__).parent / "golden"
+    out = tmp_path / "preds"
+    EasyPredict(Params()).run(data / "contigs.fna", data / "proteins.faa",
+                              str(out))
+    for s in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        assert (tmp_path / f"preds.{s}").read_bytes() \
+            == (golden / f"easypredict.{s}").read_bytes(), s
+
+
 def test_contig_partition_bounds():
     from metaeuk_tpu.parallel.multihost import contig_partition
     parts = [contig_partition(10, i, 3) for i in range(3)]

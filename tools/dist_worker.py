@@ -1,0 +1,39 @@
+"""Multi-process easy-predict worker (the reference's MPI-rank role).
+
+Launched once per process with a shared coordinator; initializes
+jax.distributed, runs this process's contig partition through
+parallel.multihost.distributed_easy_predict, and lets rank 0 merge the
+partition outputs (Prefiltering::runMpiSplits / Alignment::run(mpiRank)
+role, lib/mmseqs/src/prefiltering/Prefiltering.cpp:575-770).
+
+    python tools/dist_worker.py <pid> <nprocs> <coord> <contigs> \
+        <targets> <out_prefix>
+
+Used by tests/test_dist.py::test_two_process_distributed_easy_predict
+(CPU backend, gloo collectives) and launchable as-is on multi-host TPU
+slices where the usual jax.distributed environment applies.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    pid, nprocs, coord, contigs, targets, out_prefix = sys.argv[1:7]
+    import jax
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(nprocs),
+                               process_id=int(pid))
+    from metaeuk_tpu.params import Params
+    from metaeuk_tpu.parallel.multihost import distributed_easy_predict
+
+    assert jax.process_count() == int(nprocs), jax.process_count()
+    distributed_easy_predict(Params(), contigs, targets, out_prefix)
+
+
+if __name__ == "__main__":
+    main()
