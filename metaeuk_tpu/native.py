@@ -29,16 +29,20 @@ def _build():
 
 
 def get_lib():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable.
+    METAEUK_HOST_SO overrides the library path (the CI sanitizer lane
+    points it at an ASan/UBSan build, tools/ci.sh)."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < max(
-                s.stat().st_mtime for s in _SRCS):
+        override = os.environ.get("METAEUK_HOST_SO")
+        if override is None and (
+                not _SO.exists() or _SO.stat().st_mtime < max(
+                    s.stat().st_mtime for s in _SRCS)):
             _build()
-        lib = ctypes.CDLL(str(_SO))
+        lib = ctypes.CDLL(override or str(_SO))
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.orf_scan_strand.restype = ctypes.c_int64

@@ -50,6 +50,9 @@ class Params:
     comp_bias_correction_scale: float = 1.0
     split: int = 0                        # --split (0 = auto by memory)
     split_memory_limit: int = 0           # --split-memory-limit (0 = free RAM)
+    disk_space_limit: int = 0             # --disk-space-limit (0 = default;
+    #   bounds staged profile slices in the sliced profile search,
+    #   searchslicedtargetprofile.sh:46-120 role)
     cov_thr: float = 0.0
     cov_mode: int = 0
     seq_id_thr: float = 0.0

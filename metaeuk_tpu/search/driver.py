@@ -107,6 +107,20 @@ def _qm_mode():
     return jax.default_backend() != "cpu", False
 
 
+def _pack_ends_u16(score, q_end, t_end):
+    """(3, B) uint16 forward result pack. uint16 halves fetch bytes (the
+    scaling bottleneck), scores are capped to the reference word-kernel
+    saturation (32767), coordinates fit the kernels' 16-bit column
+    packing, and -1 round-trips as 65535. Packing INSIDE the jit keeps
+    every fetch shape data-independent (repeatable executables)."""
+    score = jnp.minimum(score, 32767)
+    return jnp.stack([score, q_end, t_end]).astype(jnp.uint16)
+
+
+def _pack_starts_u16(q_start, t_start):
+    return jnp.stack([q_start, t_start]).astype(jnp.uint16)
+
+
 def _pair_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
                     Lq, Lt, use_pallas):
     """Device-side pair gather + forward ends in one dispatch."""
@@ -126,9 +140,11 @@ def _pair_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
         Lt_pad = ((Lt + TJ - 1) // TJ) * TJ
         S = _build_S_gapped(q_enc, q_bias, t_enc, Lq, Lt, Lt_pad,
                             q_len=q_len, t_len=t_len)
-        return _sw_pallas_ends_from_S(S, Lq, Lt_pad, B, False)
+        return _pack_ends_u16(
+            *_sw_pallas_ends_from_S(S, Lq, Lt_pad, B, False))
     from ..ops.sw_jax import sw_batch_ends
-    return sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len)
+    return _pack_ends_u16(
+        *sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len))
 
 
 def _pair_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj, qe, te,
@@ -153,11 +169,11 @@ def _pair_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj, qe, te,
                             q_len=q_len, t_len=t_len)
         score2, q_start, t_start = _sw_pallas_starts_from_S(
             S, qe, te, Lq, Lt_pad, B, False)
-        return q_start, t_start
+        return _pack_starts_u16(q_start, t_start)
     from ..ops.sw_jax import sw_batch_starts
     score2, qr_end, tr_end = sw_batch_starts(
         q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len, q_end=qe, t_end=te)
-    return qe - qr_end, te - tr_end
+    return _pack_starts_u16(qe - qr_end, te - tr_end)
 
 
 def _qm_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, qidx, lj,
@@ -169,7 +185,7 @@ def _qm_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, qidx, lj,
                                  build_tcodes_T)
     prof = build_prof_tiles(q_mat, qb_mat, q_lens, qidx, Lq)
     tc = build_tcodes_T(t_mat, t_lens, lj, Lt_pad)
-    return _align_ends_qm(prof, tc, Lq, Lt_pad, interpret)
+    return _pack_ends_u16(*_align_ends_qm(prof, tc, Lq, Lt_pad, interpret))
 
 
 def _qm_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, qidx, lj, qe, te,
@@ -180,16 +196,16 @@ def _qm_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, qidx, lj, qe, te,
     tc = build_tcodes_T(t_mat, t_lens, lj, Lt_pad)
     score2, q_start, t_start = _align_starts_qm(
         prof, tc, qe, te, Lq, Lt_pad, interpret)
-    return q_start, t_start
+    return _pack_starts_u16(q_start, t_start)
 
 
 _IMPLS = {
-    # name -> (impl, sharded arg count, output count); the first five
-    # args (the staged bucket matrices) are replicated across the mesh
-    "pair_ends": (_pair_ends_impl, 2, 3),
-    "pair_starts": (_pair_starts_impl, 4, 2),
-    "qm_ends": (_qm_ends_impl, 2, 3),
-    "qm_starts": (_qm_starts_impl, 4, 2),
+    # name -> (impl, sharded arg count); every impl returns one
+    # (k, B) uint16 pack with B (dim 1) sharded over the mesh
+    "pair_ends": (_pair_ends_impl, 2),
+    "pair_starts": (_pair_starts_impl, 4),
+    "qm_ends": (_qm_ends_impl, 2),
+    "qm_starts": (_qm_starts_impl, 4),
 }
 
 
@@ -197,8 +213,10 @@ def n_devices():
     """Alignment data-parallel width: all local devices (the reference's
     MPI rank fan-out over queries, Alignment.cpp:219-243 — here pure
     data parallelism over candidate pairs / query tiles on a 1D mesh),
-    cappable via METAEUK_DEVICES."""
-    n = len(jax.devices())
+    cappable via METAEUK_DEVICES. LOCAL devices only: across processes
+    the parallel unit is the contig partition (parallel/multihost.py),
+    so each process keeps its alignment arrays addressable."""
+    n = jax.local_device_count()
     cap = os.environ.get("METAEUK_DEVICES")
     if cap:
         n = min(n, max(1, int(cap)))
@@ -212,7 +230,7 @@ def _dispatcher(name, Lq, Lt, flag, n_dev):
     replicated; pair/tile index arrays and outputs are sharded over the
     1D "pairs" mesh axis — device-parallel alignment with no collectives
     (results are fetched shard-wise by the host merge)."""
-    impl, n_shard, n_out = _IMPLS[name]
+    impl, n_shard = _IMPLS[name]
 
     def core(*arrs):
         return impl(*arrs, Lq, Lt, flag)
@@ -220,13 +238,22 @@ def _dispatcher(name, Lq, Lt, flag, n_dev):
     if n_dev == 1:
         return jax.jit(core)
     from jax.sharding import Mesh, PartitionSpec as P
-    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("pairs",))
+    mesh = Mesh(np.asarray(jax.local_devices()[:n_dev]), ("pairs",))
     f = jax.shard_map(
         core, mesh=mesh,
         in_specs=(P(),) * 5 + (P("pairs"),) * n_shard,
-        out_specs=(P("pairs"),) * n_out,
+        out_specs=P(None, "pairs"),
         check_vma=False)
     return jax.jit(f)
+
+
+def _u16_coords(u16):
+    """uint16 coordinates -> int32 with the -1 sentinel restored (65535).
+    Coordinates are < 65535 by the kernels' 16-bit column packing, so
+    the mapping is unambiguous."""
+    v = np.asarray(u16).astype(np.int32)
+    v[v == 65535] = -1
+    return v
 
 
 def _make_qm_tiles(li_sel, lj_sel, pair_rows):
@@ -298,6 +325,16 @@ class SearchDriver:
         if len(oi) == 0:
             return np.zeros(0, dtype=HIT_DTYPE)
 
+        import time as _time
+        phase_s = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal _t0
+            t = _time.perf_counter()
+            phase_s[name] = phase_s.get(name, 0.0) + (t - _t0)
+            _t0 = t
+
         # stage per-bucket padded matrices ONCE (device-side gather per
         # chunk keeps the host out of the per-pair path)
         lq_of = np.array([_bucket(max(l, 1)) for l in orf_lens])
@@ -305,6 +342,7 @@ class SearchDriver:
         lq_b, lt_b = lq_of[oi], lt_of[ti]
         n_pairs = len(oi)
         qm_on, qm_interp = _qm_mode()
+        _mark("prep")
 
         # ---- phase 1: stage buckets + submit forward-ends dispatches ----
         buckets = []
@@ -350,42 +388,52 @@ class SearchDriver:
                     ctx, qm_rows, oi, ti, "qm_ends", None, None,
                     qm_interp):
                 fwd_parts.append(("lanes", lane_pair, outs))
+        _mark("fwd_submit")
         if not fwd_parts:
             return np.zeros(0, dtype=HIT_DTYPE)
 
-        # ---- phase 2: one concatenated fetch, assemble per-pair ends ----
+        # ---- phase 2: ONE fetch of the uint16 result packs ----
+        # Device->host bandwidth is the scaling bottleneck (3 MB/s over a
+        # tunneled dev chip; PCIe isn't free either): 6 bytes per padded
+        # lane, one concatenated transfer, and every participating jit /
+        # fetch shape is data-independent (repeatable executables).
+        cat = np.asarray(jnp.concatenate([pp[2] for pp in fwd_parts],
+                                         axis=1))
+        _mark("fwd_fetch")
         score_all = np.zeros(n_pairs, np.int32)
         qe_all = np.zeros(n_pairs, np.int32)
         te_all = np.full(n_pairs, -1, np.int32)
-        cat = [np.asarray(jnp.concatenate([p[2][k] for p in fwd_parts]))
-               for k in range(3)]
         off = 0
-        for kind, mapping, outs in fwd_parts:
-            n = int(outs[0].shape[0])
-            sl = slice(off, off + n)
-            off += n
+        for kind, mapping, dev in fwd_parts:
+            w = int(dev.shape[1])
+            seg = cat[:, off:off + w]
+            off += w
             if kind == "rows":
                 m = len(mapping)
-                score_all[mapping] = cat[0][sl][:m]
-                qe_all[mapping] = cat[1][sl][:m]
-                te_all[mapping] = cat[2][sl][:m]
+                score_all[mapping] = seg[0, :m].astype(np.int32)
+                qe_all[mapping] = _u16_coords(seg[1, :m])
+                te_all[mapping] = _u16_coords(seg[2, :m])
             else:
                 lanes = mapping.reshape(-1)
                 ok = lanes >= 0
-                score_all[lanes[ok]] = cat[0][sl][ok]
-                qe_all[lanes[ok]] = cat[1][sl][ok]
-                te_all[lanes[ok]] = cat[2][sl][ok]
+                score_all[lanes[ok]] = seg[0][ok].astype(np.int32)
+                qe_all[lanes[ok]] = _u16_coords(seg[1][ok])
+                te_all[lanes[ok]] = _u16_coords(seg[2][ok])
+        _mark("fwd_assemble")
 
-        # ---- phase 3: E-value gate; reverse pass on survivors only ----
-        # (Alignment::checkCriteria drops rows failing the E-value gate
-        # regardless of start coordinates, so the expensive reverse-prefix
-        # pass only needs to run on rows that can possibly survive.)
+        # ---- phase 3: E-value gate on host (exact float64 semantics) ----
+        # Alignment::checkCriteria drops rows failing the E-value gate
+        # regardless of start coordinates, so the reverse-prefix pass
+        # only runs on rows that can possibly survive.
         p = self.params
         q_len_pairs = orf_lens[oi]
         ev_gate = self.evaluer.compute_evalue(
             score_all.astype(np.float64), q_len_pairs.astype(np.float64))
         surv = ((te_all >= 0) & (score_all > 0)
                 & (ev_gate <= p.search_evalue_thr))
+        _mark("gate")
+
+        # ---- phase 4: reverse pass on survivors only ----
         qs_all = np.full(n_pairs, -1, np.int32)
         ts_all = np.full(n_pairs, -1, np.int32)
         rev_parts = []
@@ -404,23 +452,25 @@ class SearchDriver:
                     ctx, qm_rows, oi, ti, "qm_starts", qe_all, te_all,
                     qm_interp):
                 rev_parts.append(("lanes", lane_pair, outs))
+        _mark("rev_submit")
         if rev_parts:
-            cat = [np.asarray(jnp.concatenate([p[2][k] for p in rev_parts]))
-                   for k in range(2)]
+            cat = np.asarray(jnp.concatenate([pp[2] for pp in rev_parts],
+                                             axis=1))
             off = 0
-            for kind, mapping, outs in rev_parts:
-                n = int(outs[0].shape[0])
-                sl = slice(off, off + n)
-                off += n
+            for kind, mapping, dev in rev_parts:
+                w = int(dev.shape[1])
+                seg = cat[:, off:off + w]
+                off += w
                 if kind == "rows":
                     m = len(mapping)
-                    qs_all[mapping] = cat[0][sl][:m]
-                    ts_all[mapping] = cat[1][sl][:m]
+                    qs_all[mapping] = _u16_coords(seg[0, :m])
+                    ts_all[mapping] = _u16_coords(seg[1, :m])
                 else:
                     lanes = mapping.reshape(-1)
                     ok = lanes >= 0
-                    qs_all[lanes[ok]] = cat[0][sl][ok]
-                    ts_all[lanes[ok]] = cat[1][sl][ok]
+                    qs_all[lanes[ok]] = _u16_coords(seg[0][ok])
+                    ts_all[lanes[ok]] = _u16_coords(seg[1][ok])
+        _mark("rev_fetch")
 
         hits = np.zeros(n_pairs, dtype=HIT_DTYPE)
         hits["orf_idx"] = oi
@@ -430,7 +480,14 @@ class SearchDriver:
         hits["q_len"] = q_len_pairs
         hits["t_start"], hits["t_end"] = ts_all, te_all
         hits["t_len"] = self.target_lens[ti]
-        return self._filter_and_sort(hits)
+        out = self._filter_and_sort(hits)
+        _mark("filter_sort")
+        self.phase_seconds = phase_s
+        from ..utils import log
+        log.info("align phases: " + "  ".join(
+            f"{k}={v:.2f}s" for k, v in phase_s.items())
+            + f"  pairs={n_pairs} surv={int(surv.sum())}")
+        return out
 
     def _split_qm(self, ctx, rows, li_rows, qm_on):
         """Route each candidate pair to the query-major kernel (queries
@@ -470,7 +527,14 @@ class SearchDriver:
         batch_cap = max(8, CELL_BUDGET // (Lq * Lt))
         for s in range(0, len(rows), batch_cap):
             r = rows[s:s + batch_cap]
-            fixed = batch_cap if len(rows) > batch_cap else None
+            if use_pallas:
+                # accelerator: ONE jit shape per bucket/op — padded tail
+                # cells cost microseconds of device time, while every
+                # extra executable costs seconds of per-process load on
+                # tunneled links
+                fixed = batch_cap
+            else:
+                fixed = batch_cap if len(rows) > batch_cap else None
             B = len(r)
             Bp = ((max(B, fixed or 0) + mult - 1) // mult) * mult
             li_p = np.full(Bp, -1, np.int32)
@@ -513,8 +577,12 @@ class SearchDriver:
             lj_c = ljt[s:s + tiles_cap]
             lp_c = lane_pair[s:s + tiles_cap]
             nT = len(q_c)
-            nT_pad = tiles_cap if n_tiles > tiles_cap \
-                else _bucket(max(nT, 1), lo=8 * n_dev)
+            if not interpret and jax.default_backend() != "cpu":
+                # one jit shape per bucket/op (see _submit_pair)
+                nT_pad = tiles_cap
+            else:
+                nT_pad = tiles_cap if n_tiles > tiles_cap \
+                    else _bucket(max(nT, 1), lo=8 * n_dev)
             q_p = np.full(nT_pad, -1, np.int32)
             lj_p = np.full((nT_pad, TB), -1, np.int32)
             lp_p = np.full((nT_pad, TB), -1, np.int64)

@@ -38,12 +38,15 @@ def _get_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    import os
+    override = os.environ.get("METAEUK_FWBW_SO")
+    if override is None and (
+            not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime):
         subprocess.run(
             ["g++", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
              "-std=c++17", str(_SRC), "-o", str(_SO)],
             check=True, capture_output=True)
-    lib = ctypes.CDLL(str(_SO))
+    lib = ctypes.CDLL(override or str(_SO))
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lp = ctypes.POINTER(ctypes.c_long)

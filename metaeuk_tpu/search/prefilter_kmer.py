@@ -181,11 +181,12 @@ class KmerPrefilter:
             i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
             u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
             f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-            lib.pf_match_batch.restype = ctypes.c_int64
-            lib.pf_match_batch.argtypes = [
+            lib.pf_match_batch2.restype = ctypes.c_int64
+            lib.pf_match_batch2.argtypes = [
                 ctypes.c_void_p, u8p, i64p, ctypes.c_int64,
                 ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, u32p, i32p, i16p, i64p]
+                ctypes.c_void_p, ctypes.c_int64, u32p, i32p, i16p, i64p,
+                i64p]
             lib._batch_bound = True
         nq = len(query_encs)
         offs = np.zeros(nq + 1, np.int64)
@@ -205,7 +206,8 @@ class KmerPrefilter:
                       if self.comp_bias_correction else None)
         ids_arr = (np.ascontiguousarray(identity_ids, np.uint32)
                    if identity_ids is not None else None)
-        lib.pf_match_batch(
+        run_stats = np.zeros(5, np.int64)
+        lib.pf_match_batch2(
             self._h, qdata, offs, nq,
             scores_arr.ctypes.data_as(ctypes.c_void_p)
             if scores_arr is not None else None,
@@ -214,7 +216,12 @@ class KmerPrefilter:
             ids_arr.ctypes.data_as(ctypes.c_void_p)
             if ids_arr is not None else None,
             cap, out_id.reshape(-1), out_sc.reshape(-1),
-            out_dg.reshape(-1), counts)
+            out_dg.reshape(-1), counts, run_stats)
+        # the reference's per-run prefilter statistics
+        # (Prefiltering::printStatistics, Prefiltering.cpp:953-975):
+        # [kmer list len, query positions, db matches, overflows, hits]
+        self.stats = getattr(self, "stats", np.zeros(5, np.int64))
+        self.stats = self.stats + run_stats
         out = []
         for i in range(nq):
             n = int(counts[i])
@@ -384,6 +391,8 @@ class SplitKmerPrefilter:
                 ids_local = np.where(in_range, gid - start,
                                      0xFFFFFFFF).astype(np.uint32)
             res = pf.match_batch(query_encs, identity_ids=ids_local)
+            self.stats = getattr(self, "stats", np.zeros(5, np.int64)) \
+                + pf.stats
             for qi, (ids, sc, dg) in enumerate(res):
                 if len(ids):
                     parts[qi].append((ids.astype(np.int64) + start, sc, dg))
@@ -453,11 +462,32 @@ class ReferenceKmerPrefilter:
         from ..data.submat import encode_aa
         results = self.pf.match_batch([encode_aa(s) for s in orf_aa_seqs])
         counts = np.array([len(ids) for ids, _, _ in results], np.int64)
+        log_prefilter_stats(getattr(self.pf, "stats", None), counts)
         if counts.sum() == 0:
             return np.zeros((0, 2), np.int64)
         qi = np.repeat(np.arange(len(results), dtype=np.int64), counts)
         ti = np.concatenate([ids for ids, _, _ in results]).astype(np.int64)
         return np.stack([qi, ti], axis=1)
+
+
+def log_prefilter_stats(stats, counts):
+    """The reference's per-run prefilter statistics
+    (Prefiltering::printStatistics, Prefiltering.cpp:953-975): k-mers
+    per position, DB matches per position, overflow count, and the
+    result-list size distribution, at -v 3 (info)."""
+    from ..utils import log
+    if stats is None or len(counts) == 0:
+        return
+    klen, qpos, dbm, ovf, hits = (int(x) for x in stats)
+    qpos = max(qpos, 1)
+    nq = len(counts)
+    srt = np.sort(counts)
+    log.info(f"{klen / qpos:.6g} k-mers per position")
+    log.info(f"{dbm // nq} DB matches per sequence")
+    log.info(f"{ovf} overflows")
+    log.info(f"{int(srt[nq // 2])} sequences passed prefiltering per query "
+             f"sequence (median)")
+    log.info(f"{hits // nq} hits per query sequence")
 
 
 def prefilter_db(query_encs, target_encs, identity_pairs=False, **kw):
@@ -467,7 +497,11 @@ def prefilter_db(query_encs, target_encs, identity_pairs=False, **kw):
     if pf.diagonal_scoring:
         ids = (np.arange(len(query_encs), dtype=np.uint32)
                if identity_pairs else None)
-        return pf.match_batch(list(query_encs), identity_ids=ids)
+        res = pf.match_batch(list(query_encs), identity_ids=ids)
+        log_prefilter_stats(
+            getattr(pf, "stats", None),
+            np.array([len(r[0]) for r in res], np.int64))
+        return res
     out = []
     for qi, q in enumerate(query_encs):
         out.append(pf.match(q, qi if identity_pairs else None))

@@ -18,6 +18,21 @@ from .driver import HIT_DTYPE, estimate_seq_id
 from .evalue import EvalueComputation
 
 CELL_BUDGET = 1 << 24
+# staged-profile bytes per slice (searchslicedtargetprofile.sh:46-120
+# sizes profile slices to a disk budget; here the budget bounds host+HBM
+# staging of the PSSM matrices). Overridable per run via
+# Params.split_memory_limit or METAEUK_SLICE_BUDGET.
+SLICE_BUDGET = 1 << 28
+
+
+def _slice_budget(params):
+    import os
+    env = os.environ.get("METAEUK_SLICE_BUDGET")
+    if env:
+        return max(1 << 20, int(env))
+    if getattr(params, "disk_space_limit", 0):
+        return max(1 << 20, int(params.disk_space_limit))
+    return SLICE_BUDGET
 
 
 def _bucket(n, lo=256):
@@ -150,54 +165,69 @@ class ProfileSearchDriver:
         import jax
         import jax.numpy as jnp
         parts = []
+        slice_rows = _slice_budget(p)
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             # very long profiles overflow the Pallas VMEM scratch; XLA
             # scan fallback there
             use_pallas = jax.default_backend() != "cpu" and Lq <= 4096
-            sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
-            p_ids = np.unique(pi[sel])
-            o_ids = np.unique(oi[sel])
-            # row counts padded to tiers -> dataset-independent jit
-            # shapes (persistent-cache hits across workloads)
-            np_pad = _bucket(max(len(p_ids), 1), lo=8)
+            bsel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
+            p_ids_all = np.unique(pi[bsel])
+            o_ids = np.unique(oi[bsel])
             no_pad = _bucket(max(len(o_ids), 1), lo=8)
-            prof_mat = np.zeros((np_pad, Lq, 21), np.int32)
-            p_lens = np.zeros(np_pad, np.int32)
-            for k, pid in enumerate(p_ids):
-                pssm = self.profiles.pssms[pid]
-                prof_mat[k, :len(pssm)] = pssm
-                p_lens[k] = len(pssm)
             t_mat = np.zeros((no_pad, Lt), np.int32)
             t_lens = np.zeros(no_pad, np.int32)
             for k, oid in enumerate(o_ids):
                 te = orfs_enc[oid]
                 t_mat[k, :len(te)] = te
                 t_lens[k] = len(te)
-            prof_dev = jnp.asarray(prof_mat)
-            plens_dev = jnp.asarray(p_lens)
             t_dev = jnp.asarray(t_mat)
             tlens_dev = jnp.asarray(t_lens)
-            p_remap = np.zeros(int(p_ids.max()) + 1, np.int32)
-            p_remap[p_ids] = np.arange(len(p_ids), dtype=np.int32)
             o_remap = np.zeros(int(o_ids.max()) + 1, np.int32)
             o_remap[o_ids] = np.arange(len(o_ids), dtype=np.int32)
-            cap = max(8, CELL_BUDGET // (Lq * Lt))
-            for s in range(0, len(sel), cap):
-                chunk = sel[s:s + cap]
-                fixed = cap if len(sel) > cap else None
-                li = p_remap[pi[chunk]]
-                lj = o_remap[oi[chunk]]
-                mult = 128 if use_pallas else 8
-                Bp = ((max(len(li), fixed or 0) + mult - 1) // mult) * mult
-                li_p = np.full(Bp, -1, np.int32)
-                lj_p = np.zeros(Bp, np.int32)
-                li_p[:len(li)] = li
-                lj_p[:len(lj)] = lj
-                outs = _gathered_align_prof_jit(
-                    prof_dev, plens_dev, t_dev, tlens_dev,
-                    jnp.asarray(li_p), jnp.asarray(lj_p), Lq, Lt, use_pallas)
-                parts.append((pi[chunk], oi[chunk], p_lens[li], t_lens[lj],
-                              outs))
+            # profile SLICES sized to the staging budget (the reference
+            # sizes profile slices to --disk-space-limit,
+            # searchslicedtargetprofile.sh:46-120; at 88k-profile scale
+            # one monolithic PSSM matrix would not fit host/device RAM)
+            per_slice = max(8, slice_rows // (Lq * 21 * 4))
+            pos_of = np.searchsorted(p_ids_all, pi[bsel])
+            for s0 in range(0, len(p_ids_all), per_slice):
+                p_ids = p_ids_all[s0:s0 + per_slice]
+                sel = bsel[(pos_of >= s0) & (pos_of < s0 + per_slice)]
+                np_pad = per_slice if len(p_ids_all) > per_slice \
+                    else _bucket(max(len(p_ids), 1), lo=8)
+                prof_mat = np.zeros((np_pad, Lq, 21), np.int32)
+                p_lens = np.zeros(np_pad, np.int32)
+                for k, pid in enumerate(p_ids):
+                    pssm = self.profiles.pssms[pid]
+                    prof_mat[k, :len(pssm)] = pssm
+                    p_lens[k] = len(pssm)
+                prof_dev = jnp.asarray(prof_mat)
+                plens_dev = jnp.asarray(p_lens)
+                p_remap = np.zeros(int(p_ids.max()) + 1, np.int32)
+                p_remap[p_ids] = np.arange(len(p_ids), dtype=np.int32)
+                cap = max(8, CELL_BUDGET // (Lq * Lt))
+                for s in range(0, len(sel), cap):
+                    chunk = sel[s:s + cap]
+                    fixed = cap if len(sel) > cap else None
+                    li = p_remap[pi[chunk]]
+                    lj = o_remap[oi[chunk]]
+                    mult = 128 if use_pallas else 8
+                    Bp = ((max(len(li), fixed or 0) + mult - 1) // mult) \
+                        * mult
+                    li_p = np.full(Bp, -1, np.int32)
+                    lj_p = np.zeros(Bp, np.int32)
+                    li_p[:len(li)] = li
+                    lj_p[:len(lj)] = lj
+                    outs = _gathered_align_prof_jit(
+                        prof_dev, plens_dev, t_dev, tlens_dev,
+                        jnp.asarray(li_p), jnp.asarray(lj_p), Lq, Lt,
+                        use_pallas)
+                    parts.append((pi[chunk], oi[chunk], p_lens[li],
+                                  t_lens[lj], outs))
+                if len(p_ids_all) > per_slice and parts:
+                    # memory-bounded regime: keep at most one slice's
+                    # staged PSSM matrix alive on the device at a time
+                    parts[-1][4][0].block_until_ready()
         if not parts:
             return np.zeros(0, dtype=HIT_DTYPE)
         cat = [np.asarray(jnp.concatenate([p[4][k] for p in parts]))

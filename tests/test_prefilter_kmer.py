@@ -146,3 +146,23 @@ def test_split_prefilter_self_parity(seqs):
     for qi, (ids, sc, dg) in enumerate(res):
         assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
             f"split2self q{qi}"
+
+
+def test_prefilter_run_statistics_emitted(capfd):
+    """The reference's per-run prefilter statistics
+    (Prefiltering::printStatistics) are collected natively and emitted
+    at -v 3: k-mers/position, DB matches/sequence, overflows, median
+    result-list size."""
+    import numpy as np
+    from metaeuk_tpu.search.prefilter_kmer import prefilter_db
+
+    rng = np.random.default_rng(4)
+    targets = [rng.integers(0, 20, 60).astype(np.uint8) for _ in range(40)]
+    queries = [t.copy() for t in targets[:5]]
+    res = prefilter_db(queries, targets)
+    assert len(res) == 5
+    err = capfd.readouterr().err
+    assert "k-mers per position" in err
+    assert "DB matches per sequence" in err
+    assert "overflows" in err
+    assert "passed prefiltering per query" in err

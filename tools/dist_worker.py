@@ -22,8 +22,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     pid, nprocs, coord, contigs, targets, out_prefix = sys.argv[1:7]
+    import os
+
     import jax
-    if jax.default_backend() == "cpu":
+    # don't touch jax.devices()/default_backend() before initialize()
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=int(nprocs),
