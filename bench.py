@@ -150,18 +150,25 @@ def run_ours(cpath, ppath, tmp):
 
 
 def run_reference(cpath, ppath, tmp):
+    """(steady, cold) reference walls: the binary runs twice (fresh tmp
+    dirs) so the headline ratio compares steady-state against
+    steady-state, symmetric with run_ours."""
     ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".refbuild", "src", "metaeuk")
     if not os.path.exists(ref):
-        return None
-    t0 = time.perf_counter()
-    r = subprocess.run(
-        [ref, "easy-predict", cpath, ppath, os.path.join(tmp, "ref"),
-         os.path.join(tmp, "reftmp"), "-v", "0"],
-        capture_output=True)
-    if r.returncode != 0:
-        return None
-    return time.perf_counter() - t0
+        return None, None
+    walls = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [ref, "easy-predict", cpath, ppath,
+             os.path.join(tmp, f"ref{i}"),
+             os.path.join(tmp, f"reftmp{i}"), "-v", "0"],
+            capture_output=True)
+        if r.returncode != 0:
+            return None, None
+        walls.append(time.perf_counter() - t0)
+    return walls[1], walls[0]
 
 
 def selftest_qm():
@@ -284,7 +291,7 @@ def main():
     wall, cold_wall, stages = run_ours(cpath, ppath, tmp)
     contigs_per_s = n_contigs / wall
 
-    ref_wall = None if "--no-ref" in sys.argv \
+    ref_wall, ref_cold_wall = (None, None) if "--no-ref" in sys.argv \
         else run_reference(cpath, ppath, tmp)
     if ref_wall is not None:
         ref_rate = n_contigs / ref_wall
@@ -311,6 +318,8 @@ def main():
             "ours_wall_s": round(wall, 2),
             "ours_cold_wall_s": round(cold_wall, 2),
             "ref_wall_s": round(ref_wall, 2) if ref_wall else None,
+            "ref_cold_wall_s": round(ref_cold_wall, 2)
+            if ref_cold_wall else None,
             "stage_seconds": stages,
             "sw_kernel_cells_per_s": krate,
             "sw_kernel_qm_cells_per_s": krate_qm,

@@ -172,21 +172,38 @@ class KmerPrefilter:
         bias computed in C++), eliminating the per-query Python/ctypes
         round trip. Returns [(ids, scores, diags)] per query in the same
         order/content as per-query match()."""
+        counts, ids, scs, dgs = self.match_batch_flat(query_encs,
+                                                      identity_ids)
+        offs = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return [(ids[offs[i]:offs[i + 1]], scs[offs[i]:offs[i + 1]],
+                 dgs[offs[i]:offs[i + 1]]) for i in range(len(counts))]
+
+    def match_batch_flat(self, query_encs, identity_ids=None):
+        """Batched match with dense outputs: (counts, ids, scores, diags)
+        where ids/scores/diags concatenate the per-query hit lists in
+        query order. One native call; compact per-thread result buffers
+        (pf_match_batch_compact) instead of (nq, cap) row-major blocks —
+        the sparse first-touch page faults of those blocks dominated
+        batch runtime and their footprint forbids million-query runs."""
         lib = self._lib
         if not getattr(lib, "_batch_bound", False):
-            import ctypes
             u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-            i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-            u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
             f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-            lib.pf_match_batch2.restype = ctypes.c_int64
-            lib.pf_match_batch2.argtypes = [
+            lib.pf_match_batch_compact.restype = ctypes.c_int64
+            lib.pf_match_batch_compact.argtypes = [
                 ctypes.c_void_p, u8p, i64p, ctypes.c_int64,
                 ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, u32p, i32p, i16p, i64p,
-                i64p]
+                ctypes.c_void_p, i64p, i64p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int16))]
+            lib.pf_free_results.restype = None
+            lib.pf_free_results.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int16)]
             lib._batch_bound = True
         nq = len(query_encs)
         offs = np.zeros(nq + 1, np.int64)
@@ -196,18 +213,16 @@ class KmerPrefilter:
                                  for q in query_encs])
                  if nq else np.zeros(0, np.uint8))
         qdata = np.ascontiguousarray(qdata, np.uint8)
-        cap = max(self.max_hits + 1, 1)
-        out_id = np.empty((nq, cap), np.uint32)
-        out_sc = np.empty((nq, cap), np.int32)
-        out_dg = np.empty((nq, cap), np.int16)
         counts = np.empty(nq, np.int64)
-        import ctypes
         scores_arr = (np.ascontiguousarray(VTML80_SCORES_8BIT, np.int32)
                       if self.comp_bias_correction else None)
         ids_arr = (np.ascontiguousarray(identity_ids, np.uint32)
                    if identity_ids is not None else None)
         run_stats = np.zeros(5, np.int64)
-        lib.pf_match_batch2(
+        p_ids = ctypes.POINTER(ctypes.c_uint32)()
+        p_scs = ctypes.POINTER(ctypes.c_int32)()
+        p_dgs = ctypes.POINTER(ctypes.c_int16)()
+        total = lib.pf_match_batch_compact(
             self._h, qdata, offs, nq,
             scores_arr.ctypes.data_as(ctypes.c_void_p)
             if scores_arr is not None else None,
@@ -215,22 +230,28 @@ class KmerPrefilter:
             self.max_hits, self.min_diag_score,
             ids_arr.ctypes.data_as(ctypes.c_void_p)
             if ids_arr is not None else None,
-            cap, out_id.reshape(-1), out_sc.reshape(-1),
-            out_dg.reshape(-1), counts, run_stats)
+            counts, run_stats,
+            ctypes.byref(p_ids), ctypes.byref(p_scs), ctypes.byref(p_dgs))
+        if np.any(counts < 0):
+            lib.pf_free_results(p_ids, p_scs, p_dgs)
+            raise RuntimeError("prefilter match overflow (db too large "
+                               "for the non-overflow path)")
+        total = int(total)
+        ids = np.ctypeslib.as_array(p_ids, (total,)).copy() if total \
+            else np.zeros(0, np.uint32)
+        scs = np.ctypeslib.as_array(p_scs, (total,)).copy() if total \
+            else np.zeros(0, np.int32)
+        dgs = np.ctypeslib.as_array(p_dgs, (total,)).copy() if total \
+            else np.zeros(0, np.int16)
+        lib.pf_free_results(p_ids, p_scs, p_dgs)
         # the reference's per-run prefilter statistics
         # (Prefiltering::printStatistics, Prefiltering.cpp:953-975):
-        # [kmer list len, query positions, db matches, overflows, hits]
-        self.stats = getattr(self, "stats", np.zeros(5, np.int64))
-        self.stats = self.stats + run_stats
-        out = []
-        for i in range(nq):
-            n = int(counts[i])
-            if n < 0:
-                raise RuntimeError("prefilter match overflow (db too large "
-                                   "for the non-overflow path)")
-            out.append((out_id[i, :n].copy(), out_sc[i, :n].copy(),
-                        out_dg[i, :n].copy()))
-        return out
+        # [kmer list len, query positions, db matches, overflows, hits].
+        # Snapshot of THIS call only — log_prefilter_stats normalizes by
+        # the latest call's query counts, so accumulating across calls
+        # would inflate per-sequence statistics.
+        self.stats = run_stats
+        return counts, ids, scs, dgs
 
     def match_profile(self, raw_scores, query_seq, kmer_thr=None,
                       identity_id=None):
@@ -377,6 +398,8 @@ class SplitKmerPrefilter:
         parts = [[] for _ in range(nq)]
         kw = dict(self.kw)
         kw["max_res_list_len"] = self.split_mrl
+        # per-call statistics (accumulated over this call's splits only)
+        self.stats = np.zeros(5, np.int64)
         for si, (start, count) in enumerate(self.ranges):
             if count == 0:
                 continue

@@ -21,7 +21,8 @@ CELL_BUDGET = 1 << 24
 # staged-profile bytes per slice (searchslicedtargetprofile.sh:46-120
 # sizes profile slices to a disk budget; here the budget bounds host+HBM
 # staging of the PSSM matrices). Overridable per run via
-# Params.split_memory_limit or METAEUK_SLICE_BUDGET.
+# Params.disk_space_limit (the reference's --disk-space-limit role) or
+# METAEUK_SLICE_BUDGET.
 SLICE_BUDGET = 1 << 28
 
 

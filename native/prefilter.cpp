@@ -18,10 +18,16 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <memory>
 #include <unistd.h>
+#include <x86intrin.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -37,6 +43,28 @@ constexpr size_t MAX_KMER_RESULT_SIZE = 262144UL * 32UL;
 struct IndexEntry {
     uint32_t seqId;
     uint16_t pos_j;
+};
+
+// phase cycle counters (METAEUK_PF_PROF=1), accumulated across threads
+enum { PH_GEN = 0, PH_GATHER, PH_DUP, PH_RESCORE, PH_FINISH, PH_KEEPMAX, PH_CSORT, PH_EMIT, PH_N };
+struct ProfAcc {
+    uint64_t c[PH_N] = {0};
+};
+bool prof_enabled() {
+    static int on = -1;
+    if (on < 0) {
+        const char *e = getenv("METAEUK_PF_PROF");
+        on = (e && e[0] == '1') ? 1 : 0;
+    }
+    return on == 1;
+}
+struct PhaseTimer {
+    ProfAcc *acc;
+    int ph;
+    uint64_t t0;
+    PhaseTimer(ProfAcc *a, int p) : acc(a), ph(p),
+        t0(a ? __rdtsc() : 0) {}
+    ~PhaseTimer() { if (acc) acc->c[ph] += __rdtsc() - t0; }
 };
 
 struct Counter {
@@ -66,6 +94,8 @@ struct Scratch {
     std::vector<int8_t> byteArr;      // duplicate detection (zero-restored)
     std::vector<Counter> found;
     std::vector<uint32_t> klist;
+    std::vector<uint32_t> klist2;     // bitmap-surviving (non-empty) k-mers
+    std::vector<int32_t> rowids;      // per-position ExtMat3 row ids
     std::vector<IndexEntry> hits;
     std::vector<uint16_t> hitDiag;
     std::vector<Counter> sorted;
@@ -74,6 +104,7 @@ struct Scratch {
     std::vector<uint32_t> gindex[2];
     std::vector<int16_t> psort_s;
     std::vector<uint8_t> psort_i;
+    ProfAcc prof;
     void ensure_dup(size_t dup_bytes) {
         if (byteArr.size() != dup_bytes) byteArr.assign(dup_bytes, 0);
     }
@@ -85,6 +116,14 @@ struct PF {
     int64_t kmer_thr;
     std::shared_ptr<ExtMat3> m3;
     std::vector<uint32_t> offsets;        // KSPACE + 1
+    // presence bitmap over k-mer space (1 bit per k-mer, 8 MB at k=6):
+    // most generated similar k-mers have empty posting lists, and this
+    // L3-resident filter avoids the latency-bound random load into the
+    // 256 MB offsets table for them (an empty list can never trigger the
+    // overflow flush — hits.size() < maxDbMatches is invariant after
+    // every append — so skipping empties is exactly
+    // semantics-preserving vs QueryMatcher.cpp:281-322)
+    std::vector<uint64_t> kbit;
     std::vector<IndexEntry> entries;
     std::vector<uint8_t> tdata;           // masked target residues
     std::vector<int64_t> toff;
@@ -147,6 +186,15 @@ void build_ext3(PF *pf) {
             sr[pos] = row[z].first;
             ir[pos] = row[z].second;
             pos++;
+        }
+    }
+}
+
+void build_kbit(PF *pf) {
+    pf->kbit.assign(KSPACE / 64 + 1, 0);
+    for (size_t k = 0; k < KSPACE; k++) {
+        if (pf->offsets[k + 1] != pf->offsets[k]) {
+            pf->kbit[k >> 6] |= 1ULL << (k & 63);
         }
     }
 }
@@ -274,6 +322,7 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
     }
     for (size_t i = KSPACE; i > 0; i--) pf->offsets[i] = pf->offsets[i - 1];
     pf->offsets[0] = 0;
+    build_kbit(pf);
     pf->bincount = pick_bincount((size_t)n);
     pf->binbits = 0;
     while ((1u << pf->binbits) < pf->bincount) pf->binbits++;
@@ -297,6 +346,11 @@ namespace {
 // KmerGenerator::generateKmerList for the (3,3) split, addIdentity=false
 // (KmerGenerator.cpp:106-185). Emits kmer indices in (a desc, b desc)
 // score order. Returns count.
+//
+// The b-row prefix length (sb sorted desc, emit while sb[j] >= cutoff2)
+// is found 16 lanes at a time and the emission out[c++] = xa[i] +
+// xb[j]*SUB3 is a vector broadcast-add-store; identical output to the
+// scalar loop.
 size_t gen_kmer_list(const PF *pf, const uint8_t *w, int threshold,
                      uint32_t *out) {
     const int ia = kidx3(w), ib = kidx3(w + 3);
@@ -309,10 +363,47 @@ size_t gen_kmer_list(const PF *pf, const uint8_t *w, int threshold,
     size_t counter = 0;
     for (size_t i = 0; i < SUB3 && sa[i] >= cutoff1; i++) {
         const int cutoff2 = threshold - sa[i];
-        for (size_t j = 0;
-             j < SUB3 && (counter + 1 < MAX_KMER_RESULT_SIZE) && sb[j] >= cutoff2;
-             j++) {
-            out[counter++] = xa[i] + xb[j] * SUB3;
+        // jend = first j with sb[j] < cutoff2 (the row is sorted desc)
+        size_t jend = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        {
+            const __m256i vcut = _mm256_set1_epi16((short)cutoff2);
+            while (jend + 16 <= SUB3) {
+                const __m256i v = _mm256_loadu_si256(
+                    (const __m256i *)(sb + jend));
+                // mask bit set where sb[j] >= cutoff2
+                const __mmask16 m = _mm256_cmp_epi16_mask(
+                    v, vcut, _MM_CMPINT_NLT);
+                if (m != 0xFFFF) {
+                    jend += __builtin_ctz(~(unsigned)m);
+                    goto found;
+                }
+                jend += 16;
+            }
+        }
+#endif
+        while (jend < SUB3 && sb[jend] >= cutoff2) jend++;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        found:
+#endif
+        {
+            const size_t navail = MAX_KMER_RESULT_SIZE - 1 - counter;
+            const size_t n = jend < navail ? jend : navail;
+            uint32_t *dst = out + counter;
+            size_t j = 0;
+#if defined(__AVX512F__)
+            const __m512i va = _mm512_set1_epi32((int)xa[i]);
+            const __m512i vmul = _mm512_set1_epi32((int)SUB3);
+            for (; j + 16 <= n; j += 16) {
+                const __m512i vb = _mm512_loadu_si512(
+                    (const void *)(xb + j));
+                _mm512_storeu_si512(
+                    (void *)(dst + j),
+                    _mm512_add_epi32(va, _mm512_mullo_epi32(vb, vmul)));
+            }
+#endif
+            for (; j < n; j++) dst[j] = xa[i] + xb[j] * SUB3;
+            counter += n;
         }
         if (counter + 1 >= MAX_KMER_RESULT_SIZE) return counter;
     }
@@ -465,15 +556,21 @@ int64_t finish_match_count(PF *pf, Scratch &sc, size_t resultSize,
     }
     thr = std::max((unsigned int)min_diag_thr, thr);
 
-    // stable bucket sort desc by count, keeping >= thr
+    // stable counting sort desc by count, keeping >= thr
     std::vector<Counter> &sorted = sc.sorted;
-    sorted.clear();
-    sorted.reserve(resultSize);
-    for (int s = 255; s >= (int)thr; s--) {
-        for (size_t i = 0; i < resultSize; i++) {
-            if (found[i].count == (uint8_t)s) sorted.push_back(found[i]);
+    {
+        size_t start[257];
+        size_t acc2 = 0;
+        for (int s = 255; s >= (int)thr; s--) {
+            start[s] = acc2;
+            acc2 += hist[s];
+            if (s == 0) break;
         }
-        if (s == 0) break;
+        sorted.resize(acc2);
+        for (size_t i = 0; i < resultSize; i++) {
+            const uint8_t c = found[i].count;
+            if (c >= thr) sorted[start[c]++] = found[i];
+        }
     }
 
     // getResult<KMER_SCORE>
@@ -725,12 +822,20 @@ int64_t finish_match(PF *pf, Scratch &sc, size_t resultSize,
                      uint32_t identity_id, uint32_t *out_id,
                      int32_t *out_score, int16_t *out_diag) {
     std::vector<Counter> &found = sc.found;
+    ProfAcc *pa = prof_enabled() ? &sc.prof : nullptr;
 
     // diagonal ungapped scoring for count==0 entries (ungappedAlignment->
     // align); entries carried through an overflow merge are already
     // scored and skipped (UngappedAlignment.cpp:37-39)
-    align_unscored(pf, qprof, (int)qlen, found.data(), resultSize);
-    resultSize = keep_max_only(pf, sc, found, resultSize);
+    {
+        PhaseTimer t(pa, PH_RESCORE);
+        align_unscored(pf, qprof, (int)qlen, found.data(), resultSize);
+    }
+    PhaseTimer tf(pa, PH_FINISH);
+    {
+        PhaseTimer tk(pa, PH_KEEPMAX);
+        resultSize = keep_max_only(pf, sc, found, resultSize);
+    }
 
     // threshold from score histogram (computeScoreThreshold)
     uint64_t hist[256] = {0};
@@ -743,14 +848,23 @@ int64_t finish_match(PF *pf, Scratch &sc, size_t resultSize,
     }
     thr = std::max((unsigned int)min_diag_thr, thr);
 
-    // stable bucket sort desc by score, keeping >= thr (radixSortByScoreSize)
+    // stable counting sort desc by score, keeping >= thr (the
+    // radixSortByScoreSize role): one placement pass instead of one
+    // scan per score level
     std::vector<Counter> &sorted = sc.sorted;
-    sorted.clear();
-    sorted.reserve(resultSize);
     const bool truncated = thr >= 255;
-    for (int s = 255; s >= (int)thr; s--) {
+    {
+        PhaseTimer tc(pa, PH_CSORT);
+        size_t start[257];
+        size_t acc2 = 0;
+        for (int s = 255; s >= (int)thr; s--) {
+            start[s] = acc2;
+            acc2 += hist[s];
+        }
+        sorted.resize(acc2);
         for (size_t i = 0; i < resultSize; i++) {
-            if (found[i].count == (uint8_t)s) sorted.push_back(found[i]);
+            const uint8_t c = found[i].count;
+            if (c >= thr) sorted[start[c]++] = found[i];
         }
     }
 
@@ -785,6 +899,7 @@ int64_t finish_match(PF *pf, Scratch &sc, size_t resultSize,
     }
 
     // getResult<UNGAPPED_DIAGONAL_SCORE> (QueryMatcher.cpp:363-420)
+    PhaseTimer te(pa, PH_EMIT);
     std::vector<Hit> res;
     if (identity_id != UINT32_MAX) {
         res.push_back({identity_id, UINT16_MAX, 0});
@@ -929,10 +1044,40 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
     hits.clear();
     hitDiag.clear();
     std::vector<uint32_t> &klist = sc.klist;
+    ProfAcc *pa = prof_enabled() ? &sc.prof : nullptr;
     size_t ovf = 0;
     uint8_t w[KK];
-    for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
-        if (!extract_kmer(q, i, w)) continue;
+    // precompute each position's 3-mer row ids so the ExtMat3 row heads
+    // (4 random streams into the 384 MB table pair) can be prefetched a
+    // couple of positions ahead — the row head misses dominate the
+    // k-mer list generation cost
+    const int64_t npos = (qlen >= PAT_SPAN) ? qlen - PAT_SPAN + 1 : 0;
+    if ((int64_t)sc.rowids.size() < 2 * npos + 4)
+        sc.rowids.resize(2 * npos + 4);
+    int32_t *rowids = sc.rowids.data();
+    for (int64_t i = 0; i < npos; i++) {
+        if (extract_kmer(q, i, w)) {
+            rowids[2 * i] = kidx3(w);
+            rowids[2 * i + 1] = kidx3(w + 3);
+        } else {
+            rowids[2 * i] = -1;
+        }
+    }
+    const int16_t *m3s = pf->m3->score.data();
+    const uint32_t *m3x = pf->m3->index.data();
+    for (int64_t i = 0; i < npos; i++) {
+        for (int64_t d = 2; d <= 2; d++) {
+            if (i + d < npos && rowids[2 * (i + d)] >= 0) {
+                const size_t ra = (size_t)rowids[2 * (i + d)] * SUB3;
+                const size_t rb = (size_t)rowids[2 * (i + d) + 1] * SUB3;
+                __builtin_prefetch(m3s + ra);
+                __builtin_prefetch(m3s + rb);
+                __builtin_prefetch(m3x + ra);
+                __builtin_prefetch(m3x + rb);
+            }
+        }
+        if (rowids[2 * i] < 0) continue;
+        extract_kmer(q, i, w);
         float biasCorrection = 0;
         for (int k = 0; k < KK; k++) biasCorrection += comp_bias[i + PAT_POS[k]];
         const short bias = (short)((biasCorrection < 0.0f)
@@ -940,11 +1085,35 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
                                        : biasCorrection + 0.5f);
         const short thr = std::max((short)(pf->kmer_thr - bias), (short)0);
         if (klist.size() < MAX_KMER_RESULT_SIZE) klist.resize(MAX_KMER_RESULT_SIZE);
-        const size_t nk = gen_kmer_list(pf, w, thr, klist.data());
+        size_t nk;
+        {
+            PhaseTimer t(pa, PH_GEN);
+            nk = gen_kmer_list(pf, w, thr, klist.data());
+        }
         if (st) st->kmer_list_len += nk;
+        PhaseTimer tg(pa, PH_GATHER);
+        // pass A: presence-bitmap filter (8 MB, L3-resident) drops the
+        // ~90+% of similar k-mers with empty posting lists before they
+        // cost a random load into the 256 MB offsets table
+        if (sc.klist2.size() < MAX_KMER_RESULT_SIZE)
+            sc.klist2.resize(MAX_KMER_RESULT_SIZE);
+        const uint64_t *kb = pf->kbit.data();
+        uint32_t *kl2 = sc.klist2.data();
+        size_t n2 = 0;
         for (size_t kp = 0; kp < nk; kp++) {
-            const uint64_t a = pf->offsets[klist[kp]];
-            const uint64_t b = pf->offsets[klist[kp] + 1];
+            if (kp + 48 < nk) __builtin_prefetch(&kb[klist[kp + 48] >> 6]);
+            const uint32_t k = klist[kp];
+            kl2[n2] = k;
+            n2 += (size_t)((kb[k >> 6] >> (k & 63)) & 1u);
+        }
+        // pass B: gather postings for non-empty k-mers, offsets and
+        // entries prefetched ahead (the loop is memory-latency-bound)
+        for (size_t kp = 0; kp < n2; kp++) {
+            if (kp + 8 < n2) __builtin_prefetch(&pf->offsets[kl2[kp + 8]]);
+            if (kp + 4 < n2)
+                __builtin_prefetch(&pf->entries[pf->offsets[kl2[kp + 4]]]);
+            const uint64_t a = pf->offsets[kl2[kp]];
+            const uint64_t b = pf->offsets[kl2[kp] + 1];
             if (hits.size() + (b - a) >= maxDbMatches) {
                 if (st) st->overflowed = true;
                 ovf = flush_chunk(pf, sc, ovf, diag_scoring, qprof, (int)qlen);
@@ -961,7 +1130,10 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
         }
     }
     outer:
-    return final_dedup(pf, sc, ovf, diag_scoring, st);
+    {
+        PhaseTimer t(pa, PH_DUP);
+        return final_dedup(pf, sc, ovf, diag_scoring, st);
+    }
 }
 
 }  // namespace
@@ -1037,6 +1209,7 @@ int64_t pf_match_batch2(void *h, const uint8_t *qdata, const int64_t *qoffs,
                         int64_t *out_stats) {
     PF *pf = static_cast<PF *>(h);
     int64_t s_klen = 0, s_qlen = 0, s_db = 0, s_ovf = 0, s_hits = 0;
+    uint64_t prof_c[PH_N] = {0};
 #ifdef _OPENMP
 #pragma omp parallel reduction(+:s_klen, s_qlen, s_db, s_ovf, s_hits)
 #endif
@@ -1066,6 +1239,20 @@ int64_t pf_match_batch2(void *h, const uint8_t *qdata, const int64_t *qoffs,
             s_ovf += st.overflowed ? 1 : 0;
             s_hits += out_counts[qi] > 0 ? out_counts[qi] : 0;
         }
+        if (prof_enabled()) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+            for (int p = 0; p < PH_N; p++) prof_c[p] += sc.prof.c[p];
+        }
+    }
+    if (prof_enabled()) {
+        static const char *names[PH_N] = {"gen", "gather", "dup", "rescore",
+                                          "finish", "keepmax", "csort", "emit"};
+        fprintf(stderr, "[pf prof cycles]");
+        for (int p = 0; p < PH_N; p++)
+            fprintf(stderr, " %s=%.2fG", names[p], prof_c[p] / 1e9);
+        fprintf(stderr, "\n");
     }
     if (out_stats != nullptr) {
         out_stats[0] = s_klen;
@@ -1075,6 +1262,134 @@ int64_t pf_match_batch2(void *h, const uint8_t *qdata, const int64_t *qoffs,
         out_stats[4] = s_hits;
     }
     return 0;
+}
+
+// Compact-output batched match: per-thread result buffers assembled
+// into dense arrays after the parallel region, replacing the (nq, cap)
+// row-major outputs whose sparse first-touch page faults dominated the
+// batch runtime (median hit count is ~1 while cap is max_hits+1) and
+// whose footprint is prohibitive at millions of queries. The caller
+// provides out_counts (nq) and receives malloc'd dense arrays
+// (*out_ids/*out_scores/*out_diags, total = sum counts, query-major
+// order) to copy and release via pf_free_results.
+int64_t pf_match_batch_compact(
+        void *h, const uint8_t *qdata, const int64_t *qoffs, int64_t nq,
+        const int32_t *scores, const double *pback, int64_t max_hits,
+        int64_t min_diag_thr, const uint32_t *identity_ids,
+        int64_t *out_counts, int64_t *out_stats, uint32_t **out_ids,
+        int32_t **out_scores, int16_t **out_diags) {
+    PF *pf = static_cast<PF *>(h);
+    int64_t s_klen = 0, s_qlen = 0, s_db = 0, s_ovf = 0, s_hits = 0;
+    uint64_t prof_c[PH_N] = {0};
+    const int64_t cap = std::min(max_hits, pf->nseq) + 1;
+    struct ThreadRes {
+        std::vector<Hit> hits;                      // per-thread, appended
+        std::vector<std::pair<int64_t, int64_t>> q; // (qi, start in hits)
+    };
+    std::vector<ThreadRes> tres;
+#ifdef _OPENMP
+#pragma omp parallel reduction(+:s_klen, s_qlen, s_db, s_ovf, s_hits)
+#endif
+    {
+#ifdef _OPENMP
+        const int tid = omp_get_thread_num();
+#pragma omp single
+        tres.resize(omp_get_num_threads());
+#else
+        const int tid = 0;
+        tres.resize(1);
+#endif
+        ThreadRes &tr = tres[tid];
+        Scratch sc;
+        sc.ensure_dup(pf->dup_bytes);
+        std::vector<float> bias;
+        std::vector<uint32_t> lid(cap);
+        std::vector<int32_t> lsc(cap);
+        std::vector<int16_t> ldg(cap);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+        for (int64_t qi = 0; qi < nq; qi++) {
+            const uint8_t *q = qdata + qoffs[qi];
+            const int64_t qlen = qoffs[qi + 1] - qoffs[qi];
+            bias.assign((size_t)qlen, 0.0f);
+            if (scores != nullptr) {
+                comp_bias(q, qlen, scores, A21, pback, 1.0, bias.data());
+            }
+            QStats st;
+            const int64_t n = pf_match_sc(
+                pf, sc, q, qlen, bias.data(), max_hits, min_diag_thr,
+                identity_ids ? identity_ids[qi] : 0xFFFFFFFFu,
+                lid.data(), lsc.data(), ldg.data(), &st);
+            out_counts[qi] = n;
+            tr.q.push_back({qi, (int64_t)tr.hits.size()});
+            for (int64_t i = 0; i < n; i++) {
+                tr.hits.push_back({lid[i], lsc[i], (uint16_t)ldg[i]});
+            }
+            s_klen += (int64_t)st.kmer_list_len;
+            s_qlen += qlen;
+            s_db += (int64_t)st.db_matches;
+            s_ovf += st.overflowed ? 1 : 0;
+            s_hits += n > 0 ? n : 0;
+        }
+        if (prof_enabled()) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+            for (int p = 0; p < PH_N; p++) prof_c[p] += sc.prof.c[p];
+        }
+    }
+    if (prof_enabled()) {
+        static const char *names[PH_N] = {"gen", "gather", "dup", "rescore",
+                                          "finish", "keepmax", "csort",
+                                          "emit"};
+        fprintf(stderr, "[pf prof cycles]");
+        for (int p = 0; p < PH_N; p++)
+            fprintf(stderr, " %s=%.2fG", names[p], prof_c[p] / 1e9);
+        fprintf(stderr, "\n");
+    }
+    if (out_stats != nullptr) {
+        out_stats[0] = s_klen;
+        out_stats[1] = s_qlen;
+        out_stats[2] = s_db;
+        out_stats[3] = s_ovf;
+        out_stats[4] = s_hits;
+    }
+    // dense query-major assembly
+    int64_t total = 0;
+    std::vector<int64_t> qoff(nq + 1, 0);
+    for (int64_t qi = 0; qi < nq; qi++) {
+        qoff[qi + 1] = qoff[qi] + std::max<int64_t>(out_counts[qi], 0);
+    }
+    total = qoff[nq];
+    uint32_t *ids = (uint32_t *)malloc(sizeof(uint32_t) * total);
+    int32_t *scs = (int32_t *)malloc(sizeof(int32_t) * total);
+    int16_t *dgs = (int16_t *)malloc(sizeof(int16_t) * total);
+    for (auto &tr : tres) {
+        for (auto &qe : tr.q) {
+            const int64_t qi = qe.first;
+            const int64_t n = std::max<int64_t>(out_counts[qi], 0);
+            const Hit *src = tr.hits.data() + qe.second;
+            uint32_t *di = ids + qoff[qi];
+            int32_t *dsc = scs + qoff[qi];
+            int16_t *ddg = dgs + qoff[qi];
+            for (int64_t i = 0; i < n; i++) {
+                di[i] = src[i].seqId;
+                dsc[i] = src[i].prefScore;
+                ddg[i] = (int16_t)src[i].diagonal;
+            }
+        }
+    }
+    *out_ids = ids;
+    *out_scores = scs;
+    *out_diags = dgs;
+    return total;
+}
+
+void pf_free_results(uint32_t *ids, int32_t *scores, int16_t *diags) {
+    free(ids);
+    free(scores);
+    free(diags);
 }
 
 int64_t pf_match_batch(void *h, const uint8_t *qdata, const int64_t *qoffs,
@@ -1278,6 +1593,7 @@ int64_t pf_load_index(void *h, const char *path) {
             pf->offsets[k] = next;
         }
     }
+    build_kbit(pf);
     pf->bincount = pick_bincount((size_t)pf->nseq);
     pf->binbits = 0;
     while ((1u << pf->binbits) < pf->bincount) pf->binbits++;
