@@ -64,6 +64,193 @@ def load_target_input(path):
     return SeqDB.from_fasta(path, DBTYPE_AA)
 
 
+def _chain_dp_py(cs, ce, ts, te, bit, aa, target_len, p):
+    """Pure-Python chain DP over columns (native chain_dp fallback);
+    same contract as native.chain_dp (collectoptimalset.cpp:108-222)."""
+    import math
+    n = len(cs)
+    prev_id = np.arange(n, dtype=np.int64)
+    path_score = bit.astype(np.int64).copy()
+    num_exons = np.ones(n, np.int64)
+    path_aa = aa.astype(np.int64).copy()
+    best_score = 0
+    best_last = 0
+    for curr in range(n):
+        for prev in range(curr):
+            if ce[curr] < ce[prev]:
+                continue
+            diff_c = cs[curr] - ce[prev] - 1
+            if diff_c < p.min_intron_length or diff_c > p.max_intron_length:
+                continue
+            diff_aas = ts[curr] - te[prev] - 1
+            aa_overlap = -diff_aas if diff_aas < 0 else 0
+            if aa_overlap > p.max_aa_overlap:
+                continue
+            if ts[curr] < ts[prev]:
+                continue
+            if diff_aas < 0:
+                cost = p.set_gap_open_penalty \
+                    + p.set_gap_extend_penalty * (-diff_aas - 1)
+            elif diff_aas <= 1:
+                cost = 0
+            else:
+                cost = p.set_gap_open_penalty \
+                    + p.set_gap_extend_penalty * (diff_aas - 1)
+            k = num_exons[prev] + 1
+            cand = path_score[prev] + cost + int(bit[curr]) \
+                + int(math.log2(k))
+            if cand > path_score[curr]:
+                prev_id[curr] = prev
+                path_score[curr] = cand
+                num_exons[curr] = k
+                path_aa[curr] = path_aa[prev] + aa[curr] - aa_overlap
+        if float(path_aa[curr]) / float(target_len) >= p.metaeuk_tcov_thr \
+                and path_score[curr] > best_score:
+            best_last = curr
+            best_score = int(path_score[curr])
+    return prev_id, path_score, best_last, best_score
+
+
+def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
+    """Array-level candidate-exon assembly + chaining DP.
+
+    Replaces the per-hit Python object loop (the reference OMPs the same
+    loop, collectoptimalset.cpp:273): contig coordinates, strand, and
+    lengths are computed as numpy columns over the sorted hit table,
+    (contig, target) group boundaries come from one diff pass, each
+    (group, strand) candidate set feeds native chain_dp directly from
+    column slices, and PotentialExon objects are materialized only for
+    exons that survive into an optimal set (the %.3E / seqId text round
+    trips are per-surviving-exon, not per-hit).
+
+    hits must be lexsorted by (contig, target, orf); returns
+    {contig_idx: [Prediction]} in the reference emission order."""
+    import math
+    from ..ops.chain import PotentialExon, Prediction, MINUS
+    from .. import native
+
+    n_orfs = len(orf_locs)
+    orf_from = np.fromiter((l.from_pos for l in orf_locs), np.int64, n_orfs)
+    orf_to = np.fromiter((l.to_pos for l in orf_locs), np.int64, n_orfs)
+    oi = hits["orf_idx"]
+    fb = orf_from[oi]
+    tb = orf_to[oi]
+    plus = fb < tb
+    qs3 = hits["q_start"].astype(np.int64) * 3
+    qe3 = hits["q_end"].astype(np.int64) * 3
+    # PotentialExon::setByAln coordinate model (PredictionParser.h:15-65):
+    # negative contig coordinates on the minus strand
+    cs = np.where(plus, fb + qs3, -(fb - qs3))
+    ce = np.where(plus, fb + qe3 + 2, -(fb - qe3 - 2))
+    nl = ce - cs + 1
+    if np.any(nl % 3 != 0):
+        raise ValueError("illegal codon segment length")
+    aa = nl // 3
+    tstart = hits["t_start"].astype(np.int64)
+    tend = hits["t_end"].astype(np.int64)
+    bit = hits["bit_score"].astype(np.int64)
+
+    keep = aa >= p.min_exon_aa_length
+    idx_all = np.nonzero(keep)[0]
+    preds_per_contig = {}
+    if len(idx_all) == 0:
+        return preds_per_contig
+    kc = hit_contig[idx_all]
+    kt = hits["target_idx"][idx_all]
+    change = np.nonzero((np.diff(kc) != 0) | (np.diff(kt) != 0))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(idx_all)]])
+
+    log2_m = math.log2(tot_aas)
+
+    def mk_exon(j):
+        h = hits[j]
+        # the reference re-parses and re-serializes the seqId text between
+        # search and resultspercontig (strtod -> float -> fastSeqIdToBuffer),
+        # which is lossy for values like 0.511 -> 0.510; replicate
+        sid = format_seq_id(h["seq_id"])
+        for _ in range(seqid_rounds):
+            sid = format_seq_id(np.float32(float(sid)))
+        return PotentialExon(
+            exon_key=int(h["orf_idx"]), target_key=int(h["target_idx"]),
+            strand=PLUS if plus[j] else MINUS, bit_score=int(h["bit_score"]),
+            seq_id_text=sid, evalue_text=format_evalue(h["evalue"]),
+            target_match_start=int(h["t_start"]),
+            target_match_end=int(h["t_end"]), target_len=int(h["t_len"]),
+            contig_start=int(cs[j]), contig_end=int(ce[j]),
+            nucleotide_len=int(nl[j]),
+            contig_start_before_trim=int(fb[j]),
+            contig_end_before_trim=int(tb[j]))
+
+    def dp_round(gidx, used):
+        """One find_optimal_set round (collectoptimalset.cpp:108-222) on
+        global hit indices gidx; marks used in-place. Returns
+        (score, [global exon indices] low-to-high contig order)."""
+        act = gidx[~used]
+        if len(act) == 0:
+            return 0, None
+        # stable (contigStart, contigEnd) order with original-position
+        # tie-break — the reference's repeated stable sorts reduce to this
+        srt = np.lexsort((act, ce[act], cs[act]))
+        act = act[srt]
+        tlen = int(hits[act[0]]["t_len"])
+        nat = native.chain_dp(cs[act], ce[act], tstart[act], tend[act],
+                              bit[act], aa[act], tlen, p)
+        if nat is None:
+            nat = _chain_dp_py(cs[act], ce[act], tstart[act], tend[act],
+                               bit[act], aa[act], tlen, p)
+        prev_id, _ps, best_last, best_score = nat
+        if best_score == 0:
+            return 0, None
+        path = []
+        curr = best_last
+        while prev_id[curr] != curr:
+            path.append(curr)
+            curr = int(prev_id[curr])
+        path.append(curr)
+        path.reverse()
+        chosen = act[path]
+        used[np.searchsorted(gidx, chosen)] = True
+        return int(best_score), chosen
+
+    for gi in range(len(starts)):
+        gsl = idx_all[starts[gi]:ends[gi]]
+        ci = int(kc[starts[gi]])
+        tk = int(kt[starts[gi]])
+        gplus = gsl[plus[gsl]]
+        gminus = gsl[~plus[gsl]]
+        used_p = np.zeros(len(gplus), bool)
+        used_m = np.zeros(len(gminus), bool)
+        out = preds_per_contig.setdefault(ci, [])
+        iters = 0
+        # the reference's while-condition sees the lists as pruned by the
+        # PREVIOUS round's find_optimal_set (used entries are removed
+        # lazily at the start of the next call, collectoptimalset.cpp:
+        # 121-130), so the check for round k+1 counts entries unused
+        # before round k
+        check_p, check_m = len(gplus), len(gminus)
+        while iters < p.max_exon_sets and (check_p or check_m):
+            check_p = int((~used_p).sum())
+            check_m = int((~used_m).sum())
+            for strand, gidx, used in ((PLUS, gplus, used_p),
+                                       (MINUS, gminus, used_m)):
+                score, chosen = dp_round(gidx, used)
+                if chosen is None:
+                    continue
+                log2_e = log2_m + 1.0 - score
+                evalue = math.pow(2.0, log2_e)
+                if evalue <= p.metaeuk_evalue_thr:
+                    text = "%.3E" % evalue
+                    out.append(Prediction(
+                        target_key=tk, strand=strand, total_bitscore=score,
+                        combined_evalue=float(text),
+                        combined_evalue_text=text,
+                        exons=[mk_exon(int(j)) for j in chosen]))
+            iters += 1
+
+    return {ci: ps for ci, ps in preds_per_contig.items() if ps}
+
+
 class EasyPredict:
     """Runs the full pipeline and writes the four output files."""
 
@@ -204,39 +391,8 @@ class EasyPredict:
         hits = hits[order]
         hit_contig = hit_contig[order]
         timer_chain = timer.stage("collectoptimalset"); timer_chain.__enter__()
-        for ci in np.unique(hit_contig):
-            sel = hits[hit_contig == ci]
-            groups = []
-            for tk in np.unique(sel["target_idx"]):
-                tsel = sel[sel["target_idx"] == tk]
-                plus_exons, minus_exons = [], []
-                for h in tsel:
-                    loc = orf_locs[h["orf_idx"]]
-                    # the reference re-parses and re-serializes the seqId text
-                    # between search and resultspercontig (strtod -> float ->
-                    # fastSeqIdToBuffer), which is lossy for values like
-                    # 0.511 -> 0.510; replicate that one round trip
-                    seq_id_text = format_seq_id(h["seq_id"])
-                    for _ in range(seqid_rounds):
-                        seq_id_text = format_seq_id(np.float32(float(seq_id_text)))
-                    exon = make_potential_exon(
-                        orf_key=int(h["orf_idx"]),
-                        target_key=int(tk),
-                        bit_score=int(h["bit_score"]),
-                        seq_id_text=seq_id_text,
-                        evalue_text=format_evalue(h["evalue"]),
-                        orf_prot_start=int(h["q_start"]),
-                        orf_prot_end=int(h["q_end"]),
-                        target_match_start=int(h["t_start"]),
-                        target_match_end=int(h["t_end"]),
-                        target_len=int(h["t_len"]),
-                        contig_start_before_trim=loc.from_pos,
-                        contig_end_before_trim=loc.to_pos)
-                    (plus_exons if exon.strand == PLUS else minus_exons).append(exon)
-                groups.append((int(tk), plus_exons, minus_exons))
-            preds = collect_optimal_sets(groups, tot_aas, p)
-            if preds:
-                preds_per_contig[int(ci)] = preds
+        preds_per_contig = assemble_and_chain(
+            hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p)
         timer_chain.__exit__(None, None, None)
         self.predict_stage_seconds = dict(timer.stages)
         return preds_per_contig
