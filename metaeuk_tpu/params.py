@@ -48,6 +48,8 @@ class Params:
     gap_extend: int = 1
     comp_bias_correction: bool = True
     comp_bias_correction_scale: float = 1.0
+    kmer_size: int = 0                    # -k (0 = auto by target DB size,
+    #   IndexTable::computeKmerSize: 6 below 3.35G residues, else 7)
     split: int = 0                        # --split (0 = auto by memory)
     split_memory_limit: int = 0           # --split-memory-limit (0 = free RAM)
     disk_space_limit: int = 0             # --disk-space-limit (0 = default;

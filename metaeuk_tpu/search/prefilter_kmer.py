@@ -31,6 +31,12 @@ UNGAPPED_SCORES = scores_with_bias(2.0, -0.2)
 VTML80_LR = VTML80_PROB / (VTML80_PBACK[:, None] * VTML80_PBACK[None, :])
 
 
+def compute_kmer_size(total_residues):
+    """IndexTable::computeKmerSize (IndexTable.h:439-449): 6 below
+    3.35G target residues, 7 above."""
+    return 6 if total_residues < 3_350_000_000 else 7
+
+
 def kmer_threshold(sensitivity=4.0, kmer_size=6):
     """Prefiltering::getKmerThreshold, amino-acid branch
     (Prefiltering.cpp:1049-1064)."""
@@ -63,8 +69,8 @@ def _bind(lib):
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i16op = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-    lib.pf_create.restype = ctypes.c_void_p
-    lib.pf_create.argtypes = [i16p, i16p, ctypes.c_int64]
+    lib.pf_create2.restype = ctypes.c_void_p
+    lib.pf_create2.argtypes = [i16p, i16p, ctypes.c_int64, ctypes.c_int64]
     lib.pf_destroy.restype = None
     lib.pf_destroy.argtypes = [ctypes.c_void_p]
     lib.pf_add_targets.restype = None
@@ -95,21 +101,22 @@ class KmerPrefilter:
     def __init__(self, target_encs, sensitivity=4.0, mask_targets=True,
                  max_res_list_len=300, min_diag_score=15,
                  comp_bias_correction=True, kmer_score=None,
-                 index_path=None, diagonal_scoring=True):
+                 index_path=None, diagonal_scoring=True, kmer_size=6):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("k-mer prefilter requires the native library")
         _bind(lib)
         self._lib = lib
+        self.kmer_size = int(kmer_size)
         self.kmer_thr = kmer_score if kmer_score is not None \
-            else kmer_threshold(sensitivity)
+            else kmer_threshold(sensitivity, self.kmer_size)
         self.max_hits = max_res_list_len
         self.min_diag_score = min_diag_score
         self.comp_bias_correction = comp_bias_correction
         self.diagonal_scoring = diagonal_scoring
         vt = np.ascontiguousarray(VTML80_SCORES_8BIT, np.int16)
         bl = np.ascontiguousarray(UNGAPPED_SCORES, np.int16)
-        self._h = lib.pf_create(vt, bl, self.kmer_thr)
+        self._h = lib.pf_create2(vt, bl, self.kmer_thr, self.kmer_size)
         if target_encs is None:
             # load a createindex artifact instead of building
             n = lib.pf_load_index(self._h, str(index_path).encode())
@@ -326,10 +333,16 @@ def split_max_res_list_len(max_res_list_len, n_splits):
     return max(1, max_res_list_len // n_splits + four_std)
 
 
-KSPACE_BYTES = 4 * (20 ** 6 + 1)  # fixed k-mer offset table per index
+def kspace_bytes(kmer_size=6):
+    """Fixed k-mer offset table per index (+ presence bitmap)."""
+    return 4 * (20 ** kmer_size + 1) + 20 ** kmer_size // 8
 
 
-def estimate_split_memory(total_residues, n_seqs, n_splits, threads=1):
+KSPACE_BYTES = kspace_bytes(6)
+
+
+def estimate_split_memory(total_residues, n_seqs, n_splits, threads=1,
+                          kmer_size=6):
     """Peak host bytes for one split of OUR index + per-thread match
     scratch (the role of Prefiltering::estimateMemoryConsumption,
     Prefiltering.cpp:1067-1100, with this framework's own structures:
@@ -341,10 +354,12 @@ def estimate_split_memory(total_residues, n_seqs, n_splits, threads=1):
     scratch_n = 2 * max(1_000_000, nseq_split)
     # found (8B Counter) + hits (8B IndexEntry) + hitDiag (2B) per thread
     scratch = threads * scratch_n * (8 + 8 + 2)
-    return KSPACE_BYTES + res_split * per_entry + 8 * nseq_split + scratch
+    return kspace_bytes(kmer_size) + res_split * per_entry \
+        + 8 * nseq_split + scratch
 
 
-def optimize_split(total_residues, n_seqs, memory_limit=0, threads=None):
+def optimize_split(total_residues, n_seqs, memory_limit=0, threads=None,
+                   kmer_size=6):
     """Smallest split count whose per-split peak fits the budget
     (Prefiltering::optimizeSplit role). memory_limit 0 = all free RAM,
     like --split-memory-limit 0."""
@@ -358,8 +373,8 @@ def optimize_split(total_residues, n_seqs, memory_limit=0, threads=None):
         except (ValueError, OSError):
             memory_limit = 8 << 30
     for n in range(1, max(n_seqs, 1) + 1):
-        if estimate_split_memory(total_residues, n_seqs, n, threads) \
-                <= memory_limit:
+        if estimate_split_memory(total_residues, n_seqs, n, threads,
+                                 kmer_size) <= memory_limit:
             return n
     return max(n_seqs, 1)
 
@@ -446,11 +461,16 @@ class ReferenceKmerPrefilter:
         from ..data.submat import encode_aa
         from ..utils import log
         self.params = params
+        # -k 0 = auto k-mer size from target DB residues
+        # (IndexTable::computeKmerSize via Prefiltering.cpp:277-278)
+        ksize = int(getattr(params, "kmer_size", 0)) \
+            or compute_kmer_size(target_db.total_residues())
         kw = dict(sensitivity=getattr(params, "sensitivity", 4.0),
                   max_res_list_len=getattr(params, "max_res_list_len", 300),
                   min_diag_score=min_diag_score,
                   comp_bias_correction=bool(
-                      getattr(params, "comp_bias_correction", 1)))
+                      getattr(params, "comp_bias_correction", 1)),
+                  kmer_size=ksize)
         # reuse a persisted createindex artifact when the target DB came
         # from a path that has one (the reference's prefilter likewise
         # auto-loads targetDB.idx); threshold mismatches fall back to a
@@ -472,7 +492,8 @@ class ReferenceKmerPrefilter:
         mem_limit = int(getattr(params, "split_memory_limit", 0))
         if n_splits is None:
             n_splits = optimize_split(
-                sum(len(t) for t in tencs), len(tencs), mem_limit)
+                sum(len(t) for t in tencs), len(tencs), mem_limit,
+                kmer_size=ksize)
         if n_splits > 1:
             log.info(f"prefilter target split: {n_splits} splits")
             self.pf = SplitKmerPrefilter(tencs, n_splits=n_splits, **kw)

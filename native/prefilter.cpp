@@ -33,11 +33,15 @@ namespace {
 
 constexpr int ALPH = 20;          // k-mer alphabet, X excluded
 constexpr int A21 = 21;
-constexpr int KK = 6;
-constexpr int PAT_SPAN = 10;      // spaced_seed_6 = 1101010011 span
-constexpr int PAT_POS[KK] = {0, 1, 3, 5, 8, 9};
+constexpr int KK_MAX = 7;
+// spaced patterns (Sequence.h:19-57): spaced_seed_6 = 1101010011,
+// spaced_seed_7 = 11010110011
+constexpr int PAT6_SPAN = 10;
+constexpr int PAT6_POS[6] = {0, 1, 3, 5, 8, 9};
+constexpr int PAT7_SPAN = 11;
+constexpr int PAT7_POS[7] = {0, 1, 3, 5, 6, 9, 10};
+constexpr size_t SUB2 = 20 * 20;
 constexpr size_t SUB3 = 20 * 20 * 20;
-constexpr size_t KSPACE = SUB3 * SUB3;          // 20^6
 constexpr size_t MAX_KMER_RESULT_SIZE = 262144UL * 32UL;
 
 struct IndexEntry {
@@ -87,6 +91,13 @@ struct ExtMat3 {
     std::vector<uint32_t> index;
 };
 
+// same for 2-mers (k=7 uses the [2,2,3] divide strategy,
+// KmerGenerator::setDivideStrategy kmerSize%3==1 branch + reverse)
+struct ExtMat2 {
+    std::vector<int16_t> score;   // SUB2 * SUB2
+    std::vector<uint32_t> index;
+};
+
 // Per-query scratch state, separated from PF so batched matching can
 // run one instance per OpenMP thread (the duplicate bit-array and the
 // multi-MB hit buffers are written during every match).
@@ -114,7 +125,12 @@ struct PF {
     int16_t vt[A21 * A21];        // VTML80 8-bit (k-mer seeding)
     int16_t bl[A21 * A21];        // BLOSUM62 2-bit biased (ungapped rescore)
     int64_t kmer_thr;
+    int kk = 6;                   // k-mer size (6 or 7)
+    int pat_span = PAT6_SPAN;
+    const int *pat_pos = PAT6_POS;
+    size_t kspace = SUB3 * SUB3;  // 20^kk
     std::shared_ptr<ExtMat3> m3;
+    std::shared_ptr<ExtMat2> m2;  // k=7 only
     std::vector<uint32_t> offsets;        // KSPACE + 1
     // presence bitmap over k-mer space (1 bit per k-mer, 8 MB at k=6):
     // most generated similar k-mers have empty posting lists, and this
@@ -190,9 +206,40 @@ void build_ext3(PF *pf) {
     }
 }
 
+void build_ext2(PF *pf) {
+    pf->m2 = std::make_shared<ExtMat2>();
+    pf->m2->score.resize(SUB2 * SUB2);
+    pf->m2->index.resize(SUB2 * SUB2);
+    std::vector<std::pair<int16_t, uint32_t>> row(SUB2);
+    for (size_t i = 0; i < SUB2; i++) {
+        const int s0 = i % 20, s1 = i / 20;
+        const int16_t *r0 = pf->vt + s0 * A21;
+        const int16_t *r1 = pf->vt + s1 * A21;
+        size_t j = 0;
+        for (int j1 = 0; j1 < 20; j1++) {
+            const int16_t sc1 = r1[j1];
+            for (int j0 = 0; j0 < 20; j0++, j++) {
+                row[j] = {static_cast<int16_t>(sc1 + r0[j0]),
+                          static_cast<uint32_t>(j)};
+            }
+        }
+        std::stable_sort(row.begin(), row.end(),
+                         [](const std::pair<int16_t, uint32_t> &a,
+                            const std::pair<int16_t, uint32_t> &b) {
+            return a.first > b.first;
+        });
+        int16_t *sr = pf->m2->score.data() + i * SUB2;
+        uint32_t *ir = pf->m2->index.data() + i * SUB2;
+        for (size_t z = 0; z < SUB2; z++) {
+            sr[z] = row[z].first;
+            ir[z] = row[z].second;
+        }
+    }
+}
+
 void build_kbit(PF *pf) {
-    pf->kbit.assign(KSPACE / 64 + 1, 0);
-    for (size_t k = 0; k < KSPACE; k++) {
+    pf->kbit.assign(pf->kspace / 64 + 1, 0);
+    for (size_t k = 0; k < pf->kspace; k++) {
         if (pf->offsets[k + 1] != pf->offsets[k]) {
             pf->kbit[k >> 6] |= 1ULL << (k & 63);
         }
@@ -217,36 +264,78 @@ uint32_t pick_bincount(size_t dbsize) {
 }
 
 // spaced k-mer extraction; returns false if any informative position is X
-inline bool extract_kmer(const uint8_t *seq, int pos, uint8_t *out) {
+inline bool extract_kmer(const PF *pf, const uint8_t *seq, int64_t pos,
+                         uint8_t *out) {
     bool ok = true;
-    for (int k = 0; k < KK; k++) {
-        out[k] = seq[pos + PAT_POS[k]];
+    for (int k = 0; k < pf->kk; k++) {
+        out[k] = seq[pos + pf->pat_pos[k]];
         ok &= (out[k] != ALPH);
     }
     return ok;
+}
+
+// base-20 little-endian k-mer index (Indexer::int2index)
+inline uint32_t kidx_full(const uint8_t *w, int kk) {
+    uint32_t v = 0, p = 1;
+    for (int i = 0; i < kk; i++) {
+        v += (uint32_t)w[i] * p;
+        p *= 20;
+    }
+    return v;
 }
 
 }  // namespace
 
 extern "C" {
 
-void *pf_create(const int16_t *vtml8, const int16_t *blos2, int64_t kmer_thr) {
+void *pf_create2(const int16_t *vtml8, const int16_t *blos2,
+                 int64_t kmer_thr, int64_t kmer_size) {
     PF *pf = new PF();
     memcpy(pf->vt, vtml8, sizeof(pf->vt));
     memcpy(pf->bl, blos2, sizeof(pf->bl));
     pf->kmer_thr = kmer_thr;
-    // the 3-mer table depends only on the seed matrix: share one copy
+    pf->kk = (int)kmer_size;
+    if (pf->kk == 7) {
+        pf->pat_span = PAT7_SPAN;
+        pf->pat_pos = PAT7_POS;
+        pf->kspace = 1;
+        for (int i = 0; i < 7; i++) pf->kspace *= 20;
+    } else {
+        pf->kk = 6;
+        pf->pat_span = PAT6_SPAN;
+        pf->pat_pos = PAT6_POS;
+        pf->kspace = SUB3 * SUB3;
+    }
+    // the product tables depend only on the seed matrix: share one copy
     // per process
-    static std::shared_ptr<ExtMat3> cached;
+    static std::shared_ptr<ExtMat3> cached3;
+    static std::shared_ptr<ExtMat2> cached2;
     static int16_t cached_vt[A21 * A21];
-    if (cached && memcmp(cached_vt, pf->vt, sizeof(cached_vt)) == 0) {
-        pf->m3 = cached;
+    if (cached3 && memcmp(cached_vt, pf->vt, sizeof(cached_vt)) == 0) {
+        pf->m3 = cached3;
+        if (pf->kk == 7) {
+            if (!cached2) {
+                build_ext2(pf);
+                cached2 = pf->m2;
+            } else {
+                pf->m2 = cached2;
+            }
+        }
     } else {
         build_ext3(pf);
-        cached = pf->m3;
+        cached3 = pf->m3;
+        cached2.reset();
+        if (pf->kk == 7) {
+            build_ext2(pf);
+            cached2 = pf->m2;
+        }
         memcpy(cached_vt, pf->vt, sizeof(cached_vt));
     }
     return pf;
+}
+
+void *pf_create(const int16_t *vtml8, const int16_t *blos2, int64_t kmer_thr) {
+    return pf_create2(vtml8, blos2, kmer_thr, 6);
 }
 
 void pf_destroy(void *h) { delete static_cast<PF *>(h); }
@@ -258,7 +347,7 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
     pf->nseq = n;
     pf->toff.assign(offsets, offsets + n + 1);
     pf->tdata.assign(data, data + offsets[n]);
-    pf->offsets.assign(KSPACE + 1, 0);
+    pf->offsets.assign(pf->kspace + 1, 0);
 
     // count unique above-threshold k-mers per sequence (IndexTable::
     // addKmerCount, IndexTable.h:133-170)
@@ -267,15 +356,16 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
         const uint8_t *seq = pf->tdata.data() + pf->toff[s];
         const int64_t L = pf->toff[s + 1] - pf->toff[s];
         buf.clear();
-        uint8_t w[KK];
-        for (int64_t pos = 0; pos + PAT_SPAN <= L; pos++) {
-            if (!extract_kmer(seq, pos, w)) continue;
+        uint8_t w[KK_MAX];
+        for (int64_t pos = 0; pos + pf->pat_span <= L; pos++) {
+            if (!extract_kmer(pf, seq, pos, w)) continue;
             if (pf->kmer_thr > 0) {
                 int sc = 0;
-                for (int k = 0; k < KK; k++) sc += pf->vt[w[k] * A21 + w[k]];
+                for (int k = 0; k < pf->kk; k++)
+                    sc += pf->vt[w[k] * A21 + w[k]];
                 if (sc < pf->kmer_thr) continue;
             }
-            uint32_t idx = kidx3(w) + SUB3 * kidx3(w + 3);
+            uint32_t idx = kidx_full(w, pf->kk);
             buf.push_back({idx, (uint16_t)pos});
         }
         std::sort(buf.begin(), buf.end());
@@ -287,12 +377,12 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
     }
     // prefix sum (IndexTable::init)
     uint64_t off = 0;
-    for (size_t i = 0; i < KSPACE; i++) {
+    for (size_t i = 0; i < pf->kspace; i++) {
         uint64_t c = pf->offsets[i];
         pf->offsets[i] = (uint32_t)off;
         off += c;
     }
-    pf->offsets[KSPACE] = (uint32_t)off;
+    pf->offsets[pf->kspace] = (uint32_t)off;
     pf->entries.resize(off);
     // fill using offsets as write cursors, then revert
     // (IndexTable::addSequence + revertPointer, IndexTable.h:348-401,251-256)
@@ -300,15 +390,16 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
         const uint8_t *seq = pf->tdata.data() + pf->toff[s];
         const int64_t L = pf->toff[s + 1] - pf->toff[s];
         buf.clear();
-        uint8_t w[KK];
-        for (int64_t pos = 0; pos + PAT_SPAN <= L; pos++) {
-            if (!extract_kmer(seq, pos, w)) continue;
+        uint8_t w[KK_MAX];
+        for (int64_t pos = 0; pos + pf->pat_span <= L; pos++) {
+            if (!extract_kmer(pf, seq, pos, w)) continue;
             if (pf->kmer_thr > 0) {
                 int sc = 0;
-                for (int k = 0; k < KK; k++) sc += pf->vt[w[k] * A21 + w[k]];
+                for (int k = 0; k < pf->kk; k++)
+                    sc += pf->vt[w[k] * A21 + w[k]];
                 if (sc < pf->kmer_thr) continue;
             }
-            uint32_t idx = kidx3(w) + SUB3 * kidx3(w + 3);
+            uint32_t idx = kidx_full(w, pf->kk);
             buf.push_back({idx, (uint16_t)pos});
         }
         std::sort(buf.begin(), buf.end());
@@ -320,7 +411,7 @@ void pf_add_targets(void *h, const uint8_t *data, const int64_t *offsets,
             prev = kv.first;
         }
     }
-    for (size_t i = KSPACE; i > 0; i--) pf->offsets[i] = pf->offsets[i - 1];
+    for (size_t i = pf->kspace; i > 0; i--) pf->offsets[i] = pf->offsets[i - 1];
     pf->offsets[0] = 0;
     build_kbit(pf);
     pf->bincount = pick_bincount((size_t)n);
@@ -343,6 +434,92 @@ int64_t pf_n_entries(void *h) {
 
 namespace {
 
+// k=7 similar-k-mer list: the reference's [2,2,3] divide strategy
+// (KmerGenerator::setDivideStrategy kmerSize%3==1 + reverse;
+// calculateArrayProduct chain, KmerGenerator.cpp:106-216). Parts:
+// positions 0-1 (2-mer, x1), 2-3 (2-mer, x400), 4-6 (3-mer, x160000).
+size_t gen_kmer_list7(const PF *pf, Scratch &sc, const uint8_t *w,
+                      int threshold, uint32_t *out) {
+    const int i0 = w[0] + 20 * w[1];
+    const int i1 = w[2] + 20 * w[3];
+    const int i2 = w[4] + 20 * w[5] + 400 * w[6];
+    const int16_t *s0 = pf->m2->score.data() + (size_t)i0 * SUB2;
+    const uint32_t *x0 = pf->m2->index.data() + (size_t)i0 * SUB2;
+    const int16_t *s1 = pf->m2->score.data() + (size_t)i1 * SUB2;
+    const uint32_t *x1 = pf->m2->index.data() + (size_t)i1 * SUB2;
+    const int16_t *s2 = pf->m3->score.data() + (size_t)i2 * SUB3;
+    const uint32_t *x2 = pf->m3->index.data() + (size_t)i2 * SUB3;
+    const int rest1 = s2[0];
+    const int rest0 = s1[0] + rest1;
+    if (sc.gscore[0].size() < MAX_KMER_RESULT_SIZE) {
+        sc.gscore[0].resize(MAX_KMER_RESULT_SIZE);
+        sc.gindex[0].resize(MAX_KMER_RESULT_SIZE);
+    }
+    int16_t *as = sc.gscore[0].data();
+    uint32_t *ax = sc.gindex[0].data();
+    // stage 1: part0 x part1
+    const int cutoff1 = threshold - rest0;
+    size_t na = 0;
+    for (size_t i = 0; i < SUB2 && s0[i] >= cutoff1; i++) {
+        const int cutoff2 = threshold - s0[i] - rest1;
+        for (size_t j = 0; j < SUB2 && (na + 1 < MAX_KMER_RESULT_SIZE)
+                           && s1[j] >= cutoff2; j++) {
+            as[na] = (int16_t)(s0[i] + s1[j]);
+            ax[na] = x0[i] + x1[j] * 400u;
+            na++;
+        }
+        if (na + 1 >= MAX_KMER_RESULT_SIZE) break;
+    }
+    // stage 2: (part0 x part1) x part2 (cutoff1 = -1000 after the first
+    // product: every stage-1 entry is inspected)
+    size_t counter = 0;
+    for (size_t i = 0; i < na; i++) {
+        const int cutoff2 = threshold - as[i];
+        size_t jend = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        {
+            const __m256i vcut = _mm256_set1_epi16((short)cutoff2);
+            while (jend + 16 <= SUB3) {
+                const __m256i v = _mm256_loadu_si256(
+                    (const __m256i *)(s2 + jend));
+                const __mmask16 m = _mm256_cmp_epi16_mask(
+                    v, vcut, _MM_CMPINT_NLT);
+                if (m != 0xFFFF) {
+                    jend += __builtin_ctz(~(unsigned)m);
+                    goto found7;
+                }
+                jend += 16;
+            }
+        }
+#endif
+        while (jend < SUB3 && s2[jend] >= cutoff2) jend++;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        found7:
+#endif
+        {
+            const size_t navail = MAX_KMER_RESULT_SIZE - 1 - counter;
+            const size_t nn = jend < navail ? jend : navail;
+            uint32_t *dst = out + counter;
+            size_t j = 0;
+#if defined(__AVX512F__)
+            const __m512i va = _mm512_set1_epi32((int)ax[i]);
+            const __m512i vmul = _mm512_set1_epi32(160000);
+            for (; j + 16 <= nn; j += 16) {
+                const __m512i vb = _mm512_loadu_si512(
+                    (const void *)(x2 + j));
+                _mm512_storeu_si512(
+                    (void *)(dst + j),
+                    _mm512_add_epi32(va, _mm512_mullo_epi32(vb, vmul)));
+            }
+#endif
+            for (; j < nn; j++) dst[j] = ax[i] + x2[j] * 160000u;
+            counter += nn;
+        }
+        if (counter + 1 >= MAX_KMER_RESULT_SIZE) return counter;
+    }
+    return counter;
+}
+
 // KmerGenerator::generateKmerList for the (3,3) split, addIdentity=false
 // (KmerGenerator.cpp:106-185). Emits kmer indices in (a desc, b desc)
 // score order. Returns count.
@@ -351,8 +528,8 @@ namespace {
 // is found 16 lanes at a time and the emission out[c++] = xa[i] +
 // xb[j]*SUB3 is a vector broadcast-add-store; identical output to the
 // scalar loop.
-size_t gen_kmer_list(const PF *pf, const uint8_t *w, int threshold,
-                     uint32_t *out) {
+size_t gen_kmer_list6(const PF *pf, const uint8_t *w, int threshold,
+                      uint32_t *out) {
     const int ia = kidx3(w), ib = kidx3(w + 3);
     const int16_t *sa = pf->m3->score.data() + (size_t)ia * SUB3;
     const uint32_t *xa = pf->m3->index.data() + (size_t)ia * SUB3;
@@ -408,6 +585,12 @@ size_t gen_kmer_list(const PF *pf, const uint8_t *w, int threshold,
         if (counter + 1 >= MAX_KMER_RESULT_SIZE) return counter;
     }
     return counter;
+}
+
+size_t gen_kmer_list(const PF *pf, Scratch &sc, const uint8_t *w,
+                     int threshold, uint32_t *out) {
+    return pf->kk == 7 ? gen_kmer_list7(pf, sc, w, threshold, out)
+                       : gen_kmer_list6(pf, w, threshold, out);
 }
 
 // ungapped diagonal score: running sum clamped at 0, max, then min(255,.)
@@ -971,14 +1154,16 @@ void rank20(int16_t *val, uint8_t *idx) {
 // KmerGenerator::generateKmerList with the per-position divide strategy
 // (profile queries: one sorted 20-entry PSSM row per spaced position,
 // KmerGenerator::setDivideStrategy(ScoreMatrix**) + generateKmerList,
-// KmerGenerator.cpp:30-38,106-185). srow/irow: KK sorted rows.
-size_t gen_profile_kmer_list(PF *pf, Scratch &sc, const int16_t *srow[KK],
-                             const uint8_t *irow[KK], int threshold,
+// KmerGenerator.cpp:30-38,106-185). srow/irow: kk sorted rows.
+size_t gen_profile_kmer_list(PF *pf, Scratch &sc, const int16_t *srow[KK_MAX],
+                             const uint8_t *irow[KK_MAX], int threshold,
                              uint32_t *out) {
-    static const uint32_t POW20[KK] = {1, 20, 400, 8000, 160000, 3200000};
-    int possibleRest[KK];
-    possibleRest[KK - 1] = 0;
-    for (int k = KK - 1; k >= 1; k--) {
+    static const uint32_t POW20[KK_MAX + 1] = {1, 20, 400, 8000, 160000,
+                                               3200000, 64000000, 1280000000};
+    const int KKr = pf->kk;
+    int possibleRest[KK_MAX];
+    possibleRest[KKr - 1] = 0;
+    for (int k = KKr - 1; k >= 1; k--) {
         possibleRest[k - 1] = srow[k][0] + possibleRest[k];
     }
     for (int b = 0; b < 2; b++) {
@@ -999,7 +1184,7 @@ size_t gen_profile_kmer_list(PF *pf, Scratch &sc, const int16_t *srow[KK],
     const uint32_t *inIndex = x0;
     size_t inSize = 20;
     size_t counter = 0;
-    for (int step = 0; step + 1 < KK; step++) {
+    for (int step = 0; step + 1 < KKr; step++) {
         int16_t *outScore = sc.gscore[step % 2].data();
         uint32_t *outIndex = sc.gindex[step % 2].data();
         const int16_t *ns = srow[step + 1];
@@ -1046,40 +1231,59 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
     std::vector<uint32_t> &klist = sc.klist;
     ProfAcc *pa = prof_enabled() ? &sc.prof : nullptr;
     size_t ovf = 0;
-    uint8_t w[KK];
+    uint8_t w[KK_MAX];
     // precompute each position's 3-mer row ids so the ExtMat3 row heads
     // (4 random streams into the 384 MB table pair) can be prefetched a
     // couple of positions ahead — the row head misses dominate the
     // k-mer list generation cost
-    const int64_t npos = (qlen >= PAT_SPAN) ? qlen - PAT_SPAN + 1 : 0;
+    const int64_t npos = (qlen >= pf->pat_span)
+        ? qlen - pf->pat_span + 1 : 0;
     if ((int64_t)sc.rowids.size() < 2 * npos + 4)
         sc.rowids.resize(2 * npos + 4);
     int32_t *rowids = sc.rowids.data();
+    const bool k7 = (pf->kk == 7);
     for (int64_t i = 0; i < npos; i++) {
-        if (extract_kmer(q, i, w)) {
-            rowids[2 * i] = kidx3(w);
-            rowids[2 * i + 1] = kidx3(w + 3);
+        if (extract_kmer(pf, q, i, w)) {
+            if (k7) {
+                // [2,2,3] parts: m3 row (positions 4-6) + first m2 row
+                rowids[2 * i] = w[4] + 20 * w[5] + 400 * w[6];
+                rowids[2 * i + 1] = w[0] + 20 * w[1];
+            } else {
+                rowids[2 * i] = kidx3(w);
+                rowids[2 * i + 1] = kidx3(w + 3);
+            }
         } else {
             rowids[2 * i] = -1;
         }
     }
     const int16_t *m3s = pf->m3->score.data();
     const uint32_t *m3x = pf->m3->index.data();
+    const int16_t *m2s = k7 ? pf->m2->score.data() : nullptr;
+    const uint32_t *m2x = k7 ? pf->m2->index.data() : nullptr;
     for (int64_t i = 0; i < npos; i++) {
         for (int64_t d = 2; d <= 2; d++) {
             if (i + d < npos && rowids[2 * (i + d)] >= 0) {
                 const size_t ra = (size_t)rowids[2 * (i + d)] * SUB3;
-                const size_t rb = (size_t)rowids[2 * (i + d) + 1] * SUB3;
                 __builtin_prefetch(m3s + ra);
-                __builtin_prefetch(m3s + rb);
                 __builtin_prefetch(m3x + ra);
-                __builtin_prefetch(m3x + rb);
+                if (k7) {
+                    const size_t rb =
+                        (size_t)rowids[2 * (i + d) + 1] * SUB2;
+                    __builtin_prefetch(m2s + rb);
+                    __builtin_prefetch(m2x + rb);
+                } else {
+                    const size_t rb =
+                        (size_t)rowids[2 * (i + d) + 1] * SUB3;
+                    __builtin_prefetch(m3s + rb);
+                    __builtin_prefetch(m3x + rb);
+                }
             }
         }
         if (rowids[2 * i] < 0) continue;
-        extract_kmer(q, i, w);
+        extract_kmer(pf, q, i, w);
         float biasCorrection = 0;
-        for (int k = 0; k < KK; k++) biasCorrection += comp_bias[i + PAT_POS[k]];
+        for (int k = 0; k < pf->kk; k++)
+            biasCorrection += comp_bias[i + pf->pat_pos[k]];
         const short bias = (short)((biasCorrection < 0.0f)
                                        ? biasCorrection - 0.5f
                                        : biasCorrection + 0.5f);
@@ -1088,7 +1292,7 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
         size_t nk;
         {
             PhaseTimer t(pa, PH_GEN);
-            nk = gen_kmer_list(pf, w, thr, klist.data());
+            nk = gen_kmer_list(pf, sc, w, thr, klist.data());
         }
         if (st) st->kmer_list_len += nk;
         PhaseTimer tg(pa, PH_GATHER);
@@ -1465,12 +1669,12 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
     std::vector<uint32_t> &klist = sc.klist;
     const int thr = std::max((int)kmer_thr, 0);
     size_t ovf = 0;
-    for (int64_t i = 0; i + PAT_SPAN <= qlen; i++) {
+    for (int64_t i = 0; i + pf->pat_span <= qlen; i++) {
         bool hasX = false;
-        const int16_t *srow[KK];
-        const uint8_t *irow[KK];
-        for (int k = 0; k < KK; k++) {
-            const int64_t p = i + PAT_POS[k];
+        const int16_t *srow[KK_MAX];
+        const uint8_t *irow[KK_MAX];
+        for (int k = 0; k < pf->kk; k++) {
+            const int64_t p = i + pf->pat_pos[k];
             hasX |= (qnum[p] == ALPH);
             srow[k] = sc.psort_s.data() + p * 20;
             irow[k] = sc.psort_i.data() + p * 20;
@@ -1515,7 +1719,7 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
 #include <cstdio>
 
 namespace {
-constexpr uint64_t PF_IDX_MAGIC = 0x4d45554b49445831ULL;  // "MEUKIDX1"
+constexpr uint64_t PF_IDX_MAGIC = 0x4d45554b49445832ULL;  // "MEUKIDX2"
 }
 
 extern "C" {
@@ -1524,16 +1728,16 @@ int64_t pf_save_index(void *h, const char *path) {
     PF *pf = static_cast<PF *>(h);
     FILE *f = fopen(path, "wb");
     if (!f) return -1;
-    uint64_t hdr[5] = {PF_IDX_MAGIC, (uint64_t)pf->kmer_thr,
+    uint64_t hdr[6] = {PF_IDX_MAGIC, (uint64_t)pf->kmer_thr,
                        (uint64_t)pf->nseq, (uint64_t)pf->tdata.size(),
-                       (uint64_t)pf->entries.size()};
+                       (uint64_t)pf->entries.size(), (uint64_t)pf->kk};
     fwrite(hdr, sizeof(hdr), 1, f);
     fwrite(pf->toff.data(), sizeof(int64_t), pf->nseq + 1, f);
     fwrite(pf->tdata.data(), 1, pf->tdata.size(), f);
     fwrite(pf->entries.data(), sizeof(IndexEntry), pf->entries.size(), f);
     // sparse ranges
     std::vector<uint64_t> sparse;
-    for (size_t k = 0; k < KSPACE; k++) {
+    for (size_t k = 0; k < pf->kspace; k++) {
         if (pf->offsets[k + 1] != pf->offsets[k]) {
             sparse.push_back(((uint64_t)k << 32) | pf->offsets[k]);
         }
@@ -1549,11 +1753,11 @@ int64_t pf_load_index(void *h, const char *path) {
     PF *pf = static_cast<PF *>(h);
     FILE *f = fopen(path, "rb");
     if (!f) return -1;
-    uint64_t hdr[5];
+    uint64_t hdr[6];
     if (fread(hdr, sizeof(hdr), 1, f) != 1 || hdr[0] != PF_IDX_MAGIC ||
-        (int64_t)hdr[1] != pf->kmer_thr) {
+        (int64_t)hdr[1] != pf->kmer_thr || (int)hdr[5] != pf->kk) {
         fclose(f);
-        return -2;  // wrong magic or index built with other kmer threshold
+        return -2;  // wrong magic/threshold/k-mer size
     }
     pf->nseq = (int64_t)hdr[2];
     pf->toff.resize(pf->nseq + 1);
@@ -1575,16 +1779,16 @@ int64_t pf_load_index(void *h, const char *path) {
         return -3;
     }
     fclose(f);
-    pf->offsets.assign(KSPACE + 1, 0);
+    pf->offsets.assign(pf->kspace + 1, 0);
     // reconstruct flat offsets: fill starts, then forward-fill ends
     for (uint64_t sv : sparse) {
         pf->offsets[sv >> 32] = (uint32_t)sv;
     }
     uint32_t total = (uint32_t)pf->entries.size();
-    pf->offsets[KSPACE] = total;
+    pf->offsets[pf->kspace] = total;
     uint32_t next = total;
     size_t si = sparse.size();
-    for (size_t k = KSPACE; k-- > 0;) {
+    for (size_t k = pf->kspace; k-- > 0;) {
         if (si > 0 && (sparse[si - 1] >> 32) == k) {
             next = (uint32_t)sparse[si - 1];
             si--;

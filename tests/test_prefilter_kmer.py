@@ -58,6 +58,32 @@ def test_prefilter_byte_parity(seqs, tag, kw, identity):
             f"{tag} q{qi}"
 
 
+def test_kmer_size_auto_rule():
+    """IndexTable::computeKmerSize thresholds (IndexTable.h:439-449)."""
+    from metaeuk_tpu.search.prefilter_kmer import compute_kmer_size
+    assert compute_kmer_size(1_000_000) == 6
+    assert compute_kmer_size(3_349_999_999) == 6
+    assert compute_kmer_size(3_350_000_000) == 7
+    assert compute_kmer_size(15_000_000_000) == 7
+
+
+@pytest.mark.parametrize("tag,kw", [
+    ("pfres_k7", dict(kmer_size=7)),
+    ("pfres_k7_s7.5", dict(kmer_size=7, sensitivity=7.5)),
+])
+def test_prefilter_k7_byte_parity(seqs, tag, kw):
+    """k=7 spaced seed (11010110011) + [2,2,3] similar-k-mer generator
+    vs reference `prefilter -k 7` (KmerGenerator::setDivideStrategy
+    kmerSize%3==1 branch)."""
+    T, Q = seqs
+    pf = KmerPrefilter(T, **kw)
+    ref = dict(mmseqsdb.read_db(str(GOLDEN / tag)))
+    for qi, q in enumerate(Q):
+        ids, sc, dg = pf.match(q)
+        assert hits_to_pref_lines(ids, sc, dg).encode() == ref.get(qi, b""), \
+            f"{tag} q{qi}"
+
+
 def test_index_save_load_roundtrip(seqs, tmp_path):
     """createindex artifact: saved+loaded index gives identical results
     and rejects threshold mismatches."""
