@@ -213,7 +213,10 @@ def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
         used[np.searchsorted(gidx, chosen)] = True
         return int(best_score), chosen
 
+    from ..utils import log
+    prog = log.progress(len(starts), "chain DP groups", step=256)
     for gi in range(len(starts)):
+        prog.update()
         gsl = idx_all[starts[gi]:ends[gi]]
         ci = int(kc[starts[gi]])
         tk = int(kt[starts[gi]])
@@ -247,6 +250,7 @@ def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
                         combined_evalue_text=text,
                         exons=[mk_exon(int(j)) for j in chosen]))
             iters += 1
+    prog.finish()
 
     return {ci: ps for ci, ps in preds_per_contig.items() if ps}
 
@@ -308,10 +312,13 @@ class EasyPredict:
             chunks.append(s + b"\n\x00")
             pos += len(s) + 2
         db_buffer = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        log.MemoryTracker.track("contig db buffer", db_buffer.nbytes)
         n_written = 0
         lo, hi = contig_range if contig_range else (0, len(contigs))
         with timer.stage("reduceredundancy+write"):
+            prog = log.progress(hi - lo, "write contigs", step=64)
             for ci in range(lo, hi):
+                prog.update()
                 preds = preds_per_contig.get(ci, [])
                 if not preds:
                     continue
@@ -322,9 +329,11 @@ class EasyPredict:
                 contig_acc = contigs.accession(ci)
                 self._write_contig(writer, reps, ci, contig_acc, target_accs,
                                    contig, contig_len, p)
+            prog.finish()
         writer.close()
         log.info(f"contigs: {len(contigs)}  targets: {len(targets)}  "
                  f"predictions written: {n_written}")
+        log.MemoryTracker.report()
         self.stage_seconds = timer.report()
         return out_prefix
 
@@ -339,11 +348,14 @@ class EasyPredict:
         orf_locs = []          # global fragment records, key = index
         orf_aa = []
         orf_contig = []
+        prog = log.progress(hi - lo, "extract+translate contigs")
         for ci in range(lo, hi):
             locs, frags = extractor.extract_contig(contigs.seq_bytes(ci), ci)
             orf_locs.extend(locs)
             orf_aa.extend(extractor.translate_fragments(frags))
             orf_contig.extend([ci] * len(locs))
+            prog.update()
+        prog.finish()
         if p.reverse_fragments:
             orf_aa = [aa[::-1] for aa in orf_aa]
         timer_ctx.__exit__(None, None, None)

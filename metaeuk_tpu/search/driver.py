@@ -374,6 +374,10 @@ class SearchDriver:
             q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
             t_remap = np.zeros(int(t_ids.max()) + 1, np.int32)
             t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
+            from ..utils.log import MemoryTracker
+            MemoryTracker.track(
+                f"align staged bucket Lq={Lq} Lt={Lt}",
+                4 * (int(q_mat.size) * 2 + int(t_mat.size)))
             ctx = dict(Lq=Lq, Lt=Lt, sel=sel, q_mat=q_mat, qb_mat=qb_mat,
                        q_lens_dev=q_lens_dev, t_mat=t_mat,
                        t_lens_dev=t_lens_dev, q_remap=q_remap,

@@ -31,6 +31,12 @@ UNGAPPED_SCORES = scores_with_bias(2.0, -0.2)
 VTML80_LR = VTML80_PROB / (VTML80_PBACK[:, None] * VTML80_PBACK[None, :])
 
 
+# queries per native batch call: bounds per-call result-buffer growth and
+# gives the chunk loop progress ticks at scale (queries are independent,
+# so chunking cannot change per-query outputs)
+BATCH_CHUNK = 50_000
+
+
 def compute_kmer_size(total_residues):
     """IndexTable::computeKmerSize (IndexTable.h:439-449): 6 below
     3.35G target residues, 7 above."""
@@ -138,6 +144,10 @@ class KmerPrefilter:
         data = np.concatenate(masked) if masked else np.zeros(0, np.uint8)
         lib.pf_add_targets(self._h, np.ascontiguousarray(data, np.uint8),
                            offs, len(masked))
+        from ..utils import log
+        log.MemoryTracker.track(
+            "kmer index (offsets+entries+targets)",
+            kspace_bytes(self.kmer_size) + 9 * int(offs[-1]))
 
     def save_index(self, path):
         """Serialize the built index (the createindex artifact role)."""
@@ -189,10 +199,33 @@ class KmerPrefilter:
     def match_batch_flat(self, query_encs, identity_ids=None):
         """Batched match with dense outputs: (counts, ids, scores, diags)
         where ids/scores/diags concatenate the per-query hit lists in
-        query order. One native call; compact per-thread result buffers
+        query order. Compact per-thread result buffers
         (pf_match_batch_compact) instead of (nq, cap) row-major blocks —
         the sparse first-touch page faults of those blocks dominated
-        batch runtime and their footprint forbids million-query runs."""
+        batch runtime and their footprint forbids million-query runs.
+        Queries are independent, so the set is processed in fixed-size
+        native chunks with progress ticks between them (Debug::Progress
+        role) — per-query outputs are unchanged."""
+        from ..utils import log
+        nq = len(query_encs)
+        chunk = BATCH_CHUNK
+        if nq <= chunk:
+            return self._match_chunk(query_encs, identity_ids)
+        prog = log.progress(nq, "prefilter queries")
+        outs = []
+        stats = np.zeros(5, np.int64)
+        for s in range(0, nq, chunk):
+            ids_c = identity_ids[s:s + chunk] \
+                if identity_ids is not None else None
+            outs.append(self._match_chunk(query_encs[s:s + chunk], ids_c))
+            stats += self.stats
+            prog.update(len(outs[-1][0]))
+        prog.finish()
+        self.stats = stats
+        return tuple(np.concatenate([o[k] for o in outs])
+                     for k in range(4))
+
+    def _match_chunk(self, query_encs, identity_ids=None):
         lib = self._lib
         if not getattr(lib, "_batch_bound", False):
             u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
