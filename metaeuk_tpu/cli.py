@@ -735,6 +735,34 @@ def cmd_search(args):
     p = _params_from_args(args)
     # mmseqs search defaults: no minimum alignment length
     p = dataclasses.replace(p, aln_len_thr=0)
+    if getattr(args, "s", None) is not None:
+        p = dataclasses.replace(p, sensitivity=args.s)
+    if getattr(args, "sens_steps", 1) > 1:
+        import tempfile
+        import os
+        from .search.searchdb import search_db
+        td = args.tmp or tempfile.mkdtemp(prefix="senssearch")
+        os.makedirs(td, exist_ok=True)
+        q_db, t_db = args.queries, args.targets
+        if not pathlib_exists(f"{q_db}.dbtype"):
+            from .io.seqdb import SeqDB
+            q_db = f"{td}/queryDB"
+            mmseqsdb.write_seqdb(q_db, SeqDB.from_fasta(args.queries,
+                                                        DBTYPE_AA))
+        if not pathlib_exists(f"{t_db}.dbtype"):
+            from .io.seqdb import SeqDB
+            t_db = f"{td}/targetDB"
+            mmseqsdb.write_seqdb(t_db, SeqDB.from_fasta(args.targets,
+                                                        DBTYPE_AA))
+        search_db(q_db, t_db, args.out_db, td,
+                  sensitivity=args.s if args.s is not None else 5.7,
+                  evalue=p.search_evalue_thr,
+                  max_seqs=p.max_res_list_len,
+                  start_sens=args.start_sens, sens_steps=args.sens_steps,
+                  add_backtrace=bool(args.backtrace),
+                  alignment_mode=3 if args.backtrace else 2)
+        print(f"wrote {args.out_db} ({args.sens_steps} sensitivity steps)")
+        return 0
     if getattr(args, "num_iterations", 1) > 1:
         import tempfile
         from .search.iterative import iterative_search
@@ -1801,6 +1829,15 @@ def main(argv=None):
     se.add_argument("--num-iterations", type=int, default=1,
                     help=">1 = iterative profile search (blastpgp role)")
     se.add_argument("--e-profile", type=float, default=0.1)
+    se.add_argument("-s", type=float, default=None, dest="s",
+                    help="sensitivity (default: Params default; the "
+                         "multi-step loop defaults to the mmseqs search "
+                         "workflow's 5.7)")
+    se.add_argument("--start-sens", type=float, default=4.0,
+                    help="start sensitivity of the multi-step search")
+    se.add_argument("--sens-steps", type=int, default=1,
+                    help=">1 = increasing-sensitivity multi-pass search "
+                         "(blastp.sh STEPS loop)")
     _add_predict_flags(se)
     # mmseqs search default -e is 0.001 (metaeuk's predictexons search
     # raises it to 100, PredictExons.cpp:15 — that path sets it itself)

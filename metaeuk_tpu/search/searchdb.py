@@ -80,28 +80,89 @@ def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
     return out_db
 
 
+def step_sensitivities(start_sens, sensitivity, sens_steps):
+    """The blastp.sh SENSE_k schedule (Search.cpp:520-546): k steps from
+    start-sens to -s, each value formatted to one decimal (the script
+    passes the formatted string to prefilter -s, so the ROUNDED value is
+    the effective sensitivity)."""
+    if sens_steps <= 1:
+        return [float(f"{sensitivity:.1f}")]
+    if start_sens > sensitivity:
+        raise ValueError("--start-sens can not be greater than -s")
+    step = (sensitivity - start_sens) / (sens_steps - 1)
+    return [float(f"{start_sens + step * k:.1f}")
+            for k in range(sens_steps)]
+
+
 def search_db(query_db, target_db, out_db, tmp_dir, sensitivity=5.7,
               evalue=1e-3, max_seqs=300, max_accept=None, min_seq_id=0.0,
               cov=0.0, cov_mode=0, comp_bias_correction=True,
               mask_targets=True, add_backtrace=False, alignment_mode=2,
-              params=None):
-    """blastp.sh single-step: prefilter -> align (Search.cpp defaults
-    -s 5.7 -e 1e-3 --max-seqs 300, checkpoint/resume via tmp_dir)."""
+              start_sens=4.0, sens_steps=1, params=None):
+    """blastp.sh: prefilter -> align (Search.cpp defaults -s 5.7 -e 1e-3
+    --max-seqs 300, checkpoint/resume via tmp_dir). With sens_steps > 1,
+    the multi-pass increasing-sensitivity loop (blastp.sh STEP loop,
+    Search.cpp:520-546): each pass prefilters+aligns only the queries
+    that found NOTHING in earlier passes (aln index entry length < 2),
+    and per-query results are merged over the full query key set."""
     from .align_module import align_db
+    from ..pipeline.dbtools import createsubdb, mergedbs
+    from ..pipeline.dbtools2 import mvdb
 
     os.makedirs(tmp_dir, exist_ok=True)
-    pref = os.path.join(tmp_dir, "pref_0")
-    if not os.path.exists(f"{pref}.dbtype"):
-        prefilter_db(query_db, target_db, pref, sensitivity=sensitivity,
-                     max_seqs=max_seqs, mask_targets=mask_targets,
-                     comp_bias_correction=comp_bias_correction,
-                     cov=cov, cov_mode=cov_mode)
-    if not os.path.exists(f"{out_db}.dbtype"):
-        align_db(query_db, target_db, pref, out_db, evalue=evalue,
-                 min_seq_id=min_seq_id, cov=cov, cov_mode=cov_mode,
-                 max_accept=max_accept, add_backtrace=add_backtrace,
-                 alignment_mode=alignment_mode,
-                 comp_bias_corr=comp_bias_correction, params=params)
+    align_kw = dict(evalue=evalue, min_seq_id=min_seq_id, cov=cov,
+                    cov_mode=cov_mode, max_accept=max_accept,
+                    add_backtrace=add_backtrace,
+                    alignment_mode=alignment_mode,
+                    comp_bias_corr=comp_bias_correction, params=params)
+    senses = step_sensitivities(start_sens, sensitivity, sens_steps)
+    if sens_steps <= 1:
+        pref = os.path.join(tmp_dir, "pref_0")
+        if not os.path.exists(f"{pref}.dbtype"):
+            prefilter_db(query_db, target_db, pref, sensitivity=senses[0],
+                         max_seqs=max_seqs, mask_targets=mask_targets,
+                         comp_bias_correction=comp_bias_correction,
+                         cov=cov, cov_mode=cov_mode)
+        if not os.path.exists(f"{out_db}.dbtype"):
+            align_db(query_db, target_db, pref, out_db, **align_kw)
+        return out_db
+
+    input_db = query_db
+    aln_merge = None
+    for step, sens in enumerate(senses):
+        pref = os.path.join(tmp_dir, f"pref_{step}")
+        if not os.path.exists(f"{pref}.dbtype"):
+            prefilter_db(input_db, target_db, pref, sensitivity=sens,
+                         max_seqs=max_seqs, mask_targets=mask_targets,
+                         comp_bias_correction=comp_bias_correction,
+                         cov=cov, cov_mode=cov_mode)
+        aln = os.path.join(tmp_dir, f"aln_{step}")
+        if not os.path.exists(f"{aln}.dbtype"):
+            align_db(input_db, target_db, pref, aln, **align_kw)
+        last = step == sens_steps - 1
+        if step == 0:
+            aln_merge = aln
+        else:
+            # merge over the FULL query key set ($1 in blastp.sh); a
+            # query has results in at most one step, so per-key
+            # concatenation keeps whichever pass found hits
+            merged = out_db if last else \
+                os.path.join(tmp_dir, f"aln_merge_{step}")
+            mergedbs(query_db, merged, [aln_merge, aln])
+            aln_merge = merged
+        if last:
+            break
+        # queries whose entry is empty (index length < 2: only the
+        # terminating NUL) continue into the next, more sensitive pass
+        empty = [key for key, payload in mmseqsdb.read_db(aln)
+                 if len(payload) == 0]
+        if not empty:
+            mvdb(aln_merge, out_db)
+            break
+        next_input = os.path.join(tmp_dir, f"input_{step}")
+        if not os.path.exists(f"{next_input}.dbtype"):
+            createsubdb(empty, input_db, next_input)
+        input_db = next_input
     return out_db
 
 
