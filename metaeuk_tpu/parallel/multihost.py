@@ -56,12 +56,28 @@ def distributed_easy_predict(params, contigs_path, targets_path, out_prefix,
     from ..pipeline.predict import EasyPredict
     from ..io.seqdb import SeqDB, DBTYPE_NUCL
 
+    import os
+
     pi, pc = jax.process_index(), jax.process_count()
     n = len(SeqDB.from_fasta(contigs_path, DBTYPE_NUCL))
     lo, hi = contig_partition(n, pi, pc)
     part_prefix = f"{out_prefix}.part{pi}" if pc > 1 else out_prefix
-    EasyPredict(params).run(contigs_path, targets_path, part_prefix,
-                            tmp_dir=tmp_dir, contig_range=(lo, hi))
+    # shared scratch for the distributed prefilter (splits fanned over
+    # processes, parallel/dist_prefilter.py) when the run uses splits
+    prev_dist = os.environ.get("METAEUK_DIST_TMP")
+    if pc > 1:
+        os.environ["METAEUK_DIST_TMP"] = (
+            os.path.join(tmp_dir, "dist_pref") if tmp_dir
+            else f"{out_prefix}.dist_pref")
+    try:
+        EasyPredict(params).run(contigs_path, targets_path, part_prefix,
+                                tmp_dir=tmp_dir, contig_range=(lo, hi))
+    finally:
+        if pc > 1:
+            if prev_dist is None:
+                os.environ.pop("METAEUK_DIST_TMP", None)
+            else:
+                os.environ["METAEUK_DIST_TMP"] = prev_dist
     if pc > 1:
         # barrier over all processes, then rank 0 merges
         from jax.experimental import multihost_utils

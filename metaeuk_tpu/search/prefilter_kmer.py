@@ -529,7 +529,22 @@ class ReferenceKmerPrefilter:
                 kmer_size=ksize)
         if n_splits > 1:
             log.info(f"prefilter target split: {n_splits} splits")
-            self.pf = SplitKmerPrefilter(tencs, n_splits=n_splits, **kw)
+            # in a jax.distributed run with a shared tmp dir, fan the
+            # splits over processes (runMpiSplits role,
+            # Prefiltering.cpp:575-660) — merged lists byte-identical
+            dist_tmp = os.environ.get("METAEUK_DIST_TMP")
+            n_proc = 1
+            if dist_tmp:
+                import jax
+                n_proc = jax.process_count()
+            if dist_tmp and n_proc > 1:
+                from ..parallel.dist_prefilter import \
+                    DistributedSplitKmerPrefilter
+                self.pf = DistributedSplitKmerPrefilter(
+                    tencs, dist_tmp, n_splits, **kw)
+            else:
+                self.pf = SplitKmerPrefilter(tencs, n_splits=n_splits,
+                                             **kw)
         else:
             self.pf = KmerPrefilter(tencs, **kw)
 

@@ -106,6 +106,78 @@ def test_two_process_distributed_easy_predict(tmp_path):
             == (golden / f"easypredict.{s_}").read_bytes(), s_
 
 
+def test_dist_prefilter_single_process_equals_sequential(tmp_path):
+    """DistributedSplitKmerPrefilter with process_count == 1 runs all
+    splits through the same phased code path and must reproduce the
+    sequential SplitKmerPrefilter lists exactly."""
+    from metaeuk_tpu.parallel.dist_prefilter import \
+        DistributedSplitKmerPrefilter
+    from metaeuk_tpu.search.prefilter_kmer import SplitKmerPrefilter
+
+    r = np.random.default_rng(11)
+    targets = [r.integers(0, 20, int(r.integers(40, 120))).astype(np.uint8)
+               for _ in range(40)]
+    queries = [t.copy() for t in targets[:12]]
+    ident = np.arange(12, dtype=np.int64)
+    seq = SplitKmerPrefilter(targets, n_splits=3)
+    base = seq.match_batch(queries, identity_ids=ident)
+    dist = DistributedSplitKmerPrefilter(targets, str(tmp_path / "dp"), 3)
+    got = dist.match_batch(queries, identity_ids=ident)
+    assert len(base) == len(got)
+    for qi, ((bi, bs, bd), (gi, gs, gd)) in enumerate(zip(base, got)):
+        np.testing.assert_array_equal(bi, gi, err_msg=f"q{qi} ids")
+        np.testing.assert_array_equal(bs, gs, err_msg=f"q{qi} scores")
+        np.testing.assert_array_equal(bd, gd, err_msg=f"q{qi} diags")
+    np.testing.assert_array_equal(seq.stats, dist.stats)
+
+
+def test_two_process_distributed_prefilter_splits(tmp_path):
+    """Splits fanned over processes (runMpiSplits role): a 2-process
+    easy-predict with --split 2 must byte-match the single-process
+    split-2 run, with each process building only its own split."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    data = pathlib.Path(__file__).parent / "data"
+    from metaeuk_tpu.params import Params
+    from metaeuk_tpu.pipeline.predict import EasyPredict
+
+    base = str(tmp_path / "base")
+    EasyPredict(Params(split=2)).run(data / "contigs.fna",
+                                     data / "proteins.faa", base)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "preds")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    procs = [subprocess.Popen(
+        [sys.executable, str(repo / "tools" / "dist_worker.py"), str(i),
+         "2", f"127.0.0.1:{port}", str(data / "contigs.fna"),
+         str(data / "proteins.faa"), out, "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode(errors="replace")
+            for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, lg[-2000:]
+    # each process built exactly its round-robin split
+    assert "split 1/2 on process 0" in logs[0]
+    assert "split 2/2 on process 1" in logs[1]
+    assert "split 2/2 on process 0" not in logs[0]
+    # the shared scratch holds per-(split, query-block) hit files
+    dist_dir = pathlib.Path(f"{out}.dist_pref")
+    for si in range(2):
+        for qp in range(2):
+            assert (dist_dir / f"hits_{si}_{qp}.npz").exists()
+    for s_ in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        assert pathlib.Path(f"{out}.{s_}").read_bytes() \
+            == pathlib.Path(f"{base}.{s_}").read_bytes(), s_
+
+
 def test_contig_partition_bounds():
     from metaeuk_tpu.parallel.multihost import contig_partition
     parts = [contig_partition(10, i, 3) for i in range(3)]

@@ -7,7 +7,10 @@ partition outputs (Prefiltering::runMpiSplits / Alignment::run(mpiRank)
 role, lib/mmseqs/src/prefiltering/Prefiltering.cpp:575-770).
 
     python tools/dist_worker.py <pid> <nprocs> <coord> <contigs> \
-        <targets> <out_prefix>
+        <targets> <out_prefix> [split]
+
+With a split count, the target-split prefilter fans splits over the
+processes (parallel/dist_prefilter.py, runMpiSplits role).
 
 Used by tests/test_dist.py::test_two_process_distributed_easy_predict
 (CPU backend, gloo collectives) and launchable as-is on multi-host TPU
@@ -22,6 +25,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     pid, nprocs, coord, contigs, targets, out_prefix = sys.argv[1:7]
+    split = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     import os
 
     import jax
@@ -35,7 +39,8 @@ def main():
     from metaeuk_tpu.parallel.multihost import distributed_easy_predict
 
     assert jax.process_count() == int(nprocs), jax.process_count()
-    distributed_easy_predict(Params(), contigs, targets, out_prefix)
+    params = Params(split=split) if split else Params()
+    distributed_easy_predict(params, contigs, targets, out_prefix)
 
 
 if __name__ == "__main__":
