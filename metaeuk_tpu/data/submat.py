@@ -176,6 +176,34 @@ def composition_bias(encoded_seq, scale=1.0, scores=None, pback=None):
     return (np.float64(scale) * delta.astype(np.float64)).astype(np.float32)
 
 
+def composition_bias_rounded_batch(encoded_seqs, scale=1.0):
+    """composition_bias_rounded over many fragments in ONE native call
+    (OpenMP over sequences) — the per-fragment ctypes round trip costs
+    more than the window sums at million-fragment scale. Returns a list
+    of int8 arrays; numerically identical to the per-fragment path
+    (same comp_bias inner function, same rounding)."""
+    from .. import native
+    lib = native.get_lib()
+    if lib is None:
+        return [composition_bias_rounded(e, scale) for e in encoded_seqs]
+    native.bind_comp_bias(lib)
+    n = len(encoded_seqs)
+    offs = np.zeros(n + 1, np.int64)
+    for i, e in enumerate(encoded_seqs):
+        offs[i + 1] = offs[i] + len(e)
+    data = (np.concatenate([np.asarray(e, np.uint8)
+                            for e in encoded_seqs])
+            if offs[-1] else np.zeros(0, np.uint8))
+    out = np.empty(int(offs[-1]), np.int8)
+    lib.comp_bias_batch_i8(
+        np.ascontiguousarray(data, np.uint8), offs, n,
+        np.ascontiguousarray(BLOSUM62_SCORES, np.int32),
+        BLOSUM62_SCORES.shape[1],
+        np.ascontiguousarray(BLOSUM62_PBACK, np.float64), float(scale),
+        out)
+    return [out[offs[i]:offs[i + 1]] for i in range(n)]
+
+
 def composition_bias_rounded(encoded_seq, scale=1.0, scores=None):
     """int8-rounded bias as applied to the SW profile (ssw_init,
     StripedSmithWaterman.cpp:1230-1236): round half away from zero.

@@ -74,6 +74,12 @@ def bind_comp_bias(lib):
     lib.comp_bias.restype = None
     lib.comp_bias.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64,
                               f64p, ctypes.c_double, f32p]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.comp_bias_batch_i8.restype = None
+    lib.comp_bias_batch_i8.argtypes = [u8p, i64p, ctypes.c_int64, i32p,
+                                       ctypes.c_int64, f64p,
+                                       ctypes.c_double, i8p]
     lib._cb_bound = True
 
 

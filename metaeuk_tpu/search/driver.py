@@ -259,23 +259,30 @@ def _u16_coords(u16):
 def _make_qm_tiles(li_sel, lj_sel, pair_rows):
     """Group candidate pairs by staged query row into TB-lane tiles.
     Returns (qidx (nT,), lj (nT, TB), lane_pair (nT, TB)) with -1 lane
-    padding; lane_pair maps lanes back to global pair rows."""
+    padding; lane_pair maps lanes back to global pair rows. Fully
+    vectorized (array scatter, no per-group Python) — million-group
+    candidate sets tile in milliseconds."""
     from ..ops.sw_pallas import TB
     order = np.argsort(li_sel, kind="stable")
     sorted_li = li_sel[order]
-    bounds = np.flatnonzero(np.diff(sorted_li)) + 1
-    qidx, ljs, prs = [], [], []
-    for g in np.split(order, bounds):
-        for s in range(0, len(g), TB):
-            chunk = g[s:s + TB]
-            lj_row = np.full(TB, -1, np.int32)
-            pr = np.full(TB, -1, np.int64)
-            lj_row[:len(chunk)] = lj_sel[chunk]
-            pr[:len(chunk)] = pair_rows[chunk]
-            qidx.append(int(li_sel[g[0]]))
-            ljs.append(lj_row)
-            prs.append(pr)
-    return (np.asarray(qidx, np.int32), np.stack(ljs), np.stack(prs))
+    n = len(order)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(sorted_li)) + 1])
+    group_of = np.cumsum(np.diff(sorted_li) != 0)
+    group_of = np.concatenate([[0], group_of])
+    pos = np.arange(n) - starts[group_of]
+    tiles_per_group = (np.diff(np.concatenate([starts, [n]]))
+                       + TB - 1) // TB
+    tile_base = np.concatenate([[0], np.cumsum(tiles_per_group)[:-1]])
+    tile = tile_base[group_of] + pos // TB
+    lane = pos % TB
+    n_tiles = int(tiles_per_group.sum())
+    qidx = np.empty(n_tiles, np.int32)
+    qidx[tile] = sorted_li
+    ljs = np.full((n_tiles, TB), -1, np.int32)
+    prs = np.full((n_tiles, TB), -1, np.int64)
+    ljs[tile, lane] = lj_sel[order]
+    prs[tile, lane] = pair_rows[order]
+    return qidx, ljs, prs
 
 
 class SearchDriver:
@@ -310,13 +317,19 @@ class SearchDriver:
             oi, ti = pairs[:, 0], pairs[:, 1]
 
         # bias only for fragments that actually align (after a selective
-        # prefilter most fragments have no candidates)
-        orf_bias = {}
-        for i in np.unique(oi):
-            e = orfs_enc[i]
-            orf_bias[i] = (composition_bias_rounded(
-                e, p.comp_bias_correction_scale)
-                if p.comp_bias_correction else np.zeros(len(e), np.int8))
+        # prefilter most fragments have no candidates); one batched
+        # native call (composition_bias_rounded_batch) instead of a
+        # per-fragment round trip
+        uniq_oi = np.unique(oi)
+        if p.comp_bias_correction:
+            from ..data.submat import composition_bias_rounded_batch
+            biases = composition_bias_rounded_batch(
+                [orfs_enc[i] for i in uniq_oi],
+                p.comp_bias_correction_scale)
+        else:
+            biases = [np.zeros(len(orfs_enc[i]), np.int8)
+                      for i in uniq_oi]
+        orf_bias = dict(zip(uniq_oi.tolist(), biases))
 
         orf_lens = np.array([len(e) for e in orfs_enc], np.int64)
         # drop pairs with empty sequences

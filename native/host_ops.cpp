@@ -460,6 +460,26 @@ void comp_bias(const uint8_t *seq, int64_t n, const int32_t *scores,
     }
 }
 
+// Batched bias over concatenated sequences with the SW-profile int8
+// rounding fused (round half away from zero, ssw_init,
+// StripedSmithWaterman.cpp:1230-1236). One call + OpenMP replaces
+// millions of per-fragment ctypes round trips.
+void comp_bias_batch_i8(const uint8_t *data, const int64_t *offs,
+                        int64_t nseq, const int32_t *scores, int64_t alpha,
+                        const double *pback, double scale, int8_t *out) {
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t s = 0; s < nseq; s++) {
+        const uint8_t *seq = data + offs[s];
+        const int64_t n = offs[s + 1] - offs[s];
+        float *tmp = new float[n > 0 ? n : 1];
+        comp_bias(seq, n, scores, alpha, pback, scale, tmp);
+        int8_t *o = out + offs[s];
+        for (int64_t i = 0; i < n; i++)
+            o[i] = (int8_t)(tmp[i] < 0.0f ? tmp[i] - 0.5f : tmp[i] + 0.5f);
+        delete[] tmp;
+    }
+}
+
 void rcp_nr(const float *x, float *out, int64_t n) {
     int64_t i = 0;
     for (; i + 4 <= n; i += 4) {
