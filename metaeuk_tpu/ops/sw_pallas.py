@@ -845,7 +845,8 @@ def build_prof_tiles(q_mat, qb_mat, q_lens, qidx, Lq):
     submat = jnp.asarray(BLOSUM62_SCORES, dtype=jnp.int32)
     valid_tile = qidx >= 0
     qi = jnp.maximum(qidx, 0)
-    prof = submat[q_mat[qi]] + qb_mat[qi][:, :, None]      # (nT, Lq, A)
+    prof = submat[q_mat[qi]] \
+        + qb_mat[qi].astype(jnp.int32)[:, :, None]         # (nT, Lq, A)
     a = prof.shape[2]
     prof = jnp.pad(prof, ((0, 0), (0, 0), (0, PCOLS - a)),
                    constant_values=-128)
@@ -861,7 +862,7 @@ def build_tcodes_T(t_mat, t_lens, lj, Lt_pad):
     (lj < 0) carry code 21 (the -128 profile column)."""
     valid = lj >= 0
     ljc = jnp.maximum(lj, 0)
-    tc = t_mat[ljc]                                        # (nT, TB, Lt)
+    tc = t_mat[ljc].astype(jnp.int32)                      # (nT, TB, Lt)
     tl = jnp.where(valid, t_lens[ljc], 0)
     if tc.shape[2] < Lt_pad:
         tc = jnp.pad(tc, ((0, 0), (0, 0), (0, Lt_pad - tc.shape[2])))

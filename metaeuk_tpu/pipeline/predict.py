@@ -289,7 +289,8 @@ class EasyPredict:
         else:
             with timer.stage("predictexons"):
                 preds_per_contig = self.predict_exons(contigs, targets,
-                                                      contig_range)
+                                                      contig_range,
+                                                      tmp_dir=tmp_dir)
             if dp_ckpt:
                 os.makedirs(tmp_dir, exist_ok=True)
                 from ..io import mmseqsdb
@@ -337,8 +338,14 @@ class EasyPredict:
         self.stage_seconds = timer.report()
         return out_prefix
 
-    def predict_exons(self, contigs, targets, contig_range=None):
-        """contig_idx -> list[Prediction] (collectoptimalset emission order)."""
+    def predict_exons(self, contigs, targets, contig_range=None,
+                      tmp_dir=None):
+        """contig_idx -> list[Prediction] (collectoptimalset emission order).
+
+        With tmp_dir set, the prefilter candidate pairs and the
+        post-align hit table are checkpointed (the reference's
+        notExists-guarded stage DBs, data/predictexons.sh:40-88), so a
+        large interrupted run resumes at the failed stage."""
         p = self.params
         lo, hi = contig_range if contig_range else (0, len(contigs))
         timer = log.StageTimer()
@@ -370,24 +377,46 @@ class EasyPredict:
             with timer.stage("profile search"):
                 hits = ProfileSearchDriver(p, targets).search(orf_aa)
         else:
-            driver = SearchDriver(p, targets)
-            if p.prefilter_mode in ("ungapped", "kmer"):
-                if p.prefilter_mode == "ungapped":
-                    from ..search.prefilter import UngappedPrefilter
-                    pref = UngappedPrefilter(p, targets, p.min_diag_score)
+            hits_ckpt = os.path.join(tmp_dir, "search_hits.npy") \
+                if tmp_dir else None
+            if hits_ckpt and os.path.exists(hits_ckpt):
+                with timer.stage("resume search_hits"):
+                    hits = np.load(hits_ckpt)
+                    log.info(f"resumed {hits_ckpt} ({len(hits)} hits)")
+            elif p.prefilter_mode in ("ungapped", "kmer"):
+                driver = SearchDriver(p, targets)
+                pairs_ckpt = os.path.join(tmp_dir, "pref_pairs.npy") \
+                    if tmp_dir else None
+                if pairs_ckpt and os.path.exists(pairs_ckpt):
+                    pairs = np.load(pairs_ckpt)
+                    log.info(f"resumed {pairs_ckpt} ({len(pairs)} pairs)")
                 else:
-                    # "kmer": the reference-default sensitivity-calibrated
-                    # prefilter (byte-parity candidate sets)
-                    from ..search.prefilter_kmer import ReferenceKmerPrefilter
-                    pref = ReferenceKmerPrefilter(p, targets, p.min_diag_score)
-                with timer.stage(f"{p.prefilter_mode} prefilter"):
-                    pairs = pref.candidate_pairs(orf_aa)
+                    if p.prefilter_mode == "ungapped":
+                        from ..search.prefilter import UngappedPrefilter
+                        pref = UngappedPrefilter(p, targets,
+                                                 p.min_diag_score)
+                    else:
+                        # "kmer": the reference-default sensitivity-
+                        # calibrated prefilter (byte-parity candidates)
+                        from ..search.prefilter_kmer import \
+                            ReferenceKmerPrefilter
+                        pref = ReferenceKmerPrefilter(p, targets,
+                                                      p.min_diag_score)
+                    with timer.stage(f"{p.prefilter_mode} prefilter"):
+                        pairs = pref.candidate_pairs(orf_aa)
+                    if pairs_ckpt:
+                        os.makedirs(tmp_dir, exist_ok=True)
+                        np.save(pairs_ckpt, pairs)
                 log.info(f"prefilter pairs kept: {len(pairs)}")
                 with timer.stage("align"):
                     hits = driver.search(orf_aa, pair_generator=pairs)
             else:
+                driver = SearchDriver(p, targets)
                 with timer.stage("align (exhaustive)"):
                     hits = driver.search(orf_aa)
+            if hits_ckpt and not os.path.exists(hits_ckpt):
+                os.makedirs(tmp_dir, exist_ok=True)
+                np.save(hits_ckpt, hits)
         tot_aas = targets.total_residues()
         # profile results pass through one extra text round trip
         # (swapresults re-serializes before resultspercontig)

@@ -41,15 +41,33 @@ HIT_DTYPE = np.dtype([
 CELL_BUDGET = 1 << 27
 
 
-def _bucket(n, lo=256):
-    """Coarse length buckets (x4 steps). Deliberately very coarse: each
-    distinct jit shape costs seconds of executable load over a tunneled
-    TPU link, while padded DP cells are nearly free (the fused kernel
-    runs at ~23 Gcells/s), so few big shapes beat many tight ones."""
-    b = lo
+def _bucket(n, lo=None):
+    """Length buckets. Sequence-length tiers are x2 from 64 up to 1024
+    (the range where nearly all fragments and targets live — x4 tiers
+    padded 330-aa targets to 1024 columns, a 3x compute tax on every DP
+    cell) and x4 above (rare long sequences; executable count stays
+    bounded, and each distinct jit shape costs seconds of load over a
+    tunneled TPU link). Row-count tiers (lo=8) stay x4: padded rows cost
+    upload bytes, not DP cells."""
+    if lo is not None:
+        b = lo
+        while b < n:
+            b *= 4
+        return b
+    b = 64
     while b < n:
-        b *= 4
+        b *= 2 if b < 1024 else 4
     return b
+
+
+_LEN_TIERS = np.array([64, 128, 256, 512, 1024, 4096, 16384, 65536,
+                       262144], np.int64)
+
+
+def _bucket_arr(lens):
+    """Vectorized sequence-length tier lookup (same tiers as _bucket)."""
+    lens = np.maximum(np.asarray(lens, np.int64), 1)
+    return _LEN_TIERS[np.searchsorted(_LEN_TIERS, lens)]
 
 
 def pad_rows(seqs, width, dtype=np.int32):
@@ -127,10 +145,10 @@ def _pair_ends_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj,
     # padded tail pairs are flagged by li < 0
     valid = li >= 0
     li = jnp.maximum(li, 0)
-    q_enc = q_mat[li]
-    q_bias = qb_mat[li]
+    q_enc = q_mat[li].astype(jnp.int32)
+    q_bias = qb_mat[li].astype(jnp.int32)
     q_len = jnp.where(valid, q_lens[li], 0)
-    t_enc = t_mat[lj]
+    t_enc = t_mat[lj].astype(jnp.int32)
     t_len = jnp.where(valid, t_lens[lj], 0)
     if use_pallas:
         from ..ops.sw_pallas import (_build_S_gapped,
@@ -152,10 +170,10 @@ def _pair_starts_impl(q_mat, qb_mat, q_lens, t_mat, t_lens, li, lj, qe, te,
     """Device-side pair gather + reverse-prefix starts (survivors only)."""
     valid = li >= 0
     li = jnp.maximum(li, 0)
-    q_enc = q_mat[li]
-    q_bias = qb_mat[li]
+    q_enc = q_mat[li].astype(jnp.int32)
+    q_bias = qb_mat[li].astype(jnp.int32)
     q_len = jnp.where(valid, q_lens[li], 0)
-    t_enc = t_mat[lj]
+    t_enc = t_mat[lj].astype(jnp.int32)
     t_len = jnp.where(valid, t_lens[lj], 0)
     qe = jnp.where(valid, qe, 0)
     te = jnp.where(valid, te, 0)
@@ -311,10 +329,12 @@ class SearchDriver:
             oi = np.repeat(np.arange(n_orfs, dtype=np.int64), n_targets)
             ti = np.tile(np.arange(n_targets, dtype=np.int64), n_orfs)
         else:
-            pairs = np.asarray(list(pair_generator), dtype=np.int64)
+            pairs = pair_generator if isinstance(pair_generator, np.ndarray) \
+                else np.asarray(list(pair_generator), dtype=np.int64)
             if len(pairs) == 0:
                 return np.zeros(0, dtype=HIT_DTYPE)
-            oi, ti = pairs[:, 0], pairs[:, 1]
+            oi, ti = (pairs[:, 0].astype(np.int64),
+                      pairs[:, 1].astype(np.int64))
 
         # bias only for fragments that actually align (after a selective
         # prefilter most fragments have no candidates); one batched
@@ -350,14 +370,16 @@ class SearchDriver:
 
         # stage per-bucket padded matrices ONCE (device-side gather per
         # chunk keeps the host out of the per-pair path)
-        lq_of = np.array([_bucket(max(l, 1)) for l in orf_lens])
-        lt_of = np.array([_bucket(max(l, 1)) for l in self.target_lens])
+        lq_of = _bucket_arr(orf_lens)
+        lt_of = _bucket_arr(self.target_lens)
         lq_b, lt_b = lq_of[oi], lt_of[ti]
         n_pairs = len(oi)
         qm_on, qm_interp = _qm_mode()
         _mark("prep")
 
         # ---- phase 1: stage buckets + submit forward-ends dispatches ----
+        from ..utils import log as _log
+        prog = _log.progress(n_pairs, "align submit")
         buckets = []
         fwd_parts = []  # (kind, mapping, deferred (score, q_end, t_end))
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
@@ -371,15 +393,21 @@ class SearchDriver:
             # compiled executables (XLA persistent cache hits)
             nq_pad = _bucket(max(len(q_ids), 1), lo=8)
             nt_pad = _bucket(max(len(t_ids), 1), lo=8)
+            # codes/bias staged as uint8/int8: 4x fewer upload bytes
+            # than int32 (host->device bandwidth is a scaling cost);
+            # device-side gathers index by u8 and promote on use
             q_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([orfs_enc[i] for i in q_ids], Lq), nq_pad))
+                pad_rows([orfs_enc[i] for i in q_ids], Lq,
+                         dtype=np.uint8), nq_pad))
             qb_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([orf_bias[i] for i in q_ids], Lq), nq_pad))
+                pad_rows([orf_bias[i] for i in q_ids], Lq,
+                         dtype=np.int8), nq_pad))
             q_lens = orf_lens[q_ids].astype(np.int32)
             q_lens_dev = jnp.asarray(np.pad(q_lens,
                                             (0, nq_pad - len(q_ids))))
             t_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([self.targets_enc[i] for i in t_ids], Lt), nt_pad))
+                pad_rows([self.targets_enc[i] for i in t_ids], Lt,
+                         dtype=np.uint8), nt_pad))
             t_lens = self.target_lens[t_ids].astype(np.int32)
             t_lens_dev = jnp.asarray(np.pad(t_lens,
                                             (0, nt_pad - len(t_ids))))
@@ -401,11 +429,17 @@ class SearchDriver:
             for rows, li, lj, outs in self._submit_pair(
                     ctx, pair_rows, oi, ti, "pair_ends", None):
                 fwd_parts.append(("rows", rows, outs))
+                prog.update(len(rows))
             for lane_pair, outs in self._submit_qm(
                     ctx, qm_rows, oi, ti, "qm_ends", None, None,
                     qm_interp):
                 fwd_parts.append(("lanes", lane_pair, outs))
+                prog.update(int((lane_pair >= 0).sum()))
+        prog.finish()
         _mark("fwd_submit")
+        if len(fwd_parts) > 64:
+            _log.info(f"align: {len(fwd_parts)} dispatches in flight; "
+                      "fetching results")
         if not fwd_parts:
             return np.zeros(0, dtype=HIT_DTYPE)
 
