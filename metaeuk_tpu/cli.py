@@ -49,6 +49,9 @@ def _add_predict_flags(p):
                    help="target DB splits (0 = set by --split-memory-limit)")
     p.add_argument("--split-memory-limit", type=_byte_size, default=0,
                    help="max RAM per prefilter split, e.g. 4G (0 = free RAM)")
+    p.add_argument("--split-mode", type=int, default=2, choices=[0, 1, 2],
+                   help="0 target split, 1 query split (streamed query "
+                        "blocks over one resident index), 2 auto")
     p.add_argument("--prefilter-mode", choices=["exhaustive", "ungapped", "kmer"],
                    default="kmer",
                    help="kmer = the reference default (sens-calibrated)")
@@ -87,6 +90,7 @@ def _params_from_args(args):
         comp_bias_correction=bool(args.comp_bias_corr),
         aln_len_thr=args.min_exon_aa,
         split=args.split,
+        split_mode=args.split_mode,
         split_memory_limit=args.split_memory_limit,
     )
 

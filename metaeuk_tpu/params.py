@@ -51,6 +51,9 @@ class Params:
     kmer_size: int = 0                    # -k (0 = auto by target DB size,
     #   IndexTable::computeKmerSize: 6 below 3.35G residues, else 7)
     split: int = 0                        # --split (0 = auto by memory)
+    split_mode: int = 2                   # --split-mode (0 target, 1 query,
+    #   2 auto: query split when the whole target index fits the memory
+    #   budget, else target split — Prefiltering.cpp:662-770)
     split_memory_limit: int = 0           # --split-memory-limit (0 = free RAM)
     disk_space_limit: int = 0             # --disk-space-limit (0 = default;
     #   bounds staged profile slices in the sliced profile search,

@@ -518,15 +518,24 @@ class ReferenceKmerPrefilter:
                 log.info(f"k-mer index {src}.kidx incompatible; rebuilding")
         tencs = [encode_aa(target_db.seq_bytes(i))
                  for i in range(len(target_db))]
-        # memory-driven target splitting (Prefiltering::optimizeSplit
-        # role): forced via --split, or automatic when one split's index
-        # + match scratch would not fit --split-memory-limit / free RAM
+        # split-mode decision (Prefiltering.cpp:662-770): query split
+        # when the whole target index fits the memory budget, target
+        # split otherwise. Query-split processing here is the streaming
+        # BATCH_CHUNK match loop over one resident index (per-query
+        # results are independent, so block order is output-invariant —
+        # the reference's SPLIT_QUERY result files concatenate the same
+        # way); --split-mode 1 forces it, 0 forces target splits.
+        split_mode = int(getattr(params, "split_mode", 2))
         n_splits = int(getattr(params, "split", 0)) or None
         mem_limit = int(getattr(params, "split_memory_limit", 0))
-        if n_splits is None:
+        if split_mode == 1:
+            n_splits = 1
+        elif n_splits is None:
             n_splits = optimize_split(
                 sum(len(t) for t in tencs), len(tencs), mem_limit,
                 kmer_size=ksize)
+            if split_mode == 0 and n_splits < 2:
+                n_splits = 2
         if n_splits > 1:
             log.info(f"prefilter target split: {n_splits} splits")
             # in a jax.distributed run with a shared tmp dir, fan the

@@ -144,6 +144,62 @@ def test_prefilter_overflow_parity():
             f"ovf q{qi}"
 
 
+def test_split_mode_selection(seqs, tmp_path):
+    """--split-mode (Prefiltering.cpp:662-770): 1 forces query-split
+    processing (one resident index, streamed query blocks), 0 forces
+    target splits; outputs are identical either way."""
+    from dataclasses import replace
+    from metaeuk_tpu.io import mmseqsdb as mdb
+    from metaeuk_tpu.io.seqdb import SeqDB, DBTYPE_AA
+    from metaeuk_tpu.params import Params
+    from metaeuk_tpu.search.prefilter_kmer import (ReferenceKmerPrefilter,
+                                                   SplitKmerPrefilter)
+
+    T, Q = seqs
+    db = tmp_path / "tdb"
+
+    class FakeDB:
+        def __init__(self, encs):
+            self.encs = encs
+
+        def __len__(self):
+            return len(self.encs)
+
+        def seq_bytes(self, i):
+            from metaeuk_tpu.data.submat import NUM2AA
+            return bytes(NUM2AA[self.encs[i]])
+
+        def total_residues(self):
+            return sum(len(e) for e in self.encs)
+
+    fdb = FakeDB(T)
+    # query mode: even a tiny memory limit must not split targets
+    p1 = Params(split_mode=1, split_memory_limit=1)
+    pf1 = ReferenceKmerPrefilter(p1, fdb)
+    assert not isinstance(pf1.pf, SplitKmerPrefilter)
+    # target mode: forced to >= 2 splits even when one split fits
+    p0 = Params(split_mode=0)
+    pf0 = ReferenceKmerPrefilter(p0, fdb)
+    assert isinstance(pf0.pf, SplitKmerPrefilter)
+    assert pf0.pf.n_splits >= 2
+
+
+def test_prefilter_overflow_single_query_parity():
+    """Single-query match() flows through the same chunked-overflow
+    native path as the batch (match_collect + finish_match) — no hard
+    error, byte parity with the reference in the overflow regime."""
+    from fixture_ovf import make_ovf_seqs
+
+    targets, queries = make_ovf_seqs()
+    enc = lambda s: AA2NUM[np.frombuffer(s.encode(), np.uint8)]
+    pf = KmerPrefilter([enc(t) for t in targets])
+    ref = dict(mmseqsdb.read_db(str(GOLDEN.parent / "ovf" / "pfres_ovf")))
+    for qi, q in enumerate(queries):
+        ids, sc, dg = pf.match(enc(q))
+        assert hits_to_pref_lines(ids, sc, dg).encode() \
+            == ref.get(qi, b""), f"ovf single q{qi}"
+
+
 def test_split_prefilter_parity(seqs):
     """Target-DB-split prefilter byte parity vs a reference --split 3
     --split-mode 0 run: decomposeDomainByAminoAcid boundaries, per-split
