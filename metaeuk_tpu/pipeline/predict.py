@@ -255,6 +255,43 @@ def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
     return {ci: ps for ci, ps in preds_per_contig.items() if ps}
 
 
+def _pipelined_search(pref, driver, orf_aa, n_batches):
+    """Overlap the host prefilter with device alignment across fragment
+    batches (the reference runs these stages strictly serially as
+    separate processes; here the k-mer engine's OpenMP match of batch
+    k+1 runs while the TPU aligns batch k's candidates). Per-fragment
+    results are independent and batches are fragment-contiguous, so the
+    concatenated hit table equals the single-pass one byte-for-byte."""
+    from concurrent.futures import ThreadPoolExecutor
+    from ..search.prefilter_kmer import log_prefilter_stats
+
+    n = len(orf_aa)
+    bounds = [n * k // n_batches for k in range(n_batches + 1)]
+    stats = np.zeros(5, np.int64)
+    parts = []
+    all_qi = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(pref.candidate_pairs, orf_aa[bounds[0]:bounds[1]],
+                        0, True)
+        for k in range(n_batches):
+            pairs_k = fut.result()
+            stats += getattr(pref.pf, "stats", np.zeros(5, np.int64))
+            if k + 1 < n_batches:
+                fut = ex.submit(pref.candidate_pairs,
+                                orf_aa[bounds[k + 1]:bounds[k + 2]],
+                                bounds[k + 1], True)
+            all_qi.append(pairs_k[:, 0] if len(pairs_k)
+                          else np.zeros(0, np.int64))
+            parts.append(driver.search(orf_aa, pair_generator=pairs_k))
+    counts = np.bincount(np.concatenate(all_qi).astype(np.int64),
+                         minlength=n) if n else np.zeros(0, np.int64)
+    log_prefilter_stats(stats, counts)
+    log.info(f"prefilter pairs kept: {int(counts.sum())} "
+             f"({n_batches} pipelined batches)")
+    from ..search.driver import HIT_DTYPE
+    return np.concatenate(parts) if parts else np.zeros(0, HIT_DTYPE)
+
+
 class EasyPredict:
     """Runs the full pipeline and writes the four output files."""
 
@@ -387,6 +424,7 @@ class EasyPredict:
                 driver = SearchDriver(p, targets)
                 pairs_ckpt = os.path.join(tmp_dir, "pref_pairs.npy") \
                     if tmp_dir else None
+                pairs = None
                 if pairs_ckpt and os.path.exists(pairs_ckpt):
                     pairs = np.load(pairs_ckpt)
                     log.info(f"resumed {pairs_ckpt} ({len(pairs)} pairs)")
@@ -399,17 +437,32 @@ class EasyPredict:
                         # "kmer": the reference-default sensitivity-
                         # calibrated prefilter (byte-parity candidates)
                         from ..search.prefilter_kmer import \
-                            ReferenceKmerPrefilter
+                            KmerPrefilter, ReferenceKmerPrefilter
                         pref = ReferenceKmerPrefilter(p, targets,
                                                       p.min_diag_score)
-                    with timer.stage(f"{p.prefilter_mode} prefilter"):
-                        pairs = pref.candidate_pairs(orf_aa)
-                    if pairs_ckpt:
-                        os.makedirs(tmp_dir, exist_ok=True)
-                        np.save(pairs_ckpt, pairs)
-                log.info(f"prefilter pairs kept: {len(pairs)}")
-                with timer.stage("align"):
-                    hits = driver.search(orf_aa, pair_generator=pairs)
+                    n_b = int(os.environ.get("METAEUK_PIPELINE_BATCHES",
+                                             "0"))
+                    can_pipeline = (
+                        p.prefilter_mode == "kmer"
+                        and isinstance(getattr(pref, "pf", None),
+                                       KmerPrefilter))
+                    if n_b == 0:
+                        n_b = 4 if (can_pipeline
+                                    and len(orf_aa) >= 50_000) else 1
+                    if n_b > 1 and can_pipeline:
+                        with timer.stage("prefilter+align (pipelined)"):
+                            hits = _pipelined_search(pref, driver,
+                                                     orf_aa, n_b)
+                    else:
+                        with timer.stage(f"{p.prefilter_mode} prefilter"):
+                            pairs = pref.candidate_pairs(orf_aa)
+                        if pairs_ckpt:
+                            os.makedirs(tmp_dir, exist_ok=True)
+                            np.save(pairs_ckpt, pairs)
+                if pairs is not None:
+                    log.info(f"prefilter pairs kept: {len(pairs)}")
+                    with timer.stage("align"):
+                        hits = driver.search(orf_aa, pair_generator=pairs)
             else:
                 driver = SearchDriver(p, targets)
                 with timer.stage("align (exhaustive)"):

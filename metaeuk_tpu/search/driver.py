@@ -312,6 +312,33 @@ class SearchDriver:
                             for i in range(len(target_db))]
         self.target_lens = np.array([len(t) for t in self.targets_enc], np.int64)
         self.evaluer = EvalueComputation(target_db.total_residues(), gapped=True)
+        # per-tier device staging of the whole target set, built lazily
+        # and kept for the driver's lifetime: repeated search() calls
+        # (batched pipelines, servers, splits) stop re-uploading targets
+        self._t_stage = {}
+
+    def _target_tier(self, Lt):
+        """(t_mat, t_lens_dev, t_remap, nt_pad) for every target whose
+        length tier is Lt; cached on device across search() calls."""
+        st = self._t_stage.get(Lt)
+        if st is None:
+            lt_of = _bucket_arr(self.target_lens)
+            t_ids = np.flatnonzero(lt_of == Lt)
+            nt_pad = _bucket(max(len(t_ids), 1), lo=8)
+            t_mat = jnp.asarray(_pad_rows_to(
+                pad_rows([self.targets_enc[i] for i in t_ids], Lt,
+                         dtype=np.uint8), nt_pad))
+            t_lens = self.target_lens[t_ids].astype(np.int32)
+            t_lens_dev = jnp.asarray(np.pad(t_lens,
+                                            (0, nt_pad - len(t_ids))))
+            t_remap = np.zeros(len(self.targets_enc), np.int32)
+            t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
+            from ..utils.log import MemoryTracker
+            MemoryTracker.track(f"align staged targets Lt={Lt}",
+                                int(t_mat.size) + 4 * int(t_lens_dev.size))
+            st = dict(t_mat=t_mat, t_lens_dev=t_lens_dev, t_remap=t_remap)
+            self._t_stage[Lt] = st
+        return st
 
     def search(self, orf_aa_seqs, pair_generator=None):
         """Align fragments; returns a HIT_DTYPE array sorted per fragment.
@@ -321,7 +348,14 @@ class SearchDriver:
           pairs; None = exhaustive.
         """
         p = self.params
-        orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
+        # repeated search() calls over the same fragment list (the
+        # prefilter/align pipeline) reuse the encodings
+        cache = getattr(self, "_enc_cache", None)
+        if cache is not None and cache[0] is orf_aa_seqs:
+            orfs_enc = cache[1]
+        else:
+            orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
+            self._enc_cache = (orf_aa_seqs, orfs_enc)
         n_orfs = len(orfs_enc)
         n_targets = len(self.targets_enc)
 
@@ -385,17 +419,14 @@ class SearchDriver:
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
             q_ids = np.unique(oi[sel])
-            t_ids = np.unique(ti[sel])
-            # stage on device once per bucket (repeated host->device
-            # uploads dominate on high-latency links otherwise); row
-            # counts are padded to power-of-two tiers so the jit shapes
-            # are dataset-independent — any workload reuses the same
-            # compiled executables (XLA persistent cache hits)
+            # stage queries on device once per bucket (repeated
+            # host->device uploads dominate on high-latency links
+            # otherwise); row counts are padded to power-of-two tiers so
+            # the jit shapes are dataset-independent. Targets come from
+            # the per-tier persistent staging (whole tier, kept across
+            # search() calls). Codes/bias are uint8/int8: 4x fewer
+            # upload bytes than int32; device gathers promote on use.
             nq_pad = _bucket(max(len(q_ids), 1), lo=8)
-            nt_pad = _bucket(max(len(t_ids), 1), lo=8)
-            # codes/bias staged as uint8/int8: 4x fewer upload bytes
-            # than int32 (host->device bandwidth is a scaling cost);
-            # device-side gathers index by u8 and promote on use
             q_mat = jnp.asarray(_pad_rows_to(
                 pad_rows([orfs_enc[i] for i in q_ids], Lq,
                          dtype=np.uint8), nq_pad))
@@ -405,24 +436,17 @@ class SearchDriver:
             q_lens = orf_lens[q_ids].astype(np.int32)
             q_lens_dev = jnp.asarray(np.pad(q_lens,
                                             (0, nq_pad - len(q_ids))))
-            t_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([self.targets_enc[i] for i in t_ids], Lt,
-                         dtype=np.uint8), nt_pad))
-            t_lens = self.target_lens[t_ids].astype(np.int32)
-            t_lens_dev = jnp.asarray(np.pad(t_lens,
-                                            (0, nt_pad - len(t_ids))))
             q_remap = np.zeros(int(q_ids.max()) + 1, np.int32)
             q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
-            t_remap = np.zeros(int(t_ids.max()) + 1, np.int32)
-            t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
+            tst = self._target_tier(Lt)
             from ..utils.log import MemoryTracker
             MemoryTracker.track(
-                f"align staged bucket Lq={Lq} Lt={Lt}",
-                4 * (int(q_mat.size) * 2 + int(t_mat.size)))
+                f"align staged queries Lq={Lq}",
+                2 * int(q_mat.size) + 4 * int(q_lens_dev.size))
             ctx = dict(Lq=Lq, Lt=Lt, sel=sel, q_mat=q_mat, qb_mat=qb_mat,
-                       q_lens_dev=q_lens_dev, t_mat=t_mat,
-                       t_lens_dev=t_lens_dev, q_remap=q_remap,
-                       t_remap=t_remap, nq=len(q_ids))
+                       q_lens_dev=q_lens_dev, t_mat=tst["t_mat"],
+                       t_lens_dev=tst["t_lens_dev"], q_remap=q_remap,
+                       t_remap=tst["t_remap"], nq=len(q_ids))
             buckets.append(ctx)
             li_sel = q_remap[oi[sel]]
             qm_rows, pair_rows = self._split_qm(ctx, sel, li_sel, qm_on)

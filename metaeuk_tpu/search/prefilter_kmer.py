@@ -557,16 +557,19 @@ class ReferenceKmerPrefilter:
         else:
             self.pf = KmerPrefilter(tencs, **kw)
 
-    def candidate_pairs(self, orf_aa_seqs):
+    def candidate_pairs(self, orf_aa_seqs, base_index=0, quiet=False):
         """(n_pairs, 2) int64 (orf_idx, target_idx), per fragment in
-        prefilter output order (score desc, target asc)."""
+        prefilter output order (score desc, target asc). base_index
+        offsets the fragment indices (batched pipeline slices)."""
         from ..data.submat import encode_aa
         results = self.pf.match_batch([encode_aa(s) for s in orf_aa_seqs])
         counts = np.array([len(ids) for ids, _, _ in results], np.int64)
-        log_prefilter_stats(getattr(self.pf, "stats", None), counts)
+        if not quiet:
+            log_prefilter_stats(getattr(self.pf, "stats", None), counts)
         if counts.sum() == 0:
             return np.zeros((0, 2), np.int64)
-        qi = np.repeat(np.arange(len(results), dtype=np.int64), counts)
+        qi = base_index + np.repeat(
+            np.arange(len(results), dtype=np.int64), counts)
         ti = np.concatenate([ids for ids, _, _ in results]).astype(np.int64)
         return np.stack([qi, ti], axis=1)
 

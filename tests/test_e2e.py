@@ -31,3 +31,18 @@ def test_easypredict_byte_parity(outputs, suffix):
     mine = pathlib.Path(f"{outputs}.{suffix}").read_bytes()
     golden = (GOLDEN / f"easypredict.{suffix}").read_bytes()
     assert mine == golden
+
+
+def test_easypredict_pipelined_batches_parity(tmp_path, monkeypatch,
+                                              capfd):
+    """The prefilter/align pipeline (host k-mer matching of batch k+1
+    overlapped with device alignment of batch k) must be byte-identical
+    to the single-pass run."""
+    monkeypatch.setenv("METAEUK_PIPELINE_BATCHES", "3")
+    out = tmp_path / "preds"
+    EasyPredict(Params()).run(DATA / "contigs.fna", DATA / "proteins.faa",
+                              str(out))
+    assert "pipelined batches" in capfd.readouterr().err
+    for suffix in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        assert pathlib.Path(f"{out}.{suffix}").read_bytes() \
+            == (GOLDEN / f"easypredict.{suffix}").read_bytes(), suffix
