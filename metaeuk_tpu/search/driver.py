@@ -265,6 +265,25 @@ def _dispatcher(name, Lq, Lt, flag, n_dev):
     return jax.jit(f)
 
 
+def _fetch_parts(parts):
+    """Fetch many deferred (k, w) device arrays as one host-concatenated
+    (k, sum w) array. Async device->host copies are issued up front so
+    transfers pipeline; progress ticks cover long fetch waits."""
+    from ..utils import log as _log
+    for d in parts:
+        try:
+            d.copy_to_host_async()
+        except AttributeError:
+            break
+    prog = _log.progress(len(parts), "align fetch", step=16)
+    outs = []
+    for d in parts:
+        outs.append(np.asarray(d))
+        prog.update()
+    prog.finish()
+    return np.concatenate(outs, axis=1) if outs else None
+
+
 def _u16_coords(u16):
     """uint16 coordinates -> int32 with the -1 sentinel restored (65535).
     Coordinates are < 65535 by the kernels' 16-bit column packing, so
@@ -467,13 +486,13 @@ class SearchDriver:
         if not fwd_parts:
             return np.zeros(0, dtype=HIT_DTYPE)
 
-        # ---- phase 2: ONE fetch of the uint16 result packs ----
-        # Device->host bandwidth is the scaling bottleneck (3 MB/s over a
-        # tunneled dev chip; PCIe isn't free either): 6 bytes per padded
-        # lane, one concatenated transfer, and every participating jit /
-        # fetch shape is data-independent (repeatable executables).
-        cat = np.asarray(jnp.concatenate([pp[2] for pp in fwd_parts],
-                                         axis=1))
+        # ---- phase 2: fetch the uint16 result packs ----
+        # 6 bytes per padded lane; async copies are issued for every
+        # part first so the transfers pipeline behind each other (and
+        # behind remaining device work), then concatenated on HOST — a
+        # device-side concat would compile an N-operand op whose compile
+        # time explodes for tens of thousands of dispatches.
+        cat = _fetch_parts([pp[2] for pp in fwd_parts])
         _mark("fwd_fetch")
         score_all = np.zeros(n_pairs, np.int32)
         qe_all = np.zeros(n_pairs, np.int32)
@@ -529,8 +548,7 @@ class SearchDriver:
                 rev_parts.append(("lanes", lane_pair, outs))
         _mark("rev_submit")
         if rev_parts:
-            cat = np.asarray(jnp.concatenate([pp[2] for pp in rev_parts],
-                                             axis=1))
+            cat = _fetch_parts([pp[2] for pp in rev_parts])
             off = 0
             for kind, mapping, dev in rev_parts:
                 w = int(dev.shape[1])
