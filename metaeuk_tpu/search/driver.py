@@ -565,15 +565,21 @@ class SearchDriver:
                     ts_all[lanes[ok]] = _u16_coords(seg[1][ok])
         _mark("rev_fetch")
 
-        hits = np.zeros(n_pairs, dtype=HIT_DTYPE)
-        hits["orf_idx"] = oi
-        hits["target_idx"] = ti
-        hits["score_raw"] = score_all
-        hits["q_start"], hits["q_end"] = qs_all, qe_all
-        hits["q_len"] = q_len_pairs
-        hits["t_start"], hits["t_end"] = ts_all, te_all
-        hits["t_len"] = self.target_lens[ti]
-        out = self._filter_and_sort(hits)
+        # compact to gate survivors BEFORE the scoring/sort pass: rows
+        # failing the E-value gate can never pass checkCriteria (same
+        # E-value formula and inputs), and at metagenome scale survivors
+        # are ~10% of pairs — the per-field math and the lexsort shrink
+        # accordingly
+        keep_rows = np.flatnonzero(surv)
+        hits = np.zeros(len(keep_rows), dtype=HIT_DTYPE)
+        hits["orf_idx"] = oi[keep_rows]
+        hits["target_idx"] = ti[keep_rows]
+        hits["score_raw"] = score_all[keep_rows]
+        hits["q_start"], hits["q_end"] = qs_all[keep_rows], qe_all[keep_rows]
+        hits["q_len"] = q_len_pairs[keep_rows]
+        hits["t_start"], hits["t_end"] = ts_all[keep_rows], te_all[keep_rows]
+        hits["t_len"] = self.target_lens[ti[keep_rows]]
+        out = self._filter_and_sort(hits, evalue=ev_gate[keep_rows])
         _mark("filter_sort")
         self.phase_seconds = phase_s
         from ..utils import log
@@ -699,12 +705,14 @@ class SearchDriver:
                           jnp.asarray(qe_l), jnp.asarray(te_l))
             yield lp_p, outs
 
-    def _filter_and_sort(self, hits):
+    def _filter_and_sort(self, hits, evalue=None):
         p = self.params
         ev = self.evaluer
         score = hits["score_raw"].astype(np.float64)
-        # evalue over the full query length (ssw_align_private:391)
-        hits["evalue"] = ev.compute_evalue(score, hits["q_len"].astype(np.float64))
+        # evalue over the full query length (ssw_align_private:391);
+        # reuse the gate's values when provided (identical formula)
+        hits["evalue"] = evalue if evalue is not None else \
+            ev.compute_evalue(score, hits["q_len"].astype(np.float64))
         hits["bit_score"] = ev.compute_bit_score_int(score)
         q_aln = np.maximum(hits["q_end"] - hits["q_start"], 1)
         t_aln = np.maximum(hits["t_end"] - hits["t_start"], 1)

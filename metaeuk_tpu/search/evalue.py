@@ -67,9 +67,18 @@ _NAT_CUT_OFF_IN_MAX = 2.0  # sls_pvalues.cpp:46
 _CONST_VAL = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+try:
+    # bit-identical to math.erfc (same libm/cephes tail) and vectorized —
+    # np.vectorize(math.erfc) was a per-element Python loop that cost
+    # minutes at 88M candidate pairs
+    from scipy.special import erfc as _erfc
+except ImportError:  # pragma: no cover
+    _erfc = np.vectorize(math.erfc)
+
+
 def _normal_probability(x):
     """Phi(x) = 0.5*erfc(-x/sqrt(2)) (sls_basic.hpp:195-198)."""
-    return 0.5 * np.vectorize(math.erfc)(-math.sqrt(0.5) * np.asarray(x, dtype=np.float64))
+    return 0.5 * _erfc(-math.sqrt(0.5) * np.asarray(x, dtype=np.float64))
 
 
 class EvalueComputation:
