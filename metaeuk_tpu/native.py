@@ -186,6 +186,37 @@ def orf_scan_strand(seq_upper, stop_codons, min_len, max_len, max_gaps):
             (out_flags[:cnt] & 2).astype(bool), out_close[:cnt])
 
 
+def chain_dp_groups(starts, contig_start, contig_end, t_start, t_end,
+                    bit_score, aa_len, target_len, params):
+    """Batched single-round chaining over group-contiguous candidate
+    columns (native OpenMP; sorting + DP + traceback per group).
+    Returns (best_score (G,), path_len (G,), path (N,) global indices)
+    or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_cdg_bound", False):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.chain_dp_groups.restype = None
+        lib.chain_dp_groups.argtypes = [ctypes.c_int64] + [i64p] * 8 + \
+            [ctypes.c_int64] * 5 + [ctypes.c_double] + [i64p] * 3
+        lib._cdg_bound = True
+    starts = np.ascontiguousarray(starts, np.int64)
+    n_groups = len(starts) - 1
+    arrs = [np.ascontiguousarray(a, np.int64)
+            for a in (contig_start, contig_end, t_start, t_end,
+                      bit_score, aa_len, target_len)]
+    best = np.empty(n_groups, np.int64)
+    plen = np.empty(n_groups, np.int64)
+    path = np.empty(int(starts[-1]), np.int64)
+    lib.chain_dp_groups(n_groups, starts, *arrs,
+                        params.min_intron_length, params.max_intron_length,
+                        params.max_aa_overlap, params.set_gap_open_penalty,
+                        params.set_gap_extend_penalty,
+                        params.metaeuk_tcov_thr, best, plen, path)
+    return best, plen, path
+
+
 def chain_dp(contig_start, contig_end, t_start, t_end, bit_score, aa_len,
              target_len, params):
     """Native chaining DP; returns (prev_id, path_score, best_last,

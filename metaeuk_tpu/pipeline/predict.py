@@ -111,6 +111,53 @@ def _chain_dp_py(cs, ce, ts, te, bit, aa, target_len, p):
     return prev_id, path_score, best_last, best_score
 
 
+def _chain_groups_batched(hits, idx_all, kc, kt, plus, cs, ce, tstart,
+                          tend, bit, aa, log2_m, mk_exon, p):
+    """One native call for every (contig, target, strand) candidate set
+    (collectoptimalset.cpp:273 OMP loop role). Returns the
+    {contig: [Prediction]} map, or None when the native library is
+    unavailable (callers fall back to the per-group loop)."""
+    import math
+    from ..ops.chain import Prediction, MINUS
+    from .. import native
+
+    # strand-contiguous subgroups in (contig, target, plus-before-minus)
+    # order — exactly the reference's emission sequence for one round
+    sk = (~plus[idx_all]).astype(np.int8)
+    order2 = np.lexsort((idx_all, sk, kt, kc))
+    gidx = idx_all[order2]
+    kc2 = kc[order2]
+    kt2 = kt[order2]
+    sk2 = sk[order2]
+    change = np.nonzero((np.diff(kc2) != 0) | (np.diff(kt2) != 0)
+                        | (np.diff(sk2) != 0))[0] + 1
+    starts2 = np.concatenate([[0], change, [len(gidx)]])
+    tlen_g = hits["t_len"][gidx[starts2[:-1]]].astype(np.int64)
+    res = native.chain_dp_groups(
+        starts2, cs[gidx], ce[gidx], tstart[gidx], tend[gidx], bit[gidx],
+        aa[gidx], tlen_g, p)
+    if res is None:
+        return None
+    best, plen, path = res
+    preds_per_contig = {}
+    for g in np.flatnonzero(best > 0):
+        score = int(best[g])
+        log2_e = log2_m + 1.0 - score
+        evalue = math.pow(2.0, log2_e)
+        if evalue > p.metaeuk_evalue_thr:
+            continue
+        lo = int(starts2[g])
+        chosen = gidx[path[lo:lo + int(plen[g])]]
+        text = "%.3E" % evalue
+        preds_per_contig.setdefault(int(kc2[lo]), []).append(Prediction(
+            target_key=int(kt2[lo]),
+            strand=PLUS if sk2[lo] == 0 else MINUS,
+            total_bitscore=score, combined_evalue=float(text),
+            combined_evalue_text=text,
+            exons=[mk_exon(int(j)) for j in chosen]))
+    return preds_per_contig
+
+
 def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
     """Array-level candidate-exon assembly + chaining DP.
 
@@ -212,6 +259,16 @@ def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
         chosen = act[path]
         used[np.searchsorted(gidx, chosen)] = True
         return int(best_score), chosen
+
+    if p.max_exon_sets == 1:
+        # default regime: ONE optimal set per (contig,target,strand) —
+        # the whole DP batches into a single native OpenMP call
+        # (sort + chain + traceback per group, chain_dp_groups)
+        out = _chain_groups_batched(hits, idx_all, kc, kt, plus, cs, ce,
+                                    tstart, tend, bit, aa, log2_m,
+                                    mk_exon, p)
+        if out is not None:
+            return out
 
     from ..utils import log
     prog = log.progress(len(starts), "chain DP groups", step=256)

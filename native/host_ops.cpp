@@ -182,6 +182,80 @@ void chain_dp(int64_t n,
     *best_score_out = best_score;
 }
 
+// Batched single-round chaining over group-contiguous candidate arrays
+// (the default --max-exon-sets 1 regime): per group, stable-sort the
+// candidates by (contigStart, contigEnd) with original-position
+// tie-break, run the chain DP, and write the traceback as global
+// indices into path_out[starts[g]..starts[g]+path_len[g]). One call +
+// OpenMP replaces millions of per-group ctypes round trips (the
+// reference OMPs the same loop, collectoptimalset.cpp:273).
+void chain_dp_groups(int64_t n_groups, const int64_t* starts,
+                     const int64_t* contig_start, const int64_t* contig_end,
+                     const int64_t* t_start, const int64_t* t_end,
+                     const int64_t* bit_score, const int64_t* aa_len,
+                     const int64_t* target_len,
+                     int64_t min_intron, int64_t max_intron,
+                     int64_t max_overlap, int64_t gap_open,
+                     int64_t gap_extend, double tcov_thr,
+                     int64_t* best_score_out, int64_t* path_len_out,
+                     int64_t* path_out) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> ord, cs, ce, ts, te, bit, aa;
+        std::vector<int64_t> prev_id, path_score, num_exons, path_aa;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+        for (int64_t g = 0; g < n_groups; g++) {
+            const int64_t lo = starts[g], hi = starts[g + 1];
+            const int64_t n = hi - lo;
+            best_score_out[g] = 0;
+            path_len_out[g] = 0;
+            if (n == 0) continue;
+            ord.resize(n);
+            for (int64_t i = 0; i < n; i++) ord[i] = lo + i;
+            std::stable_sort(ord.begin(), ord.end(),
+                             [&](int64_t a, int64_t b) {
+                if (contig_start[a] != contig_start[b])
+                    return contig_start[a] < contig_start[b];
+                return contig_end[a] < contig_end[b];
+            });
+            cs.resize(n); ce.resize(n); ts.resize(n); te.resize(n);
+            bit.resize(n); aa.resize(n);
+            for (int64_t i = 0; i < n; i++) {
+                cs[i] = contig_start[ord[i]]; ce[i] = contig_end[ord[i]];
+                ts[i] = t_start[ord[i]]; te[i] = t_end[ord[i]];
+                bit[i] = bit_score[ord[i]]; aa[i] = aa_len[ord[i]];
+            }
+            prev_id.resize(n); path_score.resize(n);
+            num_exons.resize(n); path_aa.resize(n);
+            int64_t best_last = 0, best = 0;
+            chain_dp(n, cs.data(), ce.data(), ts.data(), te.data(),
+                     bit.data(), aa.data(), target_len[g], min_intron,
+                     max_intron, max_overlap, gap_open, gap_extend,
+                     tcov_thr, prev_id.data(), path_score.data(),
+                     num_exons.data(), path_aa.data(), &best_last, &best);
+            best_score_out[g] = best;
+            if (best == 0) continue;
+            // traceback low-to-high (the caller's reversed path order)
+            int64_t cnt = 0;
+            int64_t curr = best_last;
+            while (prev_id[curr] != curr) { cnt++; curr = prev_id[curr]; }
+            cnt++;
+            path_len_out[g] = cnt;
+            int64_t w = lo + cnt;
+            curr = best_last;
+            while (true) {
+                path_out[--w] = ord[curr];
+                if (prev_id[curr] == curr) break;
+                curr = prev_id[curr];
+            }
+        }
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

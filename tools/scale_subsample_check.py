@@ -49,8 +49,20 @@ def main():
     if not args.ours_only:
         ref_out = os.path.join(args.outdir, "ref")
         if not os.path.exists(f"{ref_out}.fas"):
+            # pre-create DBs with --shuffle 0: the reference's createdb
+            # shuffles entries into 32 buckets by default, which only
+            # permutes per-contig output blocks (record sets identical);
+            # byte comparison needs the unshuffled key order our
+            # input-order keys match
+            cdb = os.path.join(args.outdir, "refContigsDB")
+            tdb = os.path.join(args.outdir, "refTargetsDB")
+            for src, db in ((sub, cdb), (args.targets, tdb)):
+                if not os.path.exists(f"{db}.dbtype"):
+                    r = subprocess.run([REF, "createdb", src, db,
+                                        "--shuffle", "0", "-v", "0"])
+                    assert r.returncode == 0, "createdb failed"
             r = subprocess.run(
-                [REF, "easy-predict", sub, args.targets, ref_out,
+                [REF, "easy-predict", cdb, tdb, ref_out,
                  os.path.join(args.outdir, "reftmp"), "-v", "1"])
             assert r.returncode == 0, "reference run failed"
     if not args.ref_only:
