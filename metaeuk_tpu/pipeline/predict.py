@@ -497,6 +497,12 @@ class EasyPredict:
                             KmerPrefilter, ReferenceKmerPrefilter
                         pref = ReferenceKmerPrefilter(p, targets,
                                                       p.min_diag_score)
+                    import jax
+                    if jax.default_backend() != "cpu":
+                        # pull alignment executables in (compile or
+                        # persistent-cache load) while the prefilter
+                        # occupies the host cores
+                        driver.prewarm(orf_aa)
                     n_b = int(os.environ.get("METAEUK_PIPELINE_BATCHES",
                                              "0"))
                     can_pipeline = (

@@ -326,6 +326,7 @@ class SearchDriver:
     """Aligns encoded fragments against an encoded target DB."""
 
     def __init__(self, params, target_db):
+        import threading
         self.params = params
         self.targets_enc = [encode_aa(target_db.seq_bytes(i))
                             for i in range(len(target_db))]
@@ -335,29 +336,150 @@ class SearchDriver:
         # and kept for the driver's lifetime: repeated search() calls
         # (batched pipelines, servers, splits) stop re-uploading targets
         self._t_stage = {}
+        self._stage_lock = threading.Lock()
 
     def _target_tier(self, Lt):
-        """(t_mat, t_lens_dev, t_remap, nt_pad) for every target whose
-        length tier is Lt; cached on device across search() calls."""
-        st = self._t_stage.get(Lt)
-        if st is None:
-            lt_of = _bucket_arr(self.target_lens)
-            t_ids = np.flatnonzero(lt_of == Lt)
-            nt_pad = _bucket(max(len(t_ids), 1), lo=8)
-            t_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([self.targets_enc[i] for i in t_ids], Lt,
-                         dtype=np.uint8), nt_pad))
-            t_lens = self.target_lens[t_ids].astype(np.int32)
-            t_lens_dev = jnp.asarray(np.pad(t_lens,
-                                            (0, nt_pad - len(t_ids))))
-            t_remap = np.zeros(len(self.targets_enc), np.int32)
-            t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
-            from ..utils.log import MemoryTracker
-            MemoryTracker.track(f"align staged targets Lt={Lt}",
-                                int(t_mat.size) + 4 * int(t_lens_dev.size))
-            st = dict(t_mat=t_mat, t_lens_dev=t_lens_dev, t_remap=t_remap)
-            self._t_stage[Lt] = st
+        """(t_mat, t_lens_dev, t_remap) for every target whose length
+        tier is Lt; cached on device across search() calls."""
+        with self._stage_lock:
+            st = self._t_stage.get(Lt)
+            if st is None:
+                lt_of = _bucket_arr(self.target_lens)
+                t_ids = np.flatnonzero(lt_of == Lt)
+                nt_pad = _bucket(max(len(t_ids), 1), lo=8)
+                t_mat = jnp.asarray(_pad_rows_to(
+                    pad_rows([self.targets_enc[i] for i in t_ids], Lt,
+                             dtype=np.uint8), nt_pad))
+                t_lens = self.target_lens[t_ids].astype(np.int32)
+                t_lens_dev = jnp.asarray(np.pad(t_lens,
+                                                (0, nt_pad - len(t_ids))))
+                t_remap = np.zeros(len(self.targets_enc), np.int32)
+                t_remap[t_ids] = np.arange(len(t_ids), dtype=np.int32)
+                from ..utils.log import MemoryTracker
+                MemoryTracker.track(
+                    f"align staged targets Lt={Lt}",
+                    int(t_mat.size) + 4 * int(t_lens_dev.size))
+                st = dict(t_mat=t_mat, t_lens_dev=t_lens_dev,
+                          t_remap=t_remap)
+                self._t_stage[Lt] = st
         return st
+
+    def _query_stage(self, orf_aa_seqs):
+        """Per-Lq-tier device staging of ALL fragments (codes, bias,
+        lengths, remap), cached across search() calls on the same list.
+        Staging the full fragment set (not just pair participants) makes
+        every jit shape a function of the dataset's length histogram
+        alone — known BEFORE the prefilter — so prewarm() can pull
+        executables in while the prefilter runs, and pipelined batches
+        re-use one staging."""
+        cache = getattr(self, "_q_cache", None)
+        if cache is not None and cache[0] is orf_aa_seqs:
+            return cache[1], cache[2], cache[3]
+        with self._stage_lock:
+            cache = getattr(self, "_q_cache", None)
+            if cache is not None and cache[0] is orf_aa_seqs:
+                return cache[1], cache[2], cache[3]
+            p = self.params
+            orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
+            orf_lens = np.array([len(e) for e in orfs_enc], np.int64)
+            if p.comp_bias_correction:
+                from ..data.submat import composition_bias_rounded_batch
+                biases = composition_bias_rounded_batch(
+                    orfs_enc, p.comp_bias_correction_scale)
+            else:
+                biases = [np.zeros(len(e), np.int8) for e in orfs_enc]
+            lq_of = _bucket_arr(orf_lens)
+            tiers = {}
+            from ..utils.log import MemoryTracker
+            for Lq in np.unique(lq_of[orf_lens > 0]):
+                q_ids = np.flatnonzero((lq_of == Lq) & (orf_lens > 0))
+                nq_pad = _bucket(max(len(q_ids), 1), lo=8)
+                q_mat = jnp.asarray(_pad_rows_to(
+                    pad_rows([orfs_enc[i] for i in q_ids], Lq,
+                             dtype=np.uint8), nq_pad))
+                qb_mat = jnp.asarray(_pad_rows_to(
+                    pad_rows([biases[i] for i in q_ids], Lq,
+                             dtype=np.int8), nq_pad))
+                q_lens_dev = jnp.asarray(np.pad(
+                    orf_lens[q_ids].astype(np.int32),
+                    (0, nq_pad - len(q_ids))))
+                q_remap = np.zeros(len(orfs_enc), np.int32)
+                q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
+                MemoryTracker.track(
+                    f"align staged queries Lq={Lq}",
+                    2 * int(q_mat.size) + 4 * int(q_lens_dev.size))
+                tiers[int(Lq)] = dict(q_mat=q_mat, qb_mat=qb_mat,
+                                      q_lens_dev=q_lens_dev,
+                                      q_remap=q_remap, nq=len(q_ids))
+            self._q_cache = (orf_aa_seqs, orfs_enc, orf_lens, tiers)
+        return orfs_enc, orf_lens, tiers
+
+    def prewarm(self, orf_aa_seqs, background=True):
+        """Stage both sides and pull the alignment executables in
+        (compile or persistent-cache load) for every (Lq, Lt) tier combo
+        this dataset can produce, most-likely combos first. Run in a
+        daemon thread while the prefilter occupies the host cores: on a
+        fresh process the executable loads (~10s each over a tunneled
+        link) then overlap the prefilter instead of serializing into the
+        first align call."""
+        import threading
+
+        def work():
+            try:
+                _, orf_lens, q_tiers = self._query_stage(orf_aa_seqs)
+                lt_of = _bucket_arr(self.target_lens)
+                lq_of = _bucket_arr(orf_lens)
+                q_w = {int(l): int((lq_of == l).sum())
+                       for l in np.unique(lq_of)}
+                t_w = {int(l): int((lt_of == l).sum())
+                       for l in np.unique(lt_of)}
+                combos = sorted(
+                    ((lq, lt) for lq in q_tiers for lt in t_w),
+                    key=lambda c: -(q_w.get(c[0], 0) * t_w.get(c[1], 0)))
+                qm_on, qm_interp = _qm_mode()
+                for op in ("pair_ends", "pair_starts", "qm_ends",
+                           "qm_starts"):
+                    for (Lq, Lt) in combos:
+                        self._warm_combo(op, q_tiers[Lq], Lq, Lt, qm_on,
+                                         qm_interp)
+            except Exception as e:  # pragma: no cover - best effort
+                from ..utils import log
+                log.debug(f"prewarm aborted: {e}")
+
+        if background:
+            t = threading.Thread(target=work, daemon=True,
+                                 name="align-prewarm")
+            t.start()
+            return t
+        work()
+
+    def _warm_combo(self, name, qt, Lq, Lt, qm_on, qm_interp):
+        """Dispatch one all-padding chunk through the real submit path
+        so the exact executable for this (op, Lq, Lt) combo is built."""
+        ctx = dict(Lq=Lq, Lt=Lt, q_mat=qt["q_mat"], qb_mat=qt["qb_mat"],
+                   q_lens_dev=qt["q_lens_dev"], q_remap=qt["q_remap"],
+                   nq=qt["nq"])
+        tst = self._target_tier(Lt)
+        ctx.update(t_mat=tst["t_mat"], t_lens_dev=tst["t_lens_dev"],
+                   t_remap=tst["t_remap"])
+        rows = np.zeros(0, np.int64)
+        oi = np.zeros(1, np.int64)
+        ti = np.zeros(1, np.int64)
+        ends = (np.zeros(1, np.int32), np.zeros(1, np.int32))
+        if name.startswith("pair"):
+            rows = np.zeros(1, np.int64)
+            for _ in self._submit_pair(ctx, rows, oi, ti, name,
+                                       None if name == "pair_ends"
+                                       else ends):
+                pass
+        elif qm_on and Lq <= 4096:
+            rows = np.zeros(1, np.int64)
+            for _ in self._submit_qm(ctx, rows, oi, ti, name,
+                                     None if name == "qm_ends"
+                                     else ends[0],
+                                     None if name == "qm_ends"
+                                     else ends[1], qm_interp):
+                pass
 
     def search(self, orf_aa_seqs, pair_generator=None):
         """Align fragments; returns a HIT_DTYPE array sorted per fragment.
@@ -367,14 +489,7 @@ class SearchDriver:
           pairs; None = exhaustive.
         """
         p = self.params
-        # repeated search() calls over the same fragment list (the
-        # prefilter/align pipeline) reuse the encodings
-        cache = getattr(self, "_enc_cache", None)
-        if cache is not None and cache[0] is orf_aa_seqs:
-            orfs_enc = cache[1]
-        else:
-            orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
-            self._enc_cache = (orf_aa_seqs, orfs_enc)
+        orfs_enc, orf_lens, q_tiers = self._query_stage(orf_aa_seqs)
         n_orfs = len(orfs_enc)
         n_targets = len(self.targets_enc)
 
@@ -389,22 +504,6 @@ class SearchDriver:
             oi, ti = (pairs[:, 0].astype(np.int64),
                       pairs[:, 1].astype(np.int64))
 
-        # bias only for fragments that actually align (after a selective
-        # prefilter most fragments have no candidates); one batched
-        # native call (composition_bias_rounded_batch) instead of a
-        # per-fragment round trip
-        uniq_oi = np.unique(oi)
-        if p.comp_bias_correction:
-            from ..data.submat import composition_bias_rounded_batch
-            biases = composition_bias_rounded_batch(
-                [orfs_enc[i] for i in uniq_oi],
-                p.comp_bias_correction_scale)
-        else:
-            biases = [np.zeros(len(orfs_enc[i]), np.int8)
-                      for i in uniq_oi]
-        orf_bias = dict(zip(uniq_oi.tolist(), biases))
-
-        orf_lens = np.array([len(e) for e in orfs_enc], np.int64)
         # drop pairs with empty sequences
         keep = (orf_lens[oi] > 0) & (self.target_lens[ti] > 0)
         oi, ti = oi[keep], ti[keep]
@@ -437,37 +536,19 @@ class SearchDriver:
         fwd_parts = []  # (kind, mapping, deferred (score, q_end, t_end))
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
-            q_ids = np.unique(oi[sel])
-            # stage queries on device once per bucket (repeated
-            # host->device uploads dominate on high-latency links
-            # otherwise); row counts are padded to power-of-two tiers so
-            # the jit shapes are dataset-independent. Targets come from
-            # the per-tier persistent staging (whole tier, kept across
-            # search() calls). Codes/bias are uint8/int8: 4x fewer
-            # upload bytes than int32; device gathers promote on use.
-            nq_pad = _bucket(max(len(q_ids), 1), lo=8)
-            q_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([orfs_enc[i] for i in q_ids], Lq,
-                         dtype=np.uint8), nq_pad))
-            qb_mat = jnp.asarray(_pad_rows_to(
-                pad_rows([orf_bias[i] for i in q_ids], Lq,
-                         dtype=np.int8), nq_pad))
-            q_lens = orf_lens[q_ids].astype(np.int32)
-            q_lens_dev = jnp.asarray(np.pad(q_lens,
-                                            (0, nq_pad - len(q_ids))))
-            q_remap = np.zeros(int(q_ids.max()) + 1, np.int32)
-            q_remap[q_ids] = np.arange(len(q_ids), dtype=np.int32)
+            # both sides come from the persistent per-tier staging
+            # (queries cached per fragment list, targets per driver) —
+            # a bucket is just the (Lq, Lt) pairing of the two remaps
+            qt = q_tiers[int(Lq)]
             tst = self._target_tier(Lt)
-            from ..utils.log import MemoryTracker
-            MemoryTracker.track(
-                f"align staged queries Lq={Lq}",
-                2 * int(q_mat.size) + 4 * int(q_lens_dev.size))
-            ctx = dict(Lq=Lq, Lt=Lt, sel=sel, q_mat=q_mat, qb_mat=qb_mat,
-                       q_lens_dev=q_lens_dev, t_mat=tst["t_mat"],
-                       t_lens_dev=tst["t_lens_dev"], q_remap=q_remap,
-                       t_remap=tst["t_remap"], nq=len(q_ids))
+            ctx = dict(Lq=Lq, Lt=Lt, sel=sel, q_mat=qt["q_mat"],
+                       qb_mat=qt["qb_mat"],
+                       q_lens_dev=qt["q_lens_dev"], t_mat=tst["t_mat"],
+                       t_lens_dev=tst["t_lens_dev"],
+                       q_remap=qt["q_remap"],
+                       t_remap=tst["t_remap"], nq=qt["nq"])
             buckets.append(ctx)
-            li_sel = q_remap[oi[sel]]
+            li_sel = qt["q_remap"][oi[sel]]
             qm_rows, pair_rows = self._split_qm(ctx, sel, li_sel, qm_on)
             for rows, li, lj, outs in self._submit_pair(
                     ctx, pair_rows, oi, ti, "pair_ends", None):

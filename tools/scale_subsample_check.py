@@ -61,9 +61,14 @@ def main():
                     r = subprocess.run([REF, "createdb", src, db,
                                         "--shuffle", "0", "-v", "0"])
                     assert r.returncode == 0, "createdb failed"
+            # --threads 1: the reference's flat-FASTA writer merges
+            # per-thread files in thread order, so multithreaded runs
+            # permute per-contig blocks (record sets identical); the
+            # committed goldens use the same single-thread methodology
             r = subprocess.run(
                 [REF, "easy-predict", cdb, tdb, ref_out,
-                 os.path.join(args.outdir, "reftmp"), "-v", "1"])
+                 os.path.join(args.outdir, "reftmp"), "-v", "1",
+                 "--threads", "1"])
             assert r.returncode == 0, "reference run failed"
     if not args.ref_only:
         from metaeuk_tpu.params import Params
