@@ -14,6 +14,8 @@ path (data/workflow/blastp.sh:22-33); the k-mer prefilter plugs in as an
 alternative generator with the same contract.
 """
 
+import os
+
 import jax
 import numpy as np
 
@@ -62,12 +64,23 @@ def _bucket(n, lo=None):
 
 _LEN_TIERS = np.array([64, 128, 256, 512, 1024, 4096, 16384, 65536,
                        262144], np.int64)
+_LEN_TIERS_COARSE = np.array([256, 1024, 4096, 16384, 65536, 262144],
+                             np.int64)
+
+# fragment count above which the x2 length tiers pay: fine tiers cut
+# padded DP cells 2-4x at metagenome scale but multiply the executable
+# count (each distinct jit shape costs seconds of compile-cache load on
+# a fresh process) — small workloads stay on the coarse x4 tiers where
+# device time is negligible anyway
+FINE_TIER_MIN_FRAGS = int(os.environ.get("METAEUK_FINE_TIER_MIN",
+                                         "400000"))
 
 
-def _bucket_arr(lens):
+def _bucket_arr(lens, fine=True):
     """Vectorized sequence-length tier lookup (same tiers as _bucket)."""
+    tiers = _LEN_TIERS if fine else _LEN_TIERS_COARSE
     lens = np.maximum(np.asarray(lens, np.int64), 1)
-    return _LEN_TIERS[np.searchsorted(_LEN_TIERS, lens)]
+    return tiers[np.searchsorted(tiers, lens)]
 
 
 def pad_rows(seqs, width, dtype=np.int32):
@@ -341,10 +354,11 @@ class SearchDriver:
     def _target_tier(self, Lt):
         """(t_mat, t_lens_dev, t_remap) for every target whose length
         tier is Lt; cached on device across search() calls."""
+        fine = getattr(self, "_fine", True)
         with self._stage_lock:
-            st = self._t_stage.get(Lt)
+            st = self._t_stage.get((Lt, fine))
             if st is None:
-                lt_of = _bucket_arr(self.target_lens)
+                lt_of = _bucket_arr(self.target_lens, fine)
                 t_ids = np.flatnonzero(lt_of == Lt)
                 nt_pad = _bucket(max(len(t_ids), 1), lo=8)
                 t_mat = jnp.asarray(_pad_rows_to(
@@ -361,7 +375,7 @@ class SearchDriver:
                     int(t_mat.size) + 4 * int(t_lens_dev.size))
                 st = dict(t_mat=t_mat, t_lens_dev=t_lens_dev,
                           t_remap=t_remap)
-                self._t_stage[Lt] = st
+                self._t_stage[(Lt, fine)] = st
         return st
 
     def _query_stage(self, orf_aa_seqs):
@@ -388,7 +402,10 @@ class SearchDriver:
                     orfs_enc, p.comp_bias_correction_scale)
             else:
                 biases = [np.zeros(len(e), np.int8) for e in orfs_enc]
-            lq_of = _bucket_arr(orf_lens)
+            # tier policy for THIS dataset (and, via self._fine, for the
+            # matching target tiers)
+            self._fine = len(orfs_enc) >= FINE_TIER_MIN_FRAGS
+            lq_of = _bucket_arr(orf_lens, self._fine)
             tiers = {}
             from ..utils.log import MemoryTracker
             for Lq in np.unique(lq_of[orf_lens > 0]):
@@ -414,31 +431,32 @@ class SearchDriver:
             self._q_cache = (orf_aa_seqs, orfs_enc, orf_lens, tiers)
         return orfs_enc, orf_lens, tiers
 
-    def prewarm(self, orf_aa_seqs, background=True):
-        """Stage both sides and pull the alignment executables in
-        (compile or persistent-cache load) for every (Lq, Lt) tier combo
-        this dataset can produce, most-likely combos first. Run in a
-        daemon thread while the prefilter occupies the host cores: on a
-        fresh process the executable loads (~10s each over a tunneled
-        link) then overlap the prefilter instead of serializing into the
-        first align call."""
+    def prewarm(self, orf_aa_seqs, background=True, max_combos=4):
+        """Stage both sides and pull the forward-ends executables in
+        (compile or persistent-cache load) for the most-likely (Lq, Lt)
+        tier combos of this dataset, in a daemon thread while the
+        prefilter occupies the host cores. Deliberately capped: each
+        combo costs a ~10s cache load (or a cold compile), and XLA
+        compiles serialize against the main thread's own — warming the
+        few combos that carry most pairs wins; the tail compiles on
+        demand as before."""
         import threading
 
         def work():
             try:
                 _, orf_lens, q_tiers = self._query_stage(orf_aa_seqs)
-                lt_of = _bucket_arr(self.target_lens)
-                lq_of = _bucket_arr(orf_lens)
+                lt_of = _bucket_arr(self.target_lens, self._fine)
+                lq_of = _bucket_arr(orf_lens, self._fine)
                 q_w = {int(l): int((lq_of == l).sum())
                        for l in np.unique(lq_of)}
-                t_w = {int(l): int((lt_of == l).sum())
+                t_w = {int(l): int(self.target_lens[lt_of == l].sum())
                        for l in np.unique(lt_of)}
                 combos = sorted(
                     ((lq, lt) for lq in q_tiers for lt in t_w),
                     key=lambda c: -(q_w.get(c[0], 0) * t_w.get(c[1], 0)))
+                combos = combos[:max_combos]
                 qm_on, qm_interp = _qm_mode()
-                for op in ("pair_ends", "pair_starts", "qm_ends",
-                           "qm_starts"):
+                for op in ("pair_ends", "qm_ends"):
                     for (Lq, Lt) in combos:
                         self._warm_combo(op, q_tiers[Lq], Lq, Lt, qm_on,
                                          qm_interp)
@@ -522,8 +540,8 @@ class SearchDriver:
 
         # stage per-bucket padded matrices ONCE (device-side gather per
         # chunk keeps the host out of the per-pair path)
-        lq_of = _bucket_arr(orf_lens)
-        lt_of = _bucket_arr(self.target_lens)
+        lq_of = _bucket_arr(orf_lens, self._fine)
+        lt_of = _bucket_arr(self.target_lens, self._fine)
         lq_b, lt_b = lq_of[oi], lt_of[ti]
         n_pairs = len(oi)
         qm_on, qm_interp = _qm_mode()

@@ -33,6 +33,19 @@ def test_easypredict_byte_parity(outputs, suffix):
     assert mine == golden
 
 
+def test_easypredict_fine_tiers_parity(tmp_path, monkeypatch):
+    """The x2 length-tier policy (metagenome-scale default) must be
+    output-invariant — padding is fully masked in the kernels."""
+    import metaeuk_tpu.search.driver as drv
+    monkeypatch.setattr(drv, "FINE_TIER_MIN_FRAGS", 1)
+    out = tmp_path / "preds"
+    EasyPredict(Params()).run(DATA / "contigs.fna", DATA / "proteins.faa",
+                              str(out))
+    for suffix in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        assert pathlib.Path(f"{out}.{suffix}").read_bytes() \
+            == (GOLDEN / f"easypredict.{suffix}").read_bytes(), suffix
+
+
 def test_easypredict_pipelined_batches_parity(tmp_path, monkeypatch,
                                               capfd):
     """The prefilter/align pipeline (host k-mer matching of batch k+1
