@@ -444,6 +444,22 @@ class EasyPredict:
         lo, hi = contig_range if contig_range else (0, len(contigs))
         timer = log.StageTimer()
         extractor = OrfExtractor(p)
+        # overlap the k-mer index build (target masking + native fill)
+        # with fragment extraction+translation — the two stages share no
+        # data and the reference runs them serially as processes
+        pref_fut = None
+        from ..io.profiledb import ProfileDB as _PDB
+        _resumable = tmp_dir and any(
+            os.path.exists(os.path.join(tmp_dir, f))
+            for f in ("search_hits.npy", "pref_pairs.npy"))
+        if (p.prefilter_mode == "kmer" and not _resumable
+                and not isinstance(targets, _PDB)):
+            from concurrent.futures import ThreadPoolExecutor
+            from ..search.prefilter_kmer import ReferenceKmerPrefilter
+            _pref_ex = ThreadPoolExecutor(max_workers=1)
+            pref_fut = _pref_ex.submit(ReferenceKmerPrefilter, p, targets,
+                                       p.min_diag_score)
+            _pref_ex.shutdown(wait=False)
         # --- extractorfs + translatenucs ---
         timer_ctx = timer.stage("extractorfs+translate"); timer_ctx.__enter__()
         orf_locs = []          # global fragment records, key = index
@@ -492,11 +508,14 @@ class EasyPredict:
                                                  p.min_diag_score)
                     else:
                         # "kmer": the reference-default sensitivity-
-                        # calibrated prefilter (byte-parity candidates)
+                        # calibrated prefilter (byte-parity candidates);
+                        # usually already built concurrently with the
+                        # extraction stage
                         from ..search.prefilter_kmer import \
                             KmerPrefilter, ReferenceKmerPrefilter
-                        pref = ReferenceKmerPrefilter(p, targets,
-                                                      p.min_diag_score)
+                        pref = pref_fut.result() if pref_fut is not None \
+                            else ReferenceKmerPrefilter(p, targets,
+                                                        p.min_diag_score)
                     import jax
                     if jax.default_backend() != "cpu":
                         # pull alignment executables in (compile or
