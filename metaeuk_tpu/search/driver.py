@@ -545,6 +545,16 @@ class SearchDriver:
         lq_b, lt_b = lq_of[oi], lt_of[ti]
         n_pairs = len(oi)
         qm_on, qm_interp = _qm_mode()
+        if qm_on and os.environ.get("METAEUK_QM") != "force":
+            # the query-major path only pays when a meaningful share of
+            # pairs belongs to dense-candidate queries; otherwise its
+            # executables cost more to load than the padded lanes save
+            # (the pair path handles everything correctly)
+            cand_counts = np.bincount(oi, minlength=n_orfs)
+            qm_share = int(cand_counts[cand_counts >= QM_MIN_CANDS].sum())
+            if qm_share < max(100_000, n_pairs // 20) \
+                    and int(lq_b.max()) <= 4096:
+                qm_on = False
         _mark("prep")
 
         # ---- phase 1: stage buckets + submit forward-ends dispatches ----
