@@ -456,7 +456,9 @@ class SearchDriver:
                     key=lambda c: -(q_w.get(c[0], 0) * t_w.get(c[1], 0)))
                 combos = combos[:max_combos]
                 qm_on, qm_interp = _qm_mode()
-                for op in ("pair_ends", "qm_ends"):
+                # the pair path carries sparse-candidate workloads
+                # (qm executables load only when the qm share is real)
+                for op in ("pair_ends", "pair_starts"):
                     for (Lq, Lt) in combos:
                         self._warm_combo(op, q_tiers[Lq], Lq, Lt, qm_on,
                                          qm_interp)
