@@ -111,10 +111,12 @@ int64_t orf_scan_strand(const uint8_t* seq, int64_t n,
         tf[i] = out_from[order[i]]; tt[i] = out_to[order[i]];
         tg[i] = out_flags[order[i]]; tc[i] = out_close[order[i]];
     }
-    memcpy(out_from, tf.data(), count * sizeof(int64_t));
-    memcpy(out_to, tt.data(), count * sizeof(int64_t));
-    memcpy(out_flags, tg.data(), count * sizeof(uint8_t));
-    memcpy(out_close, tc.data(), count * sizeof(int64_t));
+    if (count) {  // empty vectors may hand memcpy a null source (UB)
+        memcpy(out_from, tf.data(), count * sizeof(int64_t));
+        memcpy(out_to, tt.data(), count * sizeof(int64_t));
+        memcpy(out_flags, tg.data(), count * sizeof(uint8_t));
+        memcpy(out_close, tc.data(), count * sizeof(int64_t));
+    }
     return count;
 }
 
