@@ -107,7 +107,9 @@ def _pad_rows_to(mat, n_rows):
 def estimate_seq_id(score, q_aln_len, t_aln_len):
     """Matcher::estimateSeqIdByScorePerCol (Matcher.cpp:284-288), float32."""
     m = np.maximum(np.maximum(q_aln_len, t_aln_len), 1).astype(np.float32)
-    est = (np.float64(np.float32(score).astype(np.float32) / m)
+    # float32 division, float64 affine, float32 result — the reference's
+    # exact float dance
+    est = ((score.astype(np.float32) / m).astype(np.float64)
            * 0.1656 + 0.1141).astype(np.float32)
     return np.clip(est, np.float32(0.0), np.float32(1.0))
 
