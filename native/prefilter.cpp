@@ -44,10 +44,14 @@ constexpr size_t SUB2 = 20 * 20;
 constexpr size_t SUB3 = 20 * 20 * 20;
 constexpr size_t MAX_KMER_RESULT_SIZE = 262144UL * 32UL;
 
-struct IndexEntry {
+// packed to 6 bytes: the posting-list gather is the hottest phase of
+// the match (memory bound), and 25% fewer bytes stream through it;
+// x86 handles the unaligned loads natively
+struct __attribute__((packed)) IndexEntry {
     uint32_t seqId;
     uint16_t pos_j;
 };
+static_assert(sizeof(IndexEntry) == 6, "IndexEntry must be packed");
 
 // phase cycle counters (METAEUK_PF_PROF=1), accumulated across threads
 enum { PH_GEN = 0, PH_GATHER, PH_DUP, PH_RESCORE, PH_FINISH, PH_KEEPMAX, PH_CSORT, PH_EMIT, PH_N };
@@ -1719,7 +1723,8 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
 #include <cstdio>
 
 namespace {
-constexpr uint64_t PF_IDX_MAGIC = 0x4d45554b49445832ULL;  // "MEUKIDX2"
+constexpr uint64_t PF_IDX_MAGIC = 0x4d45554b49445833ULL;  // "MEUKIDX3"
+                                  // v3: packed 6-byte IndexEntry
 }
 
 extern "C" {
