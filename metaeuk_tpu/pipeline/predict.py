@@ -370,7 +370,14 @@ class EasyPredict:
         with timer.stage("load contigs+targets"):
             contigs = load_sequence_input(contigs_path, DBTYPE_NUCL)
             targets = load_target_input(targets_path)
-        dp_ckpt = os.path.join(tmp_dir, "dp_predictions") if tmp_dir else None
+        # checkpoint names are qualified by the contig partition so
+        # multi-process runs sharing one tmp_dir (multihost.py forwards
+        # the same tmp_dir to every rank) never clobber or cross-load
+        # each other's stage artifacts
+        _part = (f"_{contig_range[0]}_{contig_range[1]}"
+                 if contig_range else "")
+        dp_ckpt = os.path.join(tmp_dir, f"dp_predictions{_part}") \
+            if tmp_dir else None
         if dp_ckpt and os.path.exists(f"{dp_ckpt}.dbtype"):
             with timer.stage("resume dp_predictions"):
                 from ..io import mmseqsdb
@@ -449,9 +456,13 @@ class EasyPredict:
         # data and the reference runs them serially as processes
         pref_fut = None
         from ..io.profiledb import ProfileDB as _PDB
+        # partition-qualified checkpoint names (see run()): ranks sharing
+        # a tmp_dir each get their own stage artifacts
+        _part = (f"_{contig_range[0]}_{contig_range[1]}"
+                 if contig_range else "")
         _resumable = tmp_dir and any(
             os.path.exists(os.path.join(tmp_dir, f))
-            for f in ("search_hits.npy", "pref_pairs.npy"))
+            for f in (f"search_hits{_part}.npy", f"pref_pairs{_part}.npy"))
         if (p.prefilter_mode == "kmer" and not _resumable
                 and not isinstance(targets, _PDB)):
             from concurrent.futures import ThreadPoolExecutor
@@ -487,7 +498,7 @@ class EasyPredict:
             with timer.stage("profile search"):
                 hits = ProfileSearchDriver(p, targets).search(orf_aa)
         else:
-            hits_ckpt = os.path.join(tmp_dir, "search_hits.npy") \
+            hits_ckpt = os.path.join(tmp_dir, f"search_hits{_part}.npy") \
                 if tmp_dir else None
             if hits_ckpt and os.path.exists(hits_ckpt):
                 with timer.stage("resume search_hits"):
@@ -495,7 +506,8 @@ class EasyPredict:
                     log.info(f"resumed {hits_ckpt} ({len(hits)} hits)")
             elif p.prefilter_mode in ("ungapped", "kmer"):
                 driver = SearchDriver(p, targets)
-                pairs_ckpt = os.path.join(tmp_dir, "pref_pairs.npy") \
+                pairs_ckpt = os.path.join(tmp_dir,
+                                          f"pref_pairs{_part}.npy") \
                     if tmp_dir else None
                 pairs = None
                 if pairs_ckpt and os.path.exists(pairs_ckpt):

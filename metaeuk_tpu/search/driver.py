@@ -77,10 +77,13 @@ FINE_TIER_MIN_FRAGS = int(os.environ.get("METAEUK_FINE_TIER_MIN",
 
 
 def _bucket_arr(lens, fine=True):
-    """Vectorized sequence-length tier lookup (same tiers as _bucket)."""
+    """Vectorized sequence-length tier lookup (same tiers as _bucket).
+    Lengths beyond the largest tier clamp to it (callers route such
+    oversize sequences to the scalar _bucket / XLA fallback paths)."""
     tiers = _LEN_TIERS if fine else _LEN_TIERS_COARSE
     lens = np.maximum(np.asarray(lens, np.int64), 1)
-    return tiers[np.searchsorted(tiers, lens)]
+    idx = np.minimum(np.searchsorted(tiers, lens), len(tiers) - 1)
+    return tiers[idx]
 
 
 def pad_rows(seqs, width, dtype=np.int32):

@@ -529,6 +529,14 @@ class ReferenceKmerPrefilter:
         n_splits = int(getattr(params, "split", 0)) or None
         mem_limit = int(getattr(params, "split_memory_limit", 0))
         if split_mode == 1:
+            if n_splits is not None and n_splits > 1:
+                # the reference interprets --split under SPLIT_QUERY as
+                # query splits; our query-split path streams fixed
+                # BATCH_CHUNK blocks instead, so an explicit count is
+                # advisory only — say so rather than silently dropping it
+                log.warning(f"--split {n_splits} ignored in query-split "
+                         f"mode (--split-mode 1): queries stream in "
+                         f"fixed-size blocks over one resident index")
             n_splits = 1
         elif n_splits is None:
             n_splits = optimize_split(

@@ -81,17 +81,18 @@ def prefilter_db(query_db, target_db, out_db, sensitivity=5.7,
 
 
 def step_sensitivities(start_sens, sensitivity, sens_steps):
-    """The blastp.sh SENSE_k schedule (Search.cpp:520-546): k steps from
-    start-sens to -s, each value formatted to one decimal (the script
-    passes the formatted string to prefilter -s, so the ROUNDED value is
-    the effective sensitivity)."""
+    """The blastp.sh SENSE_k schedule (Search.cpp:520-546): step 0 is
+    the UNROUNDED start-sens (the reference passes SSTR(par.startSens)
+    verbatim, Search.cpp:529), steps 1..k-1 are formatted to one decimal
+    (the script passes the formatted string to prefilter -s, so the
+    ROUNDED value is the effective sensitivity for those steps)."""
     if sens_steps <= 1:
         return [float(f"{sensitivity:.1f}")]
     if start_sens > sensitivity:
         raise ValueError("--start-sens can not be greater than -s")
     step = (sensitivity - start_sens) / (sens_steps - 1)
-    return [float(f"{start_sens + step * k:.1f}")
-            for k in range(sens_steps)]
+    return [float(start_sens)] + [float(f"{start_sens + step * k:.1f}")
+                                  for k in range(1, sens_steps)]
 
 
 def search_db(query_db, target_db, out_db, tmp_dir, sensitivity=5.7,
