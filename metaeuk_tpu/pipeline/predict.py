@@ -312,41 +312,120 @@ def assemble_and_chain(hits, hit_contig, orf_locs, tot_aas, seqid_rounds, p):
     return {ci: ps for ci, ps in preds_per_contig.items() if ps}
 
 
-def _pipelined_search(pref, driver, orf_aa, n_batches):
-    """Overlap the host prefilter with device alignment across fragment
-    batches (the reference runs these stages strictly serially as
-    separate processes; here the k-mer engine's OpenMP match of batch
-    k+1 runs while the TPU aligns batch k's candidates). Per-fragment
-    results are independent and batches are fragment-contiguous, so the
-    concatenated hit table equals the single-pass one byte-for-byte."""
-    from concurrent.futures import ThreadPoolExecutor
-    from ..search.prefilter_kmer import log_prefilter_stats
+def _pipelined_extract_search(p, extractor, contigs, lo, hi, pref_fut,
+                              mk_driver, n_batches):
+    """Three-stage pipeline over contig ranges: fragment extraction +
+    translation (worker A) → host k-mer prefilter matching (worker B) →
+    device alignment (caller thread).  The reference runs extractorfs,
+    translatenucs, prefilter and align strictly serially as separate
+    processes (data/predictexons.sh:40-88); here batch k+1 extracts
+    while batch k prefilters on the remaining host cores and batch k-1
+    aligns on the TPU.  Per-fragment results are independent and batches
+    are fragment-contiguous, so the concatenated hit table equals the
+    single-pass one byte-for-byte (enforced by the forced-batches
+    parity test).
 
-    n = len(orf_aa)
-    bounds = [n * k // n_batches for k in range(n_batches + 1)]
+    Returns (orf_locs, orf_aa, orf_contig, hits)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+    from ..search.prefilter_kmer import KmerPrefilter, log_prefilter_stats
+    from ..search.driver import HIT_DTYPE
+
+    # contig-range bounds balanced by residues (fragment yield tracks
+    # residue count, and ranges must be contig-contiguous so fragment
+    # indices stay in contig order)
+    lens = np.asarray(contigs.lengths[lo:hi], np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(lens)])
+    bounds = [lo + int(np.searchsorted(cum, cum[-1] * k / n_batches))
+              for k in range(n_batches + 1)]
+    bounds[0], bounds[-1] = lo, hi
+    for i in range(1, n_batches + 1):
+        bounds[i] = max(bounds[i], bounds[i - 1])
+
+    prog = log.progress(hi - lo, "extract+translate contigs")
+    busy = {"extract": 0.0, "prefilter": 0.0}
+
+    def extract_range(a, b):
+        t0 = _time.perf_counter()
+        locs, aas, cids = [], [], []
+        for ci in range(a, b):
+            l, frags = extractor.extract_contig(contigs.seq_bytes(ci), ci)
+            aa = extractor.translate_fragments(frags)
+            if p.reverse_fragments:
+                aa = [x[::-1] for x in aa]
+            locs.extend(l)
+            aas.extend(aa)
+            cids.extend([ci] * len(l))
+            prog.update()
+        busy["extract"] += _time.perf_counter() - t0
+        return locs, aas, cids
+
     stats = np.zeros(5, np.int64)
-    parts = []
-    all_qi = []
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(pref.candidate_pairs, orf_aa[bounds[0]:bounds[1]],
-                        0, True)
+    base_ctr = [0]
+
+    def match_range(k, ex_futs):
+        pref = pref_fut.result()
+        if not isinstance(getattr(pref, "pf", None), KmerPrefilter):
+            # split/distributed engines process the whole query set in
+            # one call (per-batch calls would re-stream every split
+            # index per batch); batch 0 carries everything
+            if k > 0:
+                return np.zeros((0, 2), np.int64)
+            aas = []
+            for f in ex_futs:
+                aas.extend(f.result()[1])
+            t0 = _time.perf_counter()
+            pairs = pref.candidate_pairs(aas, 0, True)
+            stats[:] += getattr(pref.pf, "stats", np.zeros(5, np.int64))
+            busy["prefilter"] += _time.perf_counter() - t0
+            return pairs
+        aas = ex_futs[k].result()[1]
+        t0 = _time.perf_counter()
+        base = base_ctr[0]
+        base_ctr[0] += len(aas)
+        pairs = pref.candidate_pairs(aas, base, True)
+        stats[:] += getattr(pref.pf, "stats", np.zeros(5, np.int64))
+        busy["prefilter"] += _time.perf_counter() - t0
+        return pairs
+
+    orf_locs, orf_aa, orf_contig = [], [], []
+    with ThreadPoolExecutor(1) as ex_pool, ThreadPoolExecutor(1) as pf_pool:
+        ex_futs = [ex_pool.submit(extract_range, bounds[k], bounds[k + 1])
+                   for k in range(n_batches)]
+        pf_futs = [pf_pool.submit(match_range, k, ex_futs)
+                   for k in range(n_batches)]
+        # device alignment needs the full fragment set staged (shapes
+        # are a function of the dataset's length histogram alone), so
+        # collect extraction results first; prefilter matching of the
+        # early batches is already running underneath
+        for f in ex_futs:
+            l, a, c = f.result()
+            orf_locs.extend(l)
+            orf_aa.extend(a)
+            orf_contig.extend(c)
+        prog.finish()
+        log.info(f"fragments: {len(orf_aa)} "
+                 f"(extract busy {busy['extract']:.2f}s)")
+        driver = mk_driver()
+        import jax
+        if jax.default_backend() != "cpu":
+            driver.prewarm(orf_aa)
+        parts = []
+        all_qi = []
         for k in range(n_batches):
-            pairs_k = fut.result()
-            stats += getattr(pref.pf, "stats", np.zeros(5, np.int64))
-            if k + 1 < n_batches:
-                fut = ex.submit(pref.candidate_pairs,
-                                orf_aa[bounds[k + 1]:bounds[k + 2]],
-                                bounds[k + 1], True)
+            pairs_k = pf_futs[k].result()
             all_qi.append(pairs_k[:, 0] if len(pairs_k)
                           else np.zeros(0, np.int64))
             parts.append(driver.search(orf_aa, pair_generator=pairs_k))
+    n = len(orf_aa)
     counts = np.bincount(np.concatenate(all_qi).astype(np.int64),
                          minlength=n) if n else np.zeros(0, np.int64)
     log_prefilter_stats(stats, counts)
     log.info(f"prefilter pairs kept: {int(counts.sum())} "
-             f"({n_batches} pipelined batches)")
-    from ..search.driver import HIT_DTYPE
-    return np.concatenate(parts) if parts else np.zeros(0, HIT_DTYPE)
+             f"({n_batches} pipelined batches; prefilter busy "
+             f"{busy['prefilter']:.2f}s)")
+    hits = np.concatenate(parts) if parts else np.zeros(0, HIT_DTYPE)
+    return orf_locs, orf_aa, orf_contig, hits
 
 
 class EasyPredict:
@@ -451,11 +530,9 @@ class EasyPredict:
         lo, hi = contig_range if contig_range else (0, len(contigs))
         timer = log.StageTimer()
         extractor = OrfExtractor(p)
-        # overlap the k-mer index build (target masking + native fill)
-        # with fragment extraction+translation — the two stages share no
-        # data and the reference runs them serially as processes
-        pref_fut = None
         from ..io.profiledb import ProfileDB as _PDB
+        from ..utils import session
+        is_profile = isinstance(targets, _PDB)
         # partition-qualified checkpoint names (see run()): ranks sharing
         # a tmp_dir each get their own stage artifacts
         _part = (f"_{contig_range[0]}_{contig_range[1]}"
@@ -463,49 +540,88 @@ class EasyPredict:
         _resumable = tmp_dir and any(
             os.path.exists(os.path.join(tmp_dir, f))
             for f in (f"search_hits{_part}.npy", f"pref_pairs{_part}.npy"))
+        # overlap the k-mer index build (target masking + native fill)
+        # with fragment extraction+translation — the two stages share no
+        # data and the reference runs them serially as processes.  The
+        # built index is a pure function of (target content, params) and
+        # is session-cached: a resident process serving repeated queries
+        # against one target DB builds it once (the reference's
+        # createindex role, CreateIndex.cpp:14).
+        pref_fut = None
         if (p.prefilter_mode == "kmer" and not _resumable
-                and not isinstance(targets, _PDB)):
+                and not is_profile):
             from concurrent.futures import ThreadPoolExecutor
             from ..search.prefilter_kmer import ReferenceKmerPrefilter
+            pref_key = (session.db_fingerprint(targets), repr(p),
+                        p.min_diag_score,
+                        os.environ.get("METAEUK_DIST_TMP"))
             _pref_ex = ThreadPoolExecutor(max_workers=1)
-            pref_fut = _pref_ex.submit(ReferenceKmerPrefilter, p, targets,
-                                       p.min_diag_score)
+            pref_fut = _pref_ex.submit(
+                session.cached, "kmer_pref", pref_key,
+                lambda: ReferenceKmerPrefilter(p, targets,
+                                               p.min_diag_score))
             _pref_ex.shutdown(wait=False)
-        # --- extractorfs + translatenucs ---
-        timer_ctx = timer.stage("extractorfs+translate"); timer_ctx.__enter__()
-        orf_locs = []          # global fragment records, key = index
-        orf_aa = []
-        orf_contig = []
-        prog = log.progress(hi - lo, "extract+translate contigs")
-        for ci in range(lo, hi):
-            locs, frags = extractor.extract_contig(contigs.seq_bytes(ci), ci)
-            orf_locs.extend(locs)
-            orf_aa.extend(extractor.translate_fragments(frags))
-            orf_contig.extend([ci] * len(locs))
-            prog.update()
-        prog.finish()
-        if p.reverse_fragments:
-            orf_aa = [aa[::-1] for aa in orf_aa]
-        timer_ctx.__exit__(None, None, None)
-        log.info(f"fragments: {len(orf_aa)}")
 
-        # --- search (prefilter + batched SW on device) ---
-        from ..io.profiledb import ProfileDB
-        is_profile = isinstance(targets, ProfileDB)
-        if is_profile:
-            # --exhaustive-search inverted profile mode
-            from ..search.profile_search import ProfileSearchDriver
-            with timer.stage("profile search"):
-                hits = ProfileSearchDriver(p, targets).search(orf_aa)
+        def mk_driver():
+            # driver staging (per-tier device-resident target matrices)
+            # is likewise target-side state kept across runs
+            return session.cached(
+                "driver", (session.db_fingerprint(targets), repr(p)),
+                lambda: SearchDriver(p, targets))
+
+        # fused-pipeline decision happens BEFORE extraction (fragment
+        # count estimated from residues) so extraction itself can join
+        # the overlap
+        est_frags = int(np.asarray(contigs.lengths[lo:hi]).sum()) // 25
+        n_b = int(os.environ.get("METAEUK_PIPELINE_BATCHES", "0"))
+        if n_b == 0:
+            n_b = 4 if est_frags >= 50_000 else 1
+        n_b = max(1, min(n_b, hi - lo))
+        hits_ckpt = os.path.join(tmp_dir, f"search_hits{_part}.npy") \
+            if tmp_dir else None
+
+        if pref_fut is not None and n_b > 1:
+            with timer.stage("extract+prefilter+align (pipelined)"):
+                orf_locs, orf_aa, orf_contig, hits = \
+                    _pipelined_extract_search(p, extractor, contigs, lo,
+                                              hi, pref_fut, mk_driver,
+                                              n_b)
+            if hits_ckpt and not os.path.exists(hits_ckpt):
+                os.makedirs(tmp_dir, exist_ok=True)
+                np.save(hits_ckpt, hits)
         else:
-            hits_ckpt = os.path.join(tmp_dir, f"search_hits{_part}.npy") \
-                if tmp_dir else None
-            if hits_ckpt and os.path.exists(hits_ckpt):
+            # --- extractorfs + translatenucs (serial path) ---
+            timer_ctx = timer.stage("extractorfs+translate")
+            timer_ctx.__enter__()
+            orf_locs = []          # global fragment records, key = index
+            orf_aa = []
+            orf_contig = []
+            prog = log.progress(hi - lo, "extract+translate contigs")
+            for ci in range(lo, hi):
+                locs, frags = extractor.extract_contig(
+                    contigs.seq_bytes(ci), ci)
+                orf_locs.extend(locs)
+                orf_aa.extend(extractor.translate_fragments(frags))
+                orf_contig.extend([ci] * len(locs))
+                prog.update()
+            prog.finish()
+            if p.reverse_fragments:
+                orf_aa = [aa[::-1] for aa in orf_aa]
+            timer_ctx.__exit__(None, None, None)
+            log.info(f"fragments: {len(orf_aa)}")
+
+            # --- search (prefilter + batched SW on device) ---
+            if is_profile:
+                # --exhaustive-search inverted profile mode
+                from ..search.profile_search import ProfileSearchDriver
+                with timer.stage("profile search"):
+                    hits = ProfileSearchDriver(p, targets).search(orf_aa)
+            elif hits_ckpt and os.path.exists(hits_ckpt):
                 with timer.stage("resume search_hits"):
                     hits = np.load(hits_ckpt)
                     log.info(f"resumed {hits_ckpt} ({len(hits)} hits)")
             elif p.prefilter_mode in ("ungapped", "kmer"):
-                driver = SearchDriver(p, targets)
+                driver = mk_driver()
                 pairs_ckpt = os.path.join(tmp_dir,
                                           f"pref_pairs{_part}.npy") \
                     if tmp_dir else None
@@ -520,11 +636,9 @@ class EasyPredict:
                                                  p.min_diag_score)
                     else:
                         # "kmer": the reference-default sensitivity-
-                        # calibrated prefilter (byte-parity candidates);
-                        # usually already built concurrently with the
-                        # extraction stage
+                        # calibrated prefilter (byte-parity candidates)
                         from ..search.prefilter_kmer import \
-                            KmerPrefilter, ReferenceKmerPrefilter
+                            ReferenceKmerPrefilter
                         pref = pref_fut.result() if pref_fut is not None \
                             else ReferenceKmerPrefilter(p, targets,
                                                         p.min_diag_score)
@@ -534,31 +648,17 @@ class EasyPredict:
                         # persistent-cache load) while the prefilter
                         # occupies the host cores
                         driver.prewarm(orf_aa)
-                    n_b = int(os.environ.get("METAEUK_PIPELINE_BATCHES",
-                                             "0"))
-                    can_pipeline = (
-                        p.prefilter_mode == "kmer"
-                        and isinstance(getattr(pref, "pf", None),
-                                       KmerPrefilter))
-                    if n_b == 0:
-                        n_b = 4 if (can_pipeline
-                                    and len(orf_aa) >= 50_000) else 1
-                    if n_b > 1 and can_pipeline:
-                        with timer.stage("prefilter+align (pipelined)"):
-                            hits = _pipelined_search(pref, driver,
-                                                     orf_aa, n_b)
-                    else:
-                        with timer.stage(f"{p.prefilter_mode} prefilter"):
-                            pairs = pref.candidate_pairs(orf_aa)
-                        if pairs_ckpt:
-                            os.makedirs(tmp_dir, exist_ok=True)
-                            np.save(pairs_ckpt, pairs)
+                    with timer.stage(f"{p.prefilter_mode} prefilter"):
+                        pairs = pref.candidate_pairs(orf_aa)
+                    if pairs_ckpt:
+                        os.makedirs(tmp_dir, exist_ok=True)
+                        np.save(pairs_ckpt, pairs)
                 if pairs is not None:
                     log.info(f"prefilter pairs kept: {len(pairs)}")
                     with timer.stage("align"):
                         hits = driver.search(orf_aa, pair_generator=pairs)
             else:
-                driver = SearchDriver(p, targets)
+                driver = mk_driver()
                 with timer.stage("align (exhaustive)"):
                     hits = driver.search(orf_aa)
             if hits_ckpt and not os.path.exists(hits_ckpt):
