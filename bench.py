@@ -125,40 +125,52 @@ def make_inputs(tmp):
     return cpath, ppath, len(contigs)
 
 
-def run_ours(cpath, ppath, tmp):
-    """(steady_wall, cold_wall, stage_seconds): easy-predict twice in one
-    process. The first run carries per-process one-time costs — XLA
-    compiles on a cold cache and, on this tunneled dev chip, seconds of
-    executable LOAD per jit shape (measured: 1 Mbp align stage 371 s cold
-    vs 4.1 s steady on identical inputs). Production deployments are
-    long-lived processes, and BASELINE.json's contigs/s is a throughput
-    metric, so the steady-state run is the primary number; the cold wall
-    is reported alongside."""
+N_STEADY = int(os.environ.get("METAEUK_BENCH_RUNS", "3"))
+
+
+def run_ours(cpath, ppath, tmp, n_steady=N_STEADY):
+    """(walls, cold_wall, stage_seconds, cells): one cold easy-predict
+    then n_steady timed runs, all in one process. The cold run carries
+    per-process one-time costs — XLA compiles on a cold cache and, on
+    this tunneled dev chip, seconds of executable LOAD per jit shape
+    (measured: 1 Mbp align stage 371 s cold vs 4.1 s steady on identical
+    inputs). Production deployments are long-lived processes, and
+    BASELINE.json's contigs/s is a throughput metric, so the steady-state
+    median is the primary number; the cold wall is reported alongside.
+    cells = per-run {fwd, rev} aligned residue-cell counts (true
+    lengths) from the last steady run."""
     from metaeuk_tpu.params import Params
     from metaeuk_tpu.pipeline.predict import EasyPredict
+    from metaeuk_tpu.search import driver as drv
 
     t0 = time.perf_counter()
     EasyPredict(Params()).run(cpath, ppath, os.path.join(tmp, "ours_cold"))
     cold = time.perf_counter() - t0
-    ep = EasyPredict(Params())
-    t0 = time.perf_counter()
-    ep.run(cpath, ppath, os.path.join(tmp, "ours"))
-    wall = time.perf_counter() - t0
-    stages = dict(getattr(ep, "predict_stage_seconds", {}))
-    stages.update(getattr(ep, "stage_seconds", {}))
-    return wall, cold, {k: round(v, 3) for k, v in stages.items()}
+    walls = []
+    cells = None
+    stages = {}
+    for i in range(n_steady):
+        ep = EasyPredict(Params())
+        drv.CELLS["fwd"] = drv.CELLS["rev"] = 0
+        t0 = time.perf_counter()
+        ep.run(cpath, ppath, os.path.join(tmp, "ours"))
+        walls.append(time.perf_counter() - t0)
+        cells = dict(drv.CELLS)
+        stages = dict(getattr(ep, "predict_stage_seconds", {}))
+        stages.update(getattr(ep, "stage_seconds", {}))
+    return walls, cold, {k: round(v, 3) for k, v in stages.items()}, cells
 
 
-def run_reference(cpath, ppath, tmp):
-    """(steady, cold) reference walls: the binary runs twice (fresh tmp
-    dirs) so the headline ratio compares steady-state against
-    steady-state, symmetric with run_ours."""
+def run_reference(cpath, ppath, tmp, n_steady=N_STEADY):
+    """(walls, cold) reference walls: one cold run then n_steady timed
+    runs (fresh tmp dirs each; the binary re-execs per run — page-cache
+    warmth is the only steady-state it has), symmetric with run_ours."""
     ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".refbuild", "src", "metaeuk")
     if not os.path.exists(ref):
         return None, None
     walls = []
-    for i in range(2):
+    for i in range(n_steady + 1):
         t0 = time.perf_counter()
         r = subprocess.run(
             [ref, "easy-predict", cpath, ppath,
@@ -168,12 +180,48 @@ def run_reference(cpath, ppath, tmp):
         if r.returncode != 0:
             return None, None
         walls.append(time.perf_counter() - t0)
-    return walls[1], walls[0]
+    return walls[1:], walls[0]
 
 
-def selftest_qm():
+def run_parity(cpath, ppath, tmp):
+    """Byte-compare the bench's own outputs against the reference binary
+    on the same inputs with the deterministic methodology the committed
+    goldens use (createdb --shuffle 0 so key order matches input order,
+    --threads 1 so per-thread writer merge order is fixed; both only
+    permute per-record output blocks — record sets are identical either
+    way). Returns True/False/None(binary missing)."""
+    ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".refbuild", "src", "metaeuk")
+    if not os.path.exists(ref):
+        return None
+    cdb = os.path.join(tmp, "parityContigsDB")
+    tdb = os.path.join(tmp, "parityTargetsDB")
+    for src, db in ((cpath, cdb), (ppath, tdb)):
+        r = subprocess.run([ref, "createdb", src, db, "--shuffle", "0",
+                            "-v", "0"], capture_output=True)
+        if r.returncode != 0:
+            return False
+    refout = os.path.join(tmp, "parity_ref")
+    r = subprocess.run(
+        [ref, "easy-predict", cdb, tdb, refout,
+         os.path.join(tmp, "parity_reftmp"), "-v", "0", "--threads", "1"],
+        capture_output=True)
+    if r.returncode != 0:
+        return False
+    ours = os.path.join(tmp, "ours")
+    for suffix in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        with open(f"{ours}.{suffix}", "rb") as a, \
+                open(f"{refout}.{suffix}", "rb") as b:
+            if a.read() != b.read():
+                print(f"PARITY MISMATCH: {suffix}", file=sys.stderr)
+                return False
+    return True
+
+
+def selftest_qm(light=False):
     """Compiled query-major kernels (fwd ends + survivors reverse) vs the
-    numpy oracle, ragged candidate lists across tile boundaries."""
+    numpy oracle, ragged candidate lists across tile boundaries.
+    Returns (fails, checks)."""
     import jax.numpy as jnp
     from metaeuk_tpu.ops.sw import sw_align
     from metaeuk_tpu.ops.sw_pallas import (
@@ -183,9 +231,13 @@ def selftest_qm():
 
     rng = np.random.default_rng(3)
     fails = 0
+    checks = 0
     # (8192, 256) exercises the row-tiled long-query kernels
-    for Lq, Lt, n_tiles in [(256, 256, 8), (1024, 512, 4), (512, 4096, 2),
-                            (8192, 256, 1)]:
+    configs = [(256, 256, 8), (1024, 512, 4), (512, 4096, 2),
+               (8192, 256, 1)]
+    if light:
+        configs = [(256, 256, 8), (1024, 512, 4)]
+    for Lq, Lt, n_tiles in configs:
         nq = n_tiles
         qs = [rng.integers(0, 20, int(rng.integers(Lq // 4, Lq + 1)))
               .astype(np.int32) for _ in range(nq)]
@@ -230,24 +282,30 @@ def selftest_qm():
                            t_end=int(te[b]))
                 ok = (got["score"] == 0 if ref["score"] == 0
                       else all(got[k] == ref[k] for k in ref))
+                checks += 1
                 if not ok:
                     fails += 1
                     print(f"QM MISMATCH Lq{Lq}/Lt{Lt} tile {tile} lane "
                           f"{lane}: ref {ref} got {got}", file=sys.stderr)
-    return fails
+    return fails, checks
 
 
-def selftest():
+def selftest(light=False):
     """Compiled Pallas kernels vs the numpy oracle on ragged batches
-    spanning the driver bucket boundaries (Lq/Lt = 256/1024/4096 tiers)."""
+    spanning the driver bucket boundaries (Lq/Lt = 256/1024/4096 tiers).
+    Returns (fails, checks); light mode runs a reduced config set so the
+    main bench can embed a selftest pass without doubling its wall."""
     from metaeuk_tpu.ops.sw_pallas import sw_pallas_align_batch
     from metaeuk_tpu.ops.sw import sw_align
     from metaeuk_tpu.data.submat import composition_bias_rounded
 
     rng = np.random.default_rng(7)
-    fails = selftest_qm()
-    for Lq_hi, Lt_hi, B in [(256, 256, 64), (1024, 256, 24),
-                            (256, 1024, 24), (1024, 4096, 6)]:
+    fails, checks = selftest_qm(light)
+    configs = [(256, 256, 64), (1024, 256, 24),
+               (256, 1024, 24), (1024, 4096, 6)]
+    if light:
+        configs = [(256, 256, 32), (256, 1024, 8)]
+    for Lq_hi, Lt_hi, B in configs:
         q_lens = rng.integers(max(8, Lq_hi // 8), Lq_hi + 1, B)
         t_lens = rng.integers(max(8, Lt_hi // 8), Lt_hi + 1, B)
         qs = [rng.integers(0, 20, l).astype(np.int32) for l in q_lens]
@@ -273,31 +331,48 @@ def selftest():
                 ok = got["score"] == 0
             else:
                 ok = all(got[k] == ref[k] for k in ref)
+            checks += 1
             if not ok:
                 fails += 1
                 print(f"MISMATCH Lq{Lq_hi}/Lt{Lt_hi} pair {i}: "
                       f"ref {ref} got {got}", file=sys.stderr)
     print(json.dumps({"selftest": "sw_pallas_compiled_vs_oracle",
-                      "fails": fails}))
-    return 1 if fails else 0
+                      "fails": fails, "checks": checks}))
+    return fails, checks
 
 
 def main():
     if "--selftest" in sys.argv:
-        sys.exit(selftest())
+        fails, _ = selftest()
+        sys.exit(1 if fails else 0)
 
     tmp = tempfile.mkdtemp(prefix="meukbench")
     cpath, ppath, n_contigs = make_inputs(tmp)
-    wall, cold_wall, stages = run_ours(cpath, ppath, tmp)
+    walls, cold_wall, stages, cells = run_ours(cpath, ppath, tmp)
+    wall = float(np.median(walls))
     contigs_per_s = n_contigs / wall
 
-    ref_wall, ref_cold_wall = (None, None) if "--no-ref" in sys.argv \
+    ref_walls, ref_cold_wall = (None, None) if "--no-ref" in sys.argv \
         else run_reference(cpath, ppath, tmp)
+    ref_wall = float(np.median(ref_walls)) if ref_walls else None
     if ref_wall is not None:
         ref_rate = n_contigs / ref_wall
     else:
         ref_rate = FALLBACK_REF_CONTIGS_PER_S
     vs = contigs_per_s / ref_rate if ref_rate else None
+
+    # the bench verifies the outputs it times: rerun the reference with
+    # the goldens' deterministic methodology and byte-compare
+    parity_ok = None if "--no-ref" in sys.argv \
+        else run_parity(cpath, ppath, tmp)
+
+    # compiled-kernel parity on the real chip, embedded in the artifact
+    st_fails = st_checks = None
+    if "--no-selftest" not in sys.argv:
+        try:
+            st_fails, st_checks = selftest(light=True)
+        except Exception as e:
+            print(f"selftest failed to run: {e}", file=sys.stderr)
 
     krate = None
     krate_qm = None
@@ -307,6 +382,7 @@ def main():
     except Exception as e:
         print(f"kernel bench failed: {e}", file=sys.stderr)
 
+    total_cells = sum(cells.values()) if cells else 0
     print(json.dumps({
         "metric": "easy_predict_contigs_per_s",
         "value": contigs_per_s,
@@ -316,11 +392,25 @@ def main():
             "config": {"mbp": BENCH_MBP, "targets": BENCH_TARGETS,
                        "contigs": n_contigs},
             "ours_wall_s": round(wall, 2),
+            "ours_walls_s": [round(w, 2) for w in walls],
             "ours_cold_wall_s": round(cold_wall, 2),
             "ref_wall_s": round(ref_wall, 2) if ref_wall else None,
+            "ref_walls_s": [round(w, 2) for w in ref_walls]
+            if ref_walls else None,
             "ref_cold_wall_s": round(ref_cold_wall, 2)
             if ref_cold_wall else None,
+            "parity_ok": parity_ok,
+            "selftest": {"fails": st_fails, "checks": st_checks},
             "stage_seconds": stages,
+            "aligned_cells": cells,
+            # end-to-end aligned residue-cells/s over the whole easy-
+            # predict wall (BASELINE.json metric). At bench scale this
+            # is workload-limited: the prefilter keeps candidate pairs
+            # sparse by design, so total aligned cells / wall is small
+            # even with a zero-cost chip; the kernel-rate numbers below
+            # are the chip-utilization view, and the 50 Mbp scale run
+            # reports the same metric where it is meaningful.
+            "aligned_cells_per_s_e2e": total_cells / wall if wall else None,
             "sw_kernel_cells_per_s": krate,
             "sw_kernel_qm_cells_per_s": krate_qm,
         },

@@ -42,6 +42,13 @@ HIT_DTYPE = np.dtype([
 # device batch budget in DP cells per launch (S tensor = cells * 4 bytes)
 CELL_BUDGET = 1 << 27
 
+# process-wide aligned-cell accounting (true sequence lengths, not
+# padding): forward-pass cells over every candidate pair plus
+# reverse-prefix cells over E-value survivors.  bench.py reads and
+# resets these around timed runs to report end-to-end aligned
+# residue-cells/s — the BASELINE.json chip-throughput metric.
+CELLS = {"fwd": 0, "rev": 0}
+
 
 def _bucket(n, lo=None):
     """Length buckets. Sequence-length tiers are x2 from 64 up to 1024
@@ -641,6 +648,10 @@ class SearchDriver:
             score_all.astype(np.float64), q_len_pairs.astype(np.float64))
         surv = ((te_all >= 0) & (score_all > 0)
                 & (ev_gate <= p.search_evalue_thr))
+        CELLS["fwd"] += int((q_len_pairs.astype(np.int64)
+                             * self.target_lens[ti]).sum())
+        CELLS["rev"] += int(((qe_all[surv].astype(np.int64) + 1)
+                             * (te_all[surv].astype(np.int64) + 1)).sum())
         _mark("gate")
 
         # ---- phase 4: reverse pass on survivors only ----
