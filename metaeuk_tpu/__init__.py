@@ -28,7 +28,11 @@ def _enable_compilation_cache():
             os.path.join(os.path.expanduser("~"), ".cache", "metaeuk_tpu_xla"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY executable: sub-second compiles add up to tens of
+        # seconds of per-process cold start across the pipeline's shape
+        # set, and a cache hit costs ~40 ms (measured on the tunneled
+        # dev chip: 0.94 s compile vs 0.044 s hit)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
