@@ -469,11 +469,19 @@ class SearchDriver:
                 combos = combos[:max_combos]
                 qm_on, qm_interp = _qm_mode()
                 # the pair path carries sparse-candidate workloads
-                # (qm executables load only when the qm share is real)
-                for op in ("pair_ends", "pair_starts"):
-                    for (Lq, Lt) in combos:
-                        self._warm_combo(op, q_tiers[Lq], Lq, Lt, qm_on,
-                                         qm_interp)
+                # (qm executables load only when the qm share is real).
+                # Loads run on a small pool: each first dispatch pays a
+                # device-load round trip over the (tunneled) link, and
+                # those latencies overlap
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    futs = [pool.submit(self._warm_combo, op,
+                                        q_tiers[Lq], Lq, Lt, qm_on,
+                                        qm_interp)
+                            for op in ("pair_ends", "pair_starts")
+                            for (Lq, Lt) in combos]
+                    for f in futs:
+                        f.result()
             except Exception as e:  # pragma: no cover - best effort
                 from ..utils import log
                 log.debug(f"prewarm aborted: {e}")
