@@ -173,13 +173,14 @@ def sw_align_batch_prof(prof, q_len, t_enc, t_len):
             np.asarray(t_start), np.asarray(t_end))
 
 
-def sw_align_batch(q_enc, q_bias, q_len, t_enc, t_len, submat=None):
+def sw_align_batch(q_enc, q_bias, q_len, t_enc, t_len, submat=None,
+                   go=GO, ge=GE):
     """Full batched alignment (host wrapper): ends + reverse-pass starts.
 
     All arrays pre-padded to (B, Lq)/(B, Lt). Returns numpy arrays
     (score, q_start, q_end, t_start, t_end). submat: substitution
-    matrix override (e.g. the --realign scoreBias -0.2 matrix).
-    """
+    matrix override (e.g. the --realign scoreBias -0.2 matrix); go/ge:
+    affine gap costs (a gap of length L costs go + (L-1)*ge)."""
     q_enc = jnp.asarray(q_enc, jnp.int32)
     q_bias = jnp.asarray(q_bias, jnp.int32)
     q_len = jnp.asarray(q_len, jnp.int32)
@@ -189,13 +190,14 @@ def sw_align_batch(q_enc, q_bias, q_len, t_enc, t_len, submat=None):
         submat = jnp.asarray(submat, jnp.int32)
     Lq, Lt = int(q_enc.shape[1]), int(t_enc.shape[1])
     score, q_end, t_end = sw_batch_ends(q_enc, q_bias, q_len, t_enc, Lq, Lt,
-                                        t_len=t_len, submat=submat)
+                                        t_len=t_len, go=go, ge=ge,
+                                        submat=submat)
     # clamp for pairs with no alignment so the reverse gather stays in bounds
     qe = jnp.maximum(q_end, 0)
     te = jnp.maximum(t_end, 0)
     score2, qr_end, tr_end = sw_batch_starts(
         q_enc, q_bias, q_len, t_enc, Lq, Lt, t_len=t_len, q_end=qe, t_end=te,
-        submat=submat)
+        go=go, ge=ge, submat=submat)
     q_start = qe - qr_end
     t_start = te - tr_end
     aligned = (t_end >= 0) & (score > 0)

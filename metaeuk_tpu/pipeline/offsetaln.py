@@ -184,12 +184,12 @@ def proteinaln2nucl(q_nucl_db, t_nucl_db, q_aa_db, t_aa_db, aln_db, out_db,
 
     E-values use the seed-42 ALP fit for the scale-1.0 nucleotide matrix
     at the default gap costs 5/2 (constants extracted from the vendored
-    ALP; search/evalue.py); other gap costs are not supported."""
+    ALP; search/evalue.py); other gap costs get the deterministic
+    runtime Gumbel fit (search/gumbel.py — the reference reruns the
+    wall-clock-sized ALP simulation, EvalueComputation.h:91-110, whose
+    output is machine-dependent; ours agrees within ALP's own
+    lambda 1% / K 5% tolerance band and is reproducible)."""
     from ..search.evalue import EvalueComputation, _NUCL_SCALE1_GAPPED_5_2
-
-    if (gap_open, gap_extend) != (5, 2):
-        raise NotImplementedError("proteinaln2nucl: only the default "
-                                  "nucleotide gap costs 5/2 are supported")
 
     q_nucl = dict(mmseqsdb.read_db(q_nucl_db))
     t_nucl = q_nucl if t_nucl_db == q_nucl_db else \
@@ -197,7 +197,15 @@ def proteinaln2nucl(q_nucl_db, t_nucl_db, q_aa_db, t_aa_db, aln_db, out_db,
     q_aa = dict(mmseqsdb.read_db(q_aa_db))
     t_aa = q_aa if t_aa_db == q_aa_db else dict(mmseqsdb.read_db(t_aa_db))
     total_t = sum(len(p) - 1 for p in t_nucl.values())
-    evaluer = EvalueComputation(total_t, params=_NUCL_SCALE1_GAPPED_5_2)
+    if (gap_open, gap_extend) == (5, 2):
+        evaluer = EvalueComputation(total_t, params=_NUCL_SCALE1_GAPPED_5_2)
+    else:
+        nuc_scores = np.full((5, 5), -3, np.int64)
+        np.fill_diagonal(nuc_scores, 2)
+        nuc_scores[4, :] = nuc_scores[:, 4] = -3
+        nuc_pback = np.array([0.25, 0.25, 0.25, 0.25, 0.0], np.float64)
+        evaluer = EvalueComputation.for_scoring(
+            total_t, nuc_scores, nuc_pback, gap_open, gap_extend)
 
     # NucleotideMatrix at scale 1.0: +2 match / -3 mismatch over ACTG,
     # X (all ambiguity codes) scores -3 everywhere

@@ -106,6 +106,38 @@ class EvalueComputation:
         self.vj_y_thr = max(_NAT_CUT_OFF_IN_MAX * p["alpha_J"] / lam, 0.0)
         self.c_y_thr = max(_NAT_CUT_OFF_IN_MAX * p["sigma"] / lam, 0.0)
 
+    @classmethod
+    def for_scoring(cls, db_res_count, scores, pback, gap_open,
+                    gap_extend, gapped=True):
+        """EvalueComputation for an ARBITRARY scoring system: the
+        reference's precomputed-table-then-ALP-simulation path
+        (EvalueComputation.h:80-110).  The tabulated defaults are used
+        when they apply; anything else gets the deterministic seed-42
+        Monte-Carlo fit from search/gumbel.py (cached on disk — the
+        reference instead re-runs the wall-clock-sized ALP simulation in
+        every process).
+
+        scores: (A, A) int matrix (last letter = X/N); pback: (A,)
+        background frequencies (the SubstitutionMatrix pBack member)."""
+        import numpy as _np
+        from ..data.submat import BLOSUM62_SCORES
+        scores = _np.asarray(scores)
+        if gapped and (gap_open, gap_extend) == (11, 1) \
+                and scores.shape == (21, 21) \
+                and _np.array_equal(scores, BLOSUM62_SCORES):
+            return cls(db_res_count, gapped=True)
+        if not gapped and scores.shape == (21, 21) \
+                and _np.array_equal(scores, BLOSUM62_SCORES):
+            return cls(db_res_count, gapped=False)
+        if not gapped:
+            # ungapped fit: the simulation with unreachable gap costs
+            from .gumbel import fitted_params
+            p = fitted_params(scores, pback, 32000, 0)
+            return cls(db_res_count, params=p)
+        from .gumbel import fitted_params
+        p = fitted_params(scores, pback, int(gap_open), int(gap_extend))
+        return cls(db_res_count, params=p)
+
     def area(self, score, seq_len):
         """Finite-size-corrected search area
         (get_appr_tail_prob_with_cov_without_errors, sls_pvalues.cpp:366-530).
