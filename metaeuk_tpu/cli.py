@@ -425,7 +425,7 @@ def cmd_result2profile(args):
                       filter_max_seq_id=args.max_seq_id, ndiff=args.diff,
                       filter_min_enable=args.filter_min_enable,
                       pcmode=args.pseudo_cnt_mode,
-                      context_lib=args.context_lib)
+                      context_lib=args.context_lib, wg=bool(args.wg))
     print(f"wrote {args.out_db}")
     return 0
 
@@ -1622,6 +1622,8 @@ def main(argv=None):
     rp.add_argument("--diff", type=int, default=1000)
     rp.add_argument("--filter-min-enable", type=int, default=0)
     rp.add_argument("--pseudo-cnt-mode", type=int, default=0, choices=[0, 1])
+    rp.add_argument("--wg", type=int, default=0,
+                    help="global sequence weighting for profiles")
     rp.add_argument("--context-lib", default=None,
                     help="CRF context library file (required for "
                          "--pseudo-cnt-mode 1)")

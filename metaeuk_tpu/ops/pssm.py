@@ -226,6 +226,56 @@ def compute_context_specific_weights(msa, wg):
     return match_weight, neff_m
 
 
+def compute_match_weights(msa, seq_weight):
+    """computeMatchWeights (PSSMCalculator.cpp:396-410, the --wg 1
+    branch): per column, the globally-weighted residue frequencies,
+    normalized to 1 with the pBack fallback. float32 accumulation in
+    k order via unbuffered np.add.at (per-cell add order is k-ascending,
+    matching the reference loop)."""
+    K, L = msa.shape
+    match_weight = np.zeros((L, NAA), np.float32)
+    ks, ls = np.nonzero((msa != GAP) & (msa < NAA))
+    np.add.at(match_weight, (ls, msa[ks, ls]),
+              np.asarray(seq_weight, np.float32)[ks])
+    for pos in range(L):
+        match_weight[pos] = _normalize_to_1(match_weight[pos], PBACK20)
+    return match_weight
+
+
+def compute_neff_m_global(msa, match_weight, seq_weight):
+    """computeNeff_M (PSSMCalculator.cpp:283-309): per-column effective
+    sequence number from the global weights. Bit-faithful float32
+    accumulation order (aa-major inner sums, pos-major outer)."""
+    K, L = msa.shape
+    neff_hmm = np.float32(0.0)
+    for pos in range(L):
+        s = np.float32(0.0)
+        for aa in range(NAA):
+            f = match_weight[pos, aa]
+            if f > 1e-10:
+                s = np.float32(s - np.float32(f * flog2(f)))
+        neff_hmm = np.float32(neff_hmm + fpow2(s))
+    neff_hmm = np.float32(neff_hmm / np.float32(L))
+    nlim = np.float32(max(10.0, float(neff_hmm) + 1.0))
+    scale = flog2(np.float32(
+        np.float64(np.float32(nlim - neff_hmm)) / (np.float64(nlim) - 1.0)))
+    sw = np.asarray(seq_weight, np.float32)
+    neff_m = np.zeros(L, np.float32)
+    for pos in range(L):
+        w_m = np.float32(-1.0 / K)
+        col = msa[:, pos]
+        for k in range(K):
+            if col[k] != GAP:
+                w_m = np.float32(w_m + sw[k])
+        if w_m < 0:
+            neff_m[pos] = np.float32(1.0)
+        else:
+            neff_m[pos] = np.float32(
+                np.float64(nlim) - (np.float64(nlim) - 1.0)
+                * np.float64(fpow2(np.float32(scale * w_m))))
+    return neff_m
+
+
 def compute_pssm_from_msa(msa, wg_mode=False, pcmode=0, context_lib=None):
     """computePSSMFromMSA (pca/pcb defaults, scoreBias 0).
 
@@ -247,7 +297,9 @@ def compute_pssm_from_msa(msa, wg_mode=False, pcmode=0, context_lib=None):
     if not wg_mode:
         match_weight, neff_m = compute_context_specific_weights(msa, seq_weight)
     else:
-        raise NotImplementedError("wg=1 global-weight mode")
+        # --wg 1: global sequence weighting (PSSMCalculator.cpp:161-168)
+        match_weight = compute_match_weights(msa, seq_weight)
+        neff_m = compute_neff_m_global(msa, match_weight, seq_weight)
 
     # consensus (computeConsensusSequence, :651-665)
     consensus = np.full(L, ANY, np.int64)

@@ -71,7 +71,8 @@ def profile_from_alignments(center_enc, members, comp_bias_correction=True,
                             mask_profile=True, mask_prob=0.9,
                             filter_msa=False, cov_msa_thr=0.0, qid=(0,),
                             qsc=-20.0, filter_max_seq_id=0.9, ndiff=1000,
-                            filter_min_enable=0, pcmode=0, context_lib=None):
+                            filter_min_enable=0, pcmode=0, context_lib=None,
+                            wg=False):
     """center_enc: query in internal codes; members: [(t_enc, qStart, tStart,
     cigar)] already e-value filtered. Returns the 25-byte/position payload."""
     L = len(center_enc)
@@ -86,7 +87,7 @@ def profile_from_alignments(center_enc, members, comp_bias_correction=True,
             max_seqid=int(filter_max_seq_id * 100), ndiff=ndiff,
             filter_min_enable=filter_min_enable)
         msa = np.ascontiguousarray(msa[order])
-    res = compute_pssm_from_msa(msa, pcmode=pcmode,
+    res = compute_pssm_from_msa(msa, wg_mode=wg, pcmode=pcmode,
                                 context_lib=context_lib)
     pssm = res["pssm"]
     if comp_bias_correction:
@@ -105,7 +106,7 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
                       mask_profile=True, mask_prob=0.9, cov_msa_thr=0.0,
                       qid="0.0", qsc=-20.0, filter_max_seq_id=0.9,
                       ndiff=1000, filter_min_enable=0, pcmode=0,
-                      context_lib=None):
+                      context_lib=None, wg=False):
     """File-level driver: mmseqs-format seq DBs + alignment DB (with
     backtraces) -> profile DB. sameDatabase = identical paths. A profile
     query DB is accepted too (iterative search steps >= 2): the center is
@@ -173,7 +174,7 @@ def result2profile_db(query_db, target_db, aln_db, out_db, eval_profile=1e-3,
             filter_msa=bool(filter_msa), cov_msa_thr=cov_msa_thr,
             qid=qid_vec, qsc=qsc, filter_max_seq_id=filter_max_seq_id,
             ndiff=ndiff, filter_min_enable=filter_min_enable,
-            pcmode=pcmode, context_lib=context_lib)))
+            pcmode=pcmode, context_lib=context_lib, wg=wg)))
     # pcmode 1 marks the DB with the context-pseudo-counts extended
     # dbtype bit (result2profile.cpp:115-118)
     dbtype = mmseqsdb.DBTYPE_HMM_PROFILE

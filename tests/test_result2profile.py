@@ -47,6 +47,9 @@ def dbs(tmp_path_factory):
                         cov_msa_thr=0.3)),
     # multi-bucket qid exercises the reference's Ndiff carry-over quirk
     ("refr2p_f1b", dict(filter_msa=1, eval_profile=10.0, qid="0.1,0.3,0.9")),
+    # --wg 1 global sequence weighting (PSSMCalculator.cpp:161-168
+    # computeMatchWeights + computeNeff_M branch)
+    ("refr2p_wg", dict(wg=True)),
     # context-specific pseudocounts (--pseudo-cnt-mode 1; goldens from the
     # reference rebuild with tests/data/tiny.crf baked in as K4000.crf)
     ("refr2p_pc1", dict(pcmode=1, context_lib=str(DATA / "tiny.crf"))),
