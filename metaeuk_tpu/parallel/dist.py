@@ -29,6 +29,26 @@ from ..ops.sw_jax import sw_batch_ends
 FRAGS_AXIS = "frags"
 TARGETS_AXIS = "targets"
 
+# per-mesh-axis collective traffic accounting (bytes RECEIVED per device
+# over the axis, the ICI-utilization number): an all-gather over an
+# n-way axis delivers (n-1)/n of the gathered result to each device.
+# Updated analytically at each sharded-step invocation from the static
+# shapes — the same arithmetic a profiler would report, available on the
+# virtual CPU mesh where no hardware counters exist.
+COLLECTIVE_BYTES = {}
+
+
+def _account(axis, nbytes):
+    COLLECTIVE_BYTES[axis] = COLLECTIVE_BYTES.get(axis, 0) + int(nbytes)
+
+
+def collective_report(reset=False):
+    """{axis: bytes} accumulated since the last reset."""
+    out = dict(COLLECTIVE_BYTES)
+    if reset:
+        COLLECTIVE_BYTES.clear()
+    return out
+
 
 def make_mesh(devices=None, frags=None, targets=None):
     """Build the 2D search mesh. Defaults: targets axis = 1 (replicated DB),
@@ -84,7 +104,20 @@ def sharded_search_step(mesh, Lq, Lt):
         out_specs=(P(FRAGS_AXIS, None), P(FRAGS_AXIS, None), P(FRAGS_AXIS, None)),
         check_vma=False,
     )
-    return jax.jit(step)
+    jitted = jax.jit(step)
+    nt_shards = mesh.shape[TARGETS_AXIS]
+    nf_shards = mesh.shape[FRAGS_AXIS]
+
+    def wrapped(q_enc, q_bias, q_len, t_enc, t_len):
+        # 3 all-gathers of (nq_local, Nt) int32 over the targets axis
+        nq_local = -(-q_enc.shape[0] // nf_shards)
+        nt_global = t_enc.shape[0]
+        per_dev = 3 * nq_local * nt_global * 4
+        _account(TARGETS_AXIS,
+                 per_dev * (nt_shards - 1) // max(nt_shards, 1))
+        return jitted(q_enc, q_bias, q_len, t_enc, t_len)
+
+    return wrapped
 
 
 def sharded_search_topk_step(mesh, Lq, Lt, k):
@@ -140,4 +173,17 @@ def sharded_search_topk_step(mesh, Lq, Lt, k):
         out_specs=(P(FRAGS_AXIS, None),) * 4,
         check_vma=False,
     )
-    return jax.jit(step)
+    jitted = jax.jit(step)
+    nf_shards = mesh.shape[FRAGS_AXIS]
+
+    def wrapped(q_enc, q_bias, q_len, t_enc, t_len):
+        # 4 all-gathers of (nq_local, k_local) int32 per shard — the
+        # whole point of this variant: traffic scales with k, not Nt
+        nq_local = -(-q_enc.shape[0] // nf_shards)
+        k_local = min(k, -(-t_enc.shape[0] // n_target_shards))
+        per_dev = 4 * nq_local * k_local * n_target_shards * 4
+        _account(TARGETS_AXIS,
+                 per_dev * (n_target_shards - 1) // max(n_target_shards, 1))
+        return jitted(q_enc, q_bias, q_len, t_enc, t_len)
+
+    return wrapped
