@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -104,6 +106,50 @@ def test_two_process_distributed_easy_predict(tmp_path):
     for s_ in ("fas", "codon.fas", "headersMap.tsv", "gff"):
         assert pathlib.Path(f"{out}.{s_}").read_bytes() \
             == (golden / f"easypredict.{s_}").read_bytes(), s_
+
+
+@pytest.mark.skipif(os.environ.get("METAEUK_BIG_DIST") != "1",
+                    reason="bench-scale 2-process run takes minutes; "
+                           "set METAEUK_BIG_DIST=1")
+def test_two_process_distributed_bench_config(tmp_path):
+    """The 4 Mbp / 8k-target bench config across two jax.distributed
+    processes with the target-split prefilter (--split 2) doing real
+    split work fanned over the ranks (runMpiSplits contract,
+    Prefiltering.cpp:575-660). Rank-0-merged outputs must equal the
+    committed single-process --split 2 digests byte-for-byte."""
+    import hashlib
+    import json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    golden = json.loads((pathlib.Path(__file__).parent / "golden" /
+                         "dist_bench_slice.json").read_text())
+    sys.path.insert(0, str(repo))
+    from tools.make_metagenome import make_metagenome, write_fasta
+    contigs, proteins = make_metagenome(golden["mbp"], golden["targets"])
+    write_fasta(tmp_path / "c.fna", contigs)
+    write_fasta(tmp_path / "p.faa", proteins)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "preds")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    procs = [subprocess.Popen(
+        [sys.executable, str(repo / "tools" / "dist_worker.py"), str(i),
+         "2", f"127.0.0.1:{port}", str(tmp_path / "c.fna"),
+         str(tmp_path / "p.faa"), out, str(golden["split"])],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [p.communicate(timeout=3000)[0] for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, lg.decode(errors="replace")[-2000:]
+    for s_ in ("fas", "codon.fas", "headersMap.tsv", "gff"):
+        digest = hashlib.sha256(
+            pathlib.Path(f"{out}.{s_}").read_bytes()).hexdigest()
+        assert digest == golden["sha256"][s_], s_
 
 
 def test_dist_prefilter_single_process_equals_sequential(tmp_path):

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("out_prefix")
     ap.add_argument("--tmp", default=None)
     ap.add_argument("--split", type=int, default=0)
+    ap.add_argument("--split-memory-limit", default="0",
+                    help="prefilter memory budget, e.g. 16G (forces "
+                         "target splits like the reference flag)")
     ap.add_argument("--contig-range", type=int, nargs=2, default=None)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -31,6 +34,11 @@ def main():
     from metaeuk_tpu.utils import log
 
     p = Params()
+    mem = args.split_memory_limit.upper()
+    if mem and mem != "0":
+        mult = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+        p.split_memory_limit = (int(float(mem[:-1]) * mult[mem[-1]])
+                                if mem[-1] in mult else int(mem))
     if args.split:
         p.split = args.split
     ep = EasyPredict(p)
@@ -41,11 +49,15 @@ def main():
     wall = time.perf_counter() - t0
     stages = dict(getattr(ep, "predict_stage_seconds", {}))
     stages.update(getattr(ep, "stage_seconds", {}))
+    from metaeuk_tpu.search import driver as drv
+    cells = dict(drv.CELLS)
     summary = {
         "wall_s": round(wall, 1),
         "stage_seconds": {k: round(v, 2) for k, v in stages.items()},
         "peak_rss_gib": round(log.peak_rss_bytes() / 1024 ** 3, 2),
         "split": args.split,
+        "aligned_cells": cells,
+        "aligned_cells_per_s_e2e": round(sum(cells.values()) / wall, 1),
     }
     print(json.dumps(summary))
     if args.json:
