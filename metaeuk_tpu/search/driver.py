@@ -650,12 +650,27 @@ class SearchDriver:
         # Alignment::checkCriteria drops rows failing the E-value gate
         # regardless of start coordinates, so the reverse-prefix pass
         # only runs on rows that can possibly survive.
+        # The decision ev(score, qlen) <= thr is evaluated as an integer
+        # score-cutoff compare: ev is monotone non-increasing in score
+        # for fixed qlen, so per distinct qlen the minimal passing score
+        # is found once by bisection over the SAME float64 evalue
+        # function (boundary-verified) — identical decisions without
+        # materializing ~15 float64 temporaries over every candidate
+        # pair (at 88M pairs the dense gate cost ~120 s of host
+        # memory bandwidth; the exact E-values are then computed for
+        # survivors only).
         p = self.params
         q_len_pairs = orf_lens[oi]
-        ev_gate = self.evaluer.compute_evalue(
-            score_all.astype(np.float64), q_len_pairs.astype(np.float64))
-        surv = ((te_all >= 0) & (score_all > 0)
-                & (ev_gate <= p.search_evalue_thr))
+        cutoffs = self._gate_cutoffs(q_len_pairs, p.search_evalue_thr)
+        if cutoffs is not None:
+            surv = ((te_all >= 0) & (score_all > 0)
+                    & (score_all >= cutoffs))
+        else:  # monotonicity verification failed: dense fallback
+            ev_gate = self.evaluer.compute_evalue(
+                score_all.astype(np.float64),
+                q_len_pairs.astype(np.float64))
+            surv = ((te_all >= 0) & (score_all > 0)
+                    & (ev_gate <= p.search_evalue_thr))
         CELLS["fwd"] += int((q_len_pairs.astype(np.int64)
                              * self.target_lens[ti]).sum())
         CELLS["rev"] += int(((qe_all[surv].astype(np.int64) + 1)
@@ -714,7 +729,10 @@ class SearchDriver:
         hits["q_len"] = q_len_pairs[keep_rows]
         hits["t_start"], hits["t_end"] = ts_all[keep_rows], te_all[keep_rows]
         hits["t_len"] = self.target_lens[ti[keep_rows]]
-        out = self._filter_and_sort(hits, evalue=ev_gate[keep_rows])
+        ev_surv = self.evaluer.compute_evalue(
+            score_all[keep_rows].astype(np.float64),
+            q_len_pairs[keep_rows].astype(np.float64))
+        out = self._filter_and_sort(hits, evalue=ev_surv)
         _mark("filter_sort")
         self.phase_seconds = phase_s
         from ..utils import log
@@ -839,6 +857,56 @@ class SearchDriver:
                           jnp.asarray(q_p), jnp.asarray(lj_p),
                           jnp.asarray(qe_l), jnp.asarray(te_l))
             yield lp_p, outs
+
+    def _gate_cutoffs(self, q_len_pairs, thr):
+        """Per-pair minimal passing raw score for the E-value gate, via
+        per-distinct-qlen bisection over the exact evalue function.
+        Returns None if the boundary verification fails for any length
+        (caller falls back to the dense gate). METAEUK_GATE_CUTOFF=0
+        disables the fast path."""
+        if os.environ.get("METAEUK_GATE_CUTOFF") == "0":
+            return None
+        cache = getattr(self, "_gate_cut_cache", None)
+        if cache is None or cache[0] != thr:
+            cache = (thr, {})
+            self._gate_cut_cache = cache
+        cut = cache[1]
+        uniq = np.unique(q_len_pairs)
+        ev = self.evaluer
+        for L in uniq:
+            L = int(L)
+            if L in cut:
+                continue
+            fL = float(L)
+
+            def e(s):
+                return float(ev.compute_evalue(np.float64(s),
+                                               np.float64(fL)))
+            hi = 1
+            while e(hi) > thr and hi < (1 << 22):
+                hi <<= 1
+            lo = 0   # e(lo) > thr invariant (score 0 rows never survive)
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if e(mid) <= thr:
+                    hi = mid
+                else:
+                    lo = mid
+            # boundary verification of monotonicity
+            if e(hi) > thr or (hi > 1 and e(hi - 1) <= thr):
+                return None
+            cut[L] = hi
+        lut_len = int(uniq[-1]) + 1 if len(uniq) else 1
+        lut = getattr(self, "_gate_cut_lut", None)
+        if lut is None or lut[0] != thr or lut[2] != len(cut) \
+                or len(lut[1]) < lut_len:
+            arr = np.full(max(lut_len, max(cut, default=1) + 1, 2),
+                          np.iinfo(np.int32).max, np.int32)
+            for L, s in cut.items():
+                arr[L] = s
+            self._gate_cut_lut = (thr, arr, len(cut))
+            lut = self._gate_cut_lut
+        return lut[1][q_len_pairs]
 
     def _filter_and_sort(self, hits, evalue=None):
         p = self.params

@@ -664,11 +664,19 @@ size_t find_duplicates(PF *pf, Scratch &sc,
             cnt += ((uint8_t)ba[key] != (uint8_t)tmp[n].second) ? 1 : 0;
             ba[key] = (int8_t)(uint8_t)tmp[n].second;
         }
-        // zero the touched slots
-        for (size_t n = 0; n < hits.size(); n++) {
-            const uint32_t id = hits[n].seqId;
-            if ((id & mask) != bin) continue;
-            ba[id >> pf->binbits] = 0;
+        // zero the touched slots; when the posting list dwarfs the
+        // byte-array (the large-target-DB regime: ~8000 matches/query
+        // at 500k targets) a flat memset of the whole array is an
+        // order of magnitude cheaper than re-scanning every hit, and
+        // restores the identical all-zero state
+        if (hits.size() > pf->dup_bytes / 8) {
+            memset(ba, 0, pf->dup_bytes);
+        } else {
+            for (size_t n = 0; n < hits.size(); n++) {
+                const uint32_t id = hits[n].seqId;
+                if ((id & mask) != bin) continue;
+                ba[id >> pf->binbits] = 0;
+            }
         }
     }
     return cnt;
@@ -713,11 +721,17 @@ size_t find_duplicates_count(PF *pf, Scratch &sc,
             cnt += ((uint8_t)ba[key] != 0) ? 1 : 0;
             ba[key] = 0;
         }
-        // bin cleanup (reference zeroes all touched slots per bin)
-        for (size_t n = 0; n < hits.size(); n++) {
-            const uint32_t id = hits[n].seqId;
-            if ((id & mask) != bin) continue;
-            ba[id >> pf->binbits] = 0;
+        // bin cleanup (reference zeroes all touched slots per bin);
+        // flat memset when the hit list dwarfs the byte-array — same
+        // all-zero end state (see find_duplicates)
+        if (hits.size() > pf->dup_bytes / 8) {
+            memset(ba, 0, pf->dup_bytes);
+        } else {
+            for (size_t n = 0; n < hits.size(); n++) {
+                const uint32_t id = hits[n].seqId;
+                if ((id & mask) != bin) continue;
+                ba[id >> pf->binbits] = 0;
+            }
         }
     }
     return cnt;
