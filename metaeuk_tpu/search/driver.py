@@ -443,15 +443,18 @@ class SearchDriver:
             self._q_cache = (orf_aa_seqs, orfs_enc, orf_lens, tiers)
         return orfs_enc, orf_lens, tiers
 
-    def prewarm(self, orf_aa_seqs, background=True, max_combos=4):
+    def prewarm(self, orf_aa_seqs, background=True, max_combos=None):
         """Stage both sides and pull the forward-ends executables in
-        (compile or persistent-cache load) for the most-likely (Lq, Lt)
-        tier combos of this dataset, in a daemon thread while the
-        prefilter occupies the host cores. Deliberately capped: each
-        combo costs a ~10s cache load (or a cold compile), and XLA
-        compiles serialize against the main thread's own — warming the
-        few combos that carry most pairs wins; the tail compiles on
-        demand as before."""
+        (compile or persistent-cache load) for the (Lq, Lt) tier combos
+        of this dataset, in a daemon thread while the prefilter occupies
+        the host cores. Small workloads (coarse tiers) warm their ~4
+        combos; metagenome-scale workloads (fine tiers) have 10-30
+        combos and a long prefilter window to hide them in, so they warm
+        everything — an unhidden first-batch executable load costs
+        3-12 s of link round trip each on tunneled devices (measured:
+        ~250 s of batch-1 submit/fetch stall at 50 Mbp scale before this
+        warmed all combos). Loads overlap on a pool sized for link
+        latency; the tail still compiles on demand."""
         import threading
 
         def work():
@@ -466,15 +469,18 @@ class SearchDriver:
                 combos = sorted(
                     ((lq, lt) for lq in q_tiers for lt in t_w),
                     key=lambda c: -(q_w.get(c[0], 0) * t_w.get(c[1], 0)))
-                combos = combos[:max_combos]
+                cap = max_combos
+                if cap is None:
+                    cap = len(combos) if self._fine else 4
+                combos = combos[:cap]
                 qm_on, qm_interp = _qm_mode()
                 # the pair path carries sparse-candidate workloads
                 # (qm executables load only when the qm share is real).
-                # Loads run on a small pool: each first dispatch pays a
+                # Loads run on a pool: each first dispatch pays a
                 # device-load round trip over the (tunneled) link, and
                 # those latencies overlap
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=3) as pool:
+                with ThreadPoolExecutor(max_workers=6) as pool:
                     futs = [pool.submit(self._warm_combo, op,
                                         q_tiers[Lq], Lq, Lt, qm_on,
                                         qm_interp)
