@@ -39,8 +39,16 @@ HIT_DTYPE = np.dtype([
     ("t_len", np.int32),
 ])
 
-# device batch budget in DP cells per launch (S tensor = cells * 4 bytes)
+# device batch budget in DP cells per launch, XLA-fallback path (which
+# materializes the S tensor: cells * 4 bytes)
 CELL_BUDGET = 1 << 27
+# the fused Pallas path never materializes S (the grid streams tiles
+# through VMEM), so its launches can be much larger: fewer dispatches =
+# fewer result-fetch round trips, the dominant align cost on tunneled
+# links (measured: 5300 dispatches/batch at 50 Mbp scale = ~240 s of
+# ~45 ms RTTs; 8x bigger launches cut that ~8x). Env-tunable.
+PALLAS_CELL_BUDGET = int(os.environ.get("METAEUK_PALLAS_CELL_BUDGET",
+                                        str(1 << 30)))
 
 # process-wide aligned-cell accounting (true sequence lengths, not
 # padding): forward-pass cells over every candidate pair plus
@@ -782,7 +790,12 @@ class SearchDriver:
         n_dev = n_devices()
         mult *= n_dev
         fn = _dispatcher(name, Lq, Lt, use_pallas, n_dev)
-        batch_cap = max(8, CELL_BUDGET // (Lq * Lt))
+        # large launches only at metagenome scale (fine tiers): there
+        # the per-dispatch fetch RTT dominates; small workloads keep
+        # small shapes so padded tail cells stay negligible
+        budget = PALLAS_CELL_BUDGET if (use_pallas and self._fine) \
+            else CELL_BUDGET
+        batch_cap = max(8, budget // (Lq * Lt))
         for s in range(0, len(rows), batch_cap):
             r = rows[s:s + batch_cap]
             if use_pallas:
