@@ -36,6 +36,26 @@ def is_compressed(path):
         bool(read_dbtype_raw(path) & 0x80000000)
 
 
+def read_db_str(path):
+    """String-keyed DB read (DBReader<std::string>, e.g. maskbygff's
+    input, maskbygff.cpp:14-16): index first column kept as the raw
+    string. Returns [(name, payload_bytes)] in index-file order (the
+    NOSORT access order)."""
+    with open(f"{path}.index") as f:
+        index = [(name, int(off), int(ln))
+                 for name, off, ln in
+                 (line.rstrip("\n").split("\t") for line in f)]
+    with open(path, "rb") as f:
+        data = f.read()
+    entries = []
+    for name, offset, length in index:
+        payload = data[offset:offset + length]
+        if payload.endswith(b"\x00"):
+            payload = payload[:-1]
+        entries.append((name, payload))
+    return entries
+
+
 def read_db(path):
     """Returns list of (key, payload_bytes) in index order; payload excludes
     the trailing NUL. Transparently decompresses MMseqs compressed DBs

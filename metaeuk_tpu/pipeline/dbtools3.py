@@ -128,11 +128,15 @@ def _orf_hdr(key, frm, to):
 
 
 def maskbygff(gff_file, in_db, out_db, gff_type=""):
-    """maskbygff.cpp: X out GFF feature regions (0-indexed after the
-    1-based GFF coords); keys offset by --identifier-offset (0)."""
-    entries = mmseqsdb.read_db(in_db)
-    # maskbygff looks up entries by STRING id = the db key text
-    by_key = {str(k): bytearray(p) for k, p in entries}
+    """maskbygff.cpp: X out GFF feature regions (0-indexed from the
+    1-based GFF coords) in a STRING-keyed sequence DB
+    (DBReader<std::string>, maskbygff.cpp:14-16: the GFF seqname column
+    is looked up against the index's string keys). Output keys are
+    renumbered 0..n-1 in index order (identifierOffset + i,
+    maskbygff.cpp:96-101); the paired header DB is renumbered
+    alongside. Unknown seqnames are an error, like the reference."""
+    entries = mmseqsdb.read_db_str(in_db)
+    by_key = {name: bytearray(p) for name, p in entries}
     with open(gff_file) as f:
         for line in f:
             if line.startswith("#"):
@@ -145,12 +149,15 @@ def maskbygff(gff_file, in_db, out_db, gff_type=""):
             start, end = int(cols[3]), int(cols[4])
             if end <= start or start == 0 or end == 0:
                 continue
+            if cols[0] not in by_key:
+                raise KeyError(f"GFF entry not found in input database: "
+                               f"{cols[0]}")
             body = by_key[cols[0]]
             body[start - 1:end] = b"X" * (end - start + 1)
-    out = [(i, bytes(by_key[str(k)])) for i, (k, _) in enumerate(entries)]
+    out = [(i, bytes(by_key[name])) for i, (name, _) in enumerate(entries)]
     mmseqsdb.write_db(out_db, out, mmseqsdb.read_dbtype(in_db))
     if os.path.exists(f"{in_db}_h.dbtype"):
-        hdrs = mmseqsdb.read_db(f"{in_db}_h")
+        hdrs = mmseqsdb.read_db_str(f"{in_db}_h")
         mmseqsdb.write_db(f"{out_db}_h",
                           [(i, p) for i, (_, p) in enumerate(hdrs)],
                           mmseqsdb.DBTYPE_GENERIC)

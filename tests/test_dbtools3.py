@@ -108,3 +108,23 @@ def test_result2msa_filtered(tmp_path, dbs):
     result2msa_db(str(dbs / "qdb"), str(dbs / "qdb"), str(U / "selfres"),
                   str(tmp_path / "o"), filter_msa=True)
     _eq(tmp_path / "o", U / "msa_filt")
+
+
+def test_maskbygff_string_keyed_byte_parity(tmp_path):
+    """maskbygff on a STRING-keyed DB (the reference's
+    DBReader<std::string> precondition, maskbygff.cpp:14-16): GFF
+    seqnames looked up against string index keys, feature regions X'd
+    (1-based closed coords), output renumbered 0..n-1 with the header
+    DB; golden from the reference binary on the committed fixture."""
+    import pathlib
+    import shutil
+    from metaeuk_tpu.pipeline.dbtools3 import maskbygff
+    g = pathlib.Path(__file__).parent / "golden" / "maskbygff"
+    for suf in ("", ".index", ".dbtype", "_h", "_h.index", "_h.dbtype"):
+        shutil.copy(g / f"strdb{suf}", tmp_path / f"strdb{suf}")
+    out = tmp_path / "masked"
+    maskbygff(str(g / "test.gff"), str(tmp_path / "strdb"), str(out),
+              gff_type="gene")
+    for suf in ("", ".index", "_h", "_h.index"):
+        assert (tmp_path / f"masked{suf}").read_bytes() \
+            == (g / f"refmasked{suf}").read_bytes(), suf
