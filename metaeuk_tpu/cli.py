@@ -404,6 +404,7 @@ def cmd_msa2profile(args):
     msa_db_to_profile_db(entries, args.out_db, match_mode=args.match_mode,
                          match_ratio=args.match_ratio,
                          comp_bias_correction=bool(args.comp_bias_corr),
+                         filter_msa=bool(args.filter_msa),
                          pcmode=args.pseudo_cnt_mode,
                          context_lib=args.context_lib)
     print(f"wrote {args.out_db} ({len(entries)} profiles)")
@@ -1596,6 +1597,9 @@ def main(argv=None):
     mp.add_argument("out_db")
     mp.add_argument("--match-mode", type=int, default=0, choices=[0, 1])
     mp.add_argument("--match-ratio", type=float, default=0.5)
+    mp.add_argument("--filter-msa", type=int, default=1,
+                    help="reference default: filter the MSA before "
+                         "profile computation")
     mp.add_argument("--comp-bias-corr", type=int, default=1)
     mp.add_argument("--pseudo-cnt-mode", type=int, default=0, choices=[0, 1])
     mp.add_argument("--context-lib", default=None,

@@ -122,12 +122,37 @@ def download(name, out_db, tmp, local_file=None, taxdump_dir=None,
         raise RuntimeError(
             f"downloading {name} needs network egress; fetch "
             f"{entry[3]} elsewhere and pass local_file=<fasta>")
-    if entry[1] == _PROF:
-        raise NotImplementedError(
-            "profile catalog entries need the upstream archive layout; "
-            "build profiles from MSAs via convertmsa + msa2profile")
     from ..cli import main
     os.makedirs(tmp, exist_ok=True)
+    if entry[1] == _PROF:
+        # profile entries: the databases.sh MSA post-processing chains
+        # (databases.sh:321-357) on the pre-fetched archive.
+        # STOCKHOLM_MSA (Pfam-A.*): convertmsa -> msa2profile;
+        # FASTA_MSA (Pfam-B/CDD/dbCAN2): tar2db -> msa2profile
+        # (--skip-query for CDD); A3M (PDB70): msa2profile --msa-type 1
+        msa_db = os.path.join(tmp, "msa")
+        stockholm = {"Pfam-A.full", "Pfam-A.seed", "VOGDB"}
+        a3m = {"PDB70"}
+        if name in stockholm:
+            if main(["convertmsa", str(local_file), msa_db]) != 0:
+                raise RuntimeError("convertmsa failed")
+            args = ["msa2profile", msa_db, str(out_db),
+                    "--match-mode", "1", "--match-ratio", "0.5"]
+        elif name in a3m:
+            args = ["msa2profile", str(local_file), str(out_db),
+                    "--match-mode", "1", "--match-ratio", "0.5",
+                    "--msa-type", "1"]
+        else:  # FASTA_MSA tarballs
+            if main(["tar2db", str(local_file), msa_db,
+                     "--output-dbtype", "11"]) != 0:
+                raise RuntimeError("tar2db failed")
+            args = ["msa2profile", msa_db, str(out_db),
+                    "--match-mode", "1", "--match-ratio", "0.5"]
+            if name == "CDD":
+                args.append("--skip-query")
+        if main(args) != 0:
+            raise RuntimeError("msa2profile failed")
+        return out_db
     rc = main(["createdb", str(local_file), str(out_db)])
     if rc != 0:
         raise RuntimeError("createdb failed")

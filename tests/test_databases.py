@@ -31,3 +31,20 @@ def test_local_file_build(tmp_path):
     download("PDB", str(tmp_path / "db"), str(tmp_path / "tmp"),
              local_file=str(DATA / "proteins.faa"))
     assert len(mmseqsdb.read_db(str(tmp_path / "db"))) == 6
+
+
+def test_profile_catalog_chain_byte_parity(tmp_path):
+    """The databases.sh STOCKHOLM_MSA post-processing chain (convertmsa
+    -> msa2profile --match-mode 1 --match-ratio 0.5, databases.sh:326-
+    333) from a pre-fetched archive, byte-identical to the reference
+    binary's chain on the committed fixture (reference msa2profile
+    default --filter-msa 1 applies)."""
+    import pathlib
+    from metaeuk_tpu.pipeline.databases import download
+    g = pathlib.Path(__file__).parent / "golden" / "dbcatalog"
+    out = tmp_path / "prof"
+    download("Pfam-A.seed", str(out), str(tmp_path / "t"),
+             local_file=str(g / "mini.msa.gz"))
+    for suf in ("", ".index", ".dbtype"):
+        assert (tmp_path / f"prof{suf}").read_bytes() \
+            == (g / f"refprof{suf}").read_bytes(), suf
