@@ -580,6 +580,10 @@ class SearchDriver:
         lt_of = _bucket_arr(self.target_lens, self._fine)
         lq_b, lt_b = lq_of[oi], lt_of[ti]
         n_pairs = len(oi)
+        if not hasattr(self, "_big_launch"):
+            # sticky: the first call sizes the launch regime for this
+            # driver's lifetime (shapes must not flip between batches)
+            self._big_launch = n_pairs >= 2_000_000
         qm_on, qm_interp = _qm_mode()
         if qm_on and os.environ.get("METAEUK_QM") != "force":
             # the query-major path only pays when a meaningful share of
@@ -790,10 +794,13 @@ class SearchDriver:
         n_dev = n_devices()
         mult *= n_dev
         fn = _dispatcher(name, Lq, Lt, use_pallas, n_dev)
-        # large launches only at metagenome scale (fine tiers): there
-        # the per-dispatch fetch RTT dominates; small workloads keep
-        # small shapes so padded tail cells stay negligible
-        budget = PALLAS_CELL_BUDGET if (use_pallas and self._fine) \
+        # large launches only at scale (fine tiers or multi-million-pair
+        # calls — sticky per driver so jit shapes stay consistent):
+        # there the per-dispatch fetch RTT dominates; small workloads
+        # keep small shapes so padded tail cells stay negligible
+        budget = PALLAS_CELL_BUDGET \
+            if (use_pallas and (self._fine
+                                or getattr(self, "_big_launch", False))) \
             else CELL_BUDGET
         batch_cap = max(8, budget // (Lq * Lt))
         for s in range(0, len(rows), batch_cap):
