@@ -802,7 +802,10 @@ class SearchDriver:
             if (use_pallas and (self._fine
                                 or getattr(self, "_big_launch", False))) \
             else CELL_BUDGET
-        batch_cap = max(8, budget // (Lq * Lt))
+        # rows cap: short-tier launches hit HBM limits through the
+        # per-row staging intermediates long before the cell budget
+        # (measured: 262144-row (64,64) launches exceeded 15.75G HBM)
+        batch_cap = max(8, min(budget // (Lq * Lt), 32768))
         for s in range(0, len(rows), batch_cap):
             r = rows[s:s + batch_cap]
             if use_pallas:
