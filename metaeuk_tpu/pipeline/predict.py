@@ -331,12 +331,18 @@ def _pipelined_extract_search(p, extractor, contigs, lo, hi, pref_fut,
     from ..search.prefilter_kmer import KmerPrefilter, log_prefilter_stats
     from ..search.driver import HIT_DTYPE
 
-    # contig-range bounds balanced by residues (fragment yield tracks
-    # residue count, and ranges must be contig-contiguous so fragment
-    # indices stay in contig order)
+    # contig-range bounds by residues (fragment yield tracks residue
+    # count, and ranges must be contig-contiguous so fragment indices
+    # stay in contig order).  Batch sizes grow geometrically (1:2:4:...)
+    # instead of evenly: extraction of batch 0 is the serial ramp before
+    # the first prefilter batch can start, so the first batch is kept
+    # small (1/(2^n-1) of the residues) and later batches extract while
+    # earlier ones prefilter underneath
     lens = np.asarray(contigs.lengths[lo:hi], np.float64)
     cum = np.concatenate([[0.0], np.cumsum(lens)])
-    bounds = [lo + int(np.searchsorted(cum, cum[-1] * k / n_batches))
+    gw = np.cumsum([0.0] + [2.0 ** k for k in range(n_batches)])
+    gw /= gw[-1]
+    bounds = [lo + int(np.searchsorted(cum, cum[-1] * gw[k]))
               for k in range(n_batches + 1)]
     bounds[0], bounds[-1] = lo, hi
     for i in range(1, n_batches + 1):

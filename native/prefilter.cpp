@@ -9,11 +9,11 @@
 // rescore for throughput mode runs on TPU via ops/ungapped.py; this core
 // is the exact-parity path and the candidate-set oracle).
 //
-// Scope: amino-acid query vs amino-acid target, diagonal scoring on
-// (the reference default), spaced 6-mers. Overflow handling for
-// > max(1e6, dbSize)*2 collected matches is not implemented (the Python
-// driver asserts on it); reference behavior in that regime depends on
-// overflow merge order.
+// Scope: amino-acid query vs amino-acid target, spaced k-mers with
+// runtime k in {6,7}, diagonal scoring on (the reference default) and
+// off, profile queries, chunked overflow handling for
+// > max(1e6, dbSize)*2 collected matches (flush_chunk/merge_diag_dups
+// mirror QueryMatcher.cpp:283-333), and persistent index save/load.
 
 #include <algorithm>
 #include <cmath>
@@ -52,6 +52,17 @@ struct __attribute__((packed)) IndexEntry {
     uint16_t pos_j;
 };
 static_assert(sizeof(IndexEntry) == 6, "IndexEntry must be packed");
+
+// a collected (target id, diagonal) hit, partitioned by id&mask into
+// per-bin buffers during the gather (the reference's cache-friendly
+// trick, CacheFriendlyOperations.cpp) so duplicate detection is a
+// single streaming pass per bin instead of bincount filtered re-scans
+// of the whole hit list
+struct __attribute__((packed)) BinHit {
+    uint32_t id;
+    uint16_t diag;
+};
+static_assert(sizeof(BinHit) == 6, "BinHit must be packed");
 
 // phase cycle counters (METAEUK_PF_PROF=1), accumulated across threads
 enum { PH_GEN = 0, PH_GATHER, PH_DUP, PH_RESCORE, PH_FINISH, PH_KEEPMAX, PH_CSORT, PH_EMIT, PH_N };
@@ -111,8 +122,11 @@ struct Scratch {
     std::vector<uint32_t> klist;
     std::vector<uint32_t> klist2;     // bitmap-surviving (non-empty) k-mers
     std::vector<int32_t> rowids;      // per-position ExtMat3 row ids
-    std::vector<IndexEntry> hits;
-    std::vector<uint16_t> hitDiag;
+    // collected hits, partitioned by (id & (bincount-1)) at gather time;
+    // binTotal tracks the total across bins (the overflow budget)
+    std::vector<std::vector<BinHit>> bins;
+    size_t binTotal = 0;
+    std::vector<std::pair<uint32_t, uint16_t>> dupTmp;
     std::vector<Counter> sorted;
     std::vector<int8_t> qprof;
     std::vector<int16_t> gscore[2];
@@ -122,6 +136,13 @@ struct Scratch {
     ProfAcc prof;
     void ensure_dup(size_t dup_bytes) {
         if (byteArr.size() != dup_bytes) byteArr.assign(dup_bytes, 0);
+    }
+    void ensure_bins(uint32_t bincount) {
+        if (bins.size() != bincount) bins.resize(bincount);
+    }
+    void clear_bins() {
+        for (auto &b : bins) b.clear();
+        binTotal = 0;
     }
 };
 
@@ -140,7 +161,7 @@ struct PF {
     // most generated similar k-mers have empty posting lists, and this
     // L3-resident filter avoids the latency-bound random load into the
     // 256 MB offsets table for them (an empty list can never trigger the
-    // overflow flush — hits.size() < maxDbMatches is invariant after
+    // overflow flush — binTotal < maxDbMatches is invariant after
     // every append — so skipping empties is exactly
     // semantics-preserving vs QueryMatcher.cpp:281-322)
     std::vector<uint64_t> kbit;
@@ -630,25 +651,26 @@ int diag_score_raw(const PF *pf, const int8_t *qprof, int qlen,
 
 // CacheFriendlyOperations::findDuplicates, computeTotalScore=false
 // (CacheFriendlyOperations.cpp:185-274): two successive hits with equal
-// diagonal byte per id -> duplicate; dedup runs keeping first.
-size_t find_duplicates(PF *pf, Scratch &sc,
-                       const std::vector<IndexEntry> &hits,
-                       const std::vector<uint16_t> &hitDiag,
-                       Counter *out) {
-    const uint32_t mask = pf->bincount - 1;
+// diagonal byte per id -> duplicate; dedup runs keeping first. Hits are
+// already partitioned into per-bin buffers at gather time, so each bin
+// is one streaming pass over its own hits (the old form filtered the
+// whole hit list once per bin — bincount re-scans, the dominant cost of
+// the match at large hit counts). Per-bin scan order equals posting
+// order filtered by bin, and bins are visited 0..bincount-1, so the
+// output sequence is byte-identical to the filtered-scan form.
+size_t find_duplicates(PF *pf, Scratch &sc, Counter *out) {
     int8_t *ba = sc.byteArr.data();
-    std::vector<std::pair<uint32_t, uint16_t>> tmp;
+    std::vector<std::pair<uint32_t, uint16_t>> &tmp = sc.dupTmp;
     size_t cnt = 0;
     for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        const std::vector<BinHit> &bh = sc.bins[bin];
         tmp.clear();
         // find duplicates in this bin (scan order preserved)
-        for (size_t n = 0; n < hits.size(); n++) {
-            const uint32_t id = hits[n].seqId;
-            if ((id & mask) != bin) continue;
-            const uint32_t key = id >> pf->binbits;
-            const uint8_t currDiag = (uint8_t)hitDiag[n];
+        for (size_t n = 0; n < bh.size(); n++) {
+            const uint32_t key = bh[n].id >> pf->binbits;
+            const uint8_t currDiag = (uint8_t)bh[n].diag;
             const uint8_t prevDiag = (uint8_t)ba[key];
-            if (currDiag == prevDiag) tmp.push_back({id, hitDiag[n]});
+            if (currDiag == prevDiag) tmp.push_back({bh[n].id, bh[n].diag});
             ba[key] = (int8_t)currDiag;
         }
         // reset: first diagonal + 1 in reverse
@@ -664,18 +686,14 @@ size_t find_duplicates(PF *pf, Scratch &sc,
             cnt += ((uint8_t)ba[key] != (uint8_t)tmp[n].second) ? 1 : 0;
             ba[key] = (int8_t)(uint8_t)tmp[n].second;
         }
-        // zero the touched slots; when the posting list dwarfs the
-        // byte-array (the large-target-DB regime: ~8000 matches/query
-        // at 500k targets) a flat memset of the whole array is an
-        // order of magnitude cheaper than re-scanning every hit, and
-        // restores the identical all-zero state
-        if (hits.size() > pf->dup_bytes / 8) {
+        // zero the touched slots (all-zero end state either way); a
+        // flat memset is cheaper once the bin's hits outnumber the
+        // byte-array bytes
+        if (bh.size() > pf->dup_bytes / 8) {
             memset(ba, 0, pf->dup_bytes);
         } else {
-            for (size_t n = 0; n < hits.size(); n++) {
-                const uint32_t id = hits[n].seqId;
-                if ((id & mask) != bin) continue;
-                ba[id >> pf->binbits] = 0;
+            for (size_t n = 0; n < bh.size(); n++) {
+                ba[bh[n].id >> pf->binbits] = 0;
             }
         }
     }
@@ -685,25 +703,21 @@ size_t find_duplicates(PF *pf, Scratch &sc,
 // CacheFriendlyOperations::findDuplicates, computeTotalScore=true
 // (CacheFriendlyOperations.cpp:214-237): per id, the first double-
 // diagonal occurrence carries the total duplicate count (capped 255);
-// later occurrences are suppressed by the zeroed slot.
-size_t find_duplicates_count(PF *pf, Scratch &sc,
-                             const std::vector<IndexEntry> &hits,
-                             const std::vector<uint16_t> &hitDiag,
-                             Counter *out) {
-    const uint32_t mask = pf->bincount - 1;
+// later occurrences are suppressed by the zeroed slot. Bin-partitioned
+// like find_duplicates above.
+size_t find_duplicates_count(PF *pf, Scratch &sc, Counter *out) {
     int8_t *ba = sc.byteArr.data();
-    std::vector<std::pair<uint32_t, uint16_t>> tmp;
+    std::vector<std::pair<uint32_t, uint16_t>> &tmp = sc.dupTmp;
     size_t cnt = 0;
     for (uint32_t bin = 0; bin < pf->bincount; bin++) {
+        const std::vector<BinHit> &bh = sc.bins[bin];
         tmp.clear();
         // find duplicates in this bin (scan order preserved)
-        for (size_t n = 0; n < hits.size(); n++) {
-            const uint32_t id = hits[n].seqId;
-            if ((id & mask) != bin) continue;
-            const uint32_t key = id >> pf->binbits;
-            const uint8_t currDiag = (uint8_t)hitDiag[n];
+        for (size_t n = 0; n < bh.size(); n++) {
+            const uint32_t key = bh[n].id >> pf->binbits;
+            const uint8_t currDiag = (uint8_t)bh[n].diag;
             const uint8_t prevDiag = (uint8_t)ba[key];
-            if (currDiag == prevDiag) tmp.push_back({id, hitDiag[n]});
+            if (currDiag == prevDiag) tmp.push_back({bh[n].id, bh[n].diag});
             ba[key] = (int8_t)currDiag;
         }
         // zero the duplicate keys, then sum up (saturating at 255)
@@ -721,16 +735,12 @@ size_t find_duplicates_count(PF *pf, Scratch &sc,
             cnt += ((uint8_t)ba[key] != 0) ? 1 : 0;
             ba[key] = 0;
         }
-        // bin cleanup (reference zeroes all touched slots per bin);
-        // flat memset when the hit list dwarfs the byte-array — same
-        // all-zero end state (see find_duplicates)
-        if (hits.size() > pf->dup_bytes / 8) {
+        // bin cleanup — same all-zero end state (see find_duplicates)
+        if (bh.size() > pf->dup_bytes / 8) {
             memset(ba, 0, pf->dup_bytes);
         } else {
-            for (size_t n = 0; n < hits.size(); n++) {
-                const uint32_t id = hits[n].seqId;
-                if ((id & mask) != bin) continue;
-                ba[id >> pf->binbits] = 0;
+            for (size_t n = 0; n < bh.size(); n++) {
+                ba[bh[n].id >> pf->binbits] = 0;
             }
         }
     }
@@ -963,9 +973,8 @@ size_t flush_chunk(PF *pf, Scratch &sc, size_t ovf, bool diag_scoring,
                    const int8_t *qprof, int qlen) {
     ensure_found(pf, sc);
     const size_t hitCount = diag_scoring
-        ? find_duplicates(pf, sc, sc.hits, sc.hitDiag, sc.found.data() + ovf)
-        : find_duplicates_count(pf, sc, sc.hits, sc.hitDiag,
-                                sc.found.data() + ovf);
+        ? find_duplicates(pf, sc, sc.found.data() + ovf)
+        : find_duplicates_count(pf, sc, sc.found.data() + ovf);
     size_t newOvf;
     if (ovf != 0) {
         if (diag_scoring) {
@@ -979,8 +988,7 @@ size_t flush_chunk(PF *pf, Scratch &sc, size_t ovf, bool diag_scoring,
     } else {
         newOvf = hitCount;
     }
-    sc.hits.clear();
-    sc.hitDiag.clear();
+    sc.clear_bins();
     return newOvf;
 }
 
@@ -991,12 +999,10 @@ size_t final_dedup(PF *pf, Scratch &sc, size_t ovf, bool diag_scoring,
                    QStats *st) {
     ensure_found(pf, sc);
     size_t hitCount = 0;
-    if (!sc.hits.empty()) {
+    if (sc.binTotal != 0) {
         hitCount = diag_scoring
-            ? find_duplicates(pf, sc, sc.hits, sc.hitDiag,
-                              sc.found.data() + ovf)
-            : find_duplicates_count(pf, sc, sc.hits, sc.hitDiag,
-                                    sc.found.data() + ovf);
+            ? find_duplicates(pf, sc, sc.found.data() + ovf)
+            : find_duplicates_count(pf, sc, sc.found.data() + ovf);
         if (ovf != 0) {
             hitCount = diag_scoring
                 ? merge_diag_dups(pf, sc, sc.found.data(), ovf + hitCount,
@@ -1007,6 +1013,7 @@ size_t final_dedup(PF *pf, Scratch &sc, size_t ovf, bool diag_scoring,
     // when the final chunk is empty the reference discards the carry
     // entirely (QueryMatcher.cpp:325-333: hitCount stays 0 when
     // numMatches == 0) — replicated for parity
+    sc.clear_bins();
     if (st) st->overflowed = st->overflowed || (ovf != 0);
     return hitCount;
 }
@@ -1242,10 +1249,8 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
                      const int8_t *qprof, QStats *st) {
     const size_t maxDbMatches =
         std::max((size_t)1000000, (size_t)pf->nseq) * 2;
-    std::vector<IndexEntry> &hits = sc.hits;
-    std::vector<uint16_t> &hitDiag = sc.hitDiag;
-    hits.clear();
-    hitDiag.clear();
+    sc.ensure_bins(pf->bincount);
+    sc.clear_bins();
     std::vector<uint32_t> &klist = sc.klist;
     ProfAcc *pa = prof_enabled() ? &sc.prof : nullptr;
     size_t ovf = 0;
@@ -1330,13 +1335,15 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
         }
         // pass B: gather postings for non-empty k-mers, offsets and
         // entries prefetched ahead (the loop is memory-latency-bound)
+        const uint32_t mask = pf->bincount - 1;
+        const uint16_t qpos = (uint16_t)i;
         for (size_t kp = 0; kp < n2; kp++) {
             if (kp + 8 < n2) __builtin_prefetch(&pf->offsets[kl2[kp + 8]]);
             if (kp + 4 < n2)
                 __builtin_prefetch(&pf->entries[pf->offsets[kl2[kp + 4]]]);
             const uint64_t a = pf->offsets[kl2[kp]];
             const uint64_t b = pf->offsets[kl2[kp] + 1];
-            if (hits.size() + (b - a) >= maxDbMatches) {
+            if (sc.binTotal + (b - a) >= maxDbMatches) {
                 if (st) st->overflowed = true;
                 ovf = flush_chunk(pf, sc, ovf, diag_scoring, qprof, (int)qlen);
                 // a single posting list larger than the whole buffer
@@ -1344,10 +1351,11 @@ size_t match_collect(PF *pf, Scratch &sc, const uint8_t *q, int64_t qlen,
                 if (b - a >= maxDbMatches) goto outer;
             }
             for (uint64_t e = a; e < b; e++) {
-                hits.push_back(pf->entries[e]);
-                hitDiag.push_back((uint16_t)((uint16_t)i -
-                                             pf->entries[e].pos_j));
+                const IndexEntry en = pf->entries[e];
+                sc.bins[en.seqId & mask].push_back(
+                    {en.seqId, (uint16_t)(qpos - en.pos_j)});
             }
+            sc.binTotal += b - a;
             if (st) st->db_matches += b - a;
         }
     }
@@ -1680,12 +1688,11 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
         rank20(sr, ir);
     }
 
-    std::vector<IndexEntry> &hits = sc.hits;
-    std::vector<uint16_t> &hitDiag = sc.hitDiag;
-    hits.clear();
-    hitDiag.clear();
+    sc.ensure_bins(pf->bincount);
+    sc.clear_bins();
     std::vector<uint32_t> &klist = sc.klist;
     const int thr = std::max((int)kmer_thr, 0);
+    const uint32_t mask = pf->bincount - 1;
     size_t ovf = 0;
     for (int64_t i = 0; i + pf->pat_span <= qlen; i++) {
         bool hasX = false;
@@ -1704,17 +1711,18 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
         for (size_t kp = 0; kp < nk; kp++) {
             const uint64_t a = pf->offsets[klist[kp]];
             const uint64_t b = pf->offsets[klist[kp] + 1];
-            if (hits.size() + (b - a) >= maxDbMatches) {
+            if (sc.binTotal + (b - a) >= maxDbMatches) {
                 // chunked overflow handling, same as the sequence path
                 // (QueryMatcher::match is shared by profile queries)
                 ovf = flush_chunk(pf, sc, ovf, true, qprof, (int)qlen);
                 if (b - a >= maxDbMatches) goto outer;
             }
             for (uint64_t e = a; e < b; e++) {
-                hits.push_back(pf->entries[e]);
-                hitDiag.push_back((uint16_t)((uint16_t)i -
-                                             pf->entries[e].pos_j));
+                const IndexEntry en = pf->entries[e];
+                sc.bins[en.seqId & mask].push_back(
+                    {en.seqId, (uint16_t)((uint16_t)i - en.pos_j)});
             }
+            sc.binTotal += b - a;
         }
     }
     outer:
