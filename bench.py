@@ -383,6 +383,17 @@ def main():
         print(f"kernel bench failed: {e}", file=sys.stderr)
 
     total_cells = sum(cells.values()) if cells else 0
+    # tunnel-stall detector: a timed window whose wall exceeds the
+    # median by >3x is a link-side stall (the ~403 s artifacts of r03),
+    # not a framework property — flag it so a poisoned median is visible
+    def stalls(ws, med):
+        return [round(w, 2) for w in ws if med and w > 3 * med]
+    stalled = {"ours": stalls(walls, wall),
+               "ref": stalls(ref_walls or [], ref_wall)}
+    stall_suspected = bool(stalled["ours"] or stalled["ref"])
+    if stall_suspected:
+        print(f"WARNING: stall-suspect timed windows {stalled} "
+              f"(>3x median); medians may be poisoned", file=sys.stderr)
     print(json.dumps({
         "metric": "easy_predict_contigs_per_s",
         "value": contigs_per_s,
@@ -400,6 +411,8 @@ def main():
             "ref_cold_wall_s": round(ref_cold_wall, 2)
             if ref_cold_wall else None,
             "parity_ok": parity_ok,
+            "stall_suspected": stall_suspected,
+            "stall_windows": stalled if stall_suspected else None,
             "selftest": {"fails": st_fails, "checks": st_checks},
             "stage_seconds": stages,
             "aligned_cells": cells,

@@ -27,6 +27,10 @@ import os
 
 REFDATA = os.path.join(os.path.dirname(__file__), "..", ".refsrc", "lib",
                        "mmseqs", "data")
+if not os.path.isdir(REFDATA):
+    # fresh checkout without the .refsrc working copy: the pristine
+    # read-only reference tree carries the same matrix data files
+    REFDATA = "/root/reference/lib/mmseqs/data"
 
 # (matrix, gapOpen, gapExtend) -> (lambda, K) from the vendored ALP
 # (tools/alpfit/alp_params_tool, seed 42)

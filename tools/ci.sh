@@ -5,8 +5,16 @@
 # end-to-end parity against the reference binary when it is present.
 #
 #   tools/ci.sh [fuzz_trials]     (default 20; 0 skips the fuzz stage)
+#   tools/ci.sh --big             additionally runs the gated heavyweight
+#                                 lanes the default suite skips: the
+#                                 bench-config 2-process jax.distributed
+#                                 easy-predict (METAEUK_BIG_DIST=1, ~25 min
+#                                 contended CPU wall) and the full Gumbel
+#                                 fit validation (METAEUK_GUMBEL_FULL=1)
 set -euo pipefail
 cd "$(dirname "$0")/.."
+BIG=0
+if [ "${1:-}" = "--big" ]; then BIG=1; shift; fi
 TRIALS=${1:-20}
 
 echo "== [1/4] clean native rebuild =="
@@ -46,6 +54,12 @@ if [ "$TRIALS" -gt 0 ] && [ -x .refbuild/src/metaeuk ]; then
     python tools/fuzz_parity.py "$TRIALS"
 elif [ "$TRIALS" -gt 0 ]; then
     echo "SKIP: .refbuild/src/metaeuk not built (see tools/make_s2p_goldens.sh header)"
+fi
+
+if [ "$BIG" = "1" ]; then
+    echo "== [5/5] gated heavyweight lanes (--big) =="
+    METAEUK_GUMBEL_FULL=1 python -m pytest tests/test_gumbel.py -q -x
+    METAEUK_BIG_DIST=1 python -m pytest tests/test_dist.py -q -x
 fi
 
 echo "CI: all lanes green"
