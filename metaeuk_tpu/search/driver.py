@@ -298,6 +298,129 @@ def _dispatcher(name, Lq, Lt, flag, n_dev):
     return jax.jit(f)
 
 
+# ---------------------------------------------------------------------------
+# Device-side result accumulation.  On tunneled links the device->host
+# direction is the scarce resource (measured on this dev chip: ~10 MB/s
+# download + 40-60 ms per-fetch RTT vs ~1.3 GB/s upload), so per-dispatch
+# result fetches serialize into minutes at metagenome scale (2662
+# dispatches x ~59 ms = 157 s for one 47M-pair batch).  Instead each
+# dispatch's fixed-width uint16 pack is written into large device-side
+# buffers (score row and coordinate rows separately) with a donated
+# dynamic_update_slice — one extra microsecond-scale dispatch per pack,
+# no N-operand concat compile — and results cross the link as a handful
+# of multi-MB transfers: the score buffer in full (2 B/pair) for the
+# host E-value gate, then coordinates gathered on device for gate
+# survivors only (~10% of pairs at scale).
+# ---------------------------------------------------------------------------
+ACCUM_W = int(os.environ.get("METAEUK_ACCUM_W", str(4 << 20)))
+ACCUM_MIN_PAIRS = int(os.environ.get("METAEUK_ACCUM_MIN", "100000"))
+
+
+@functools.lru_cache(maxsize=None)
+def _accum_add_fn(ns, nc, w, W):
+    def f(sbuf, ebuf, pack, off):
+        out_s = sbuf
+        if ns:
+            out_s = jax.lax.dynamic_update_slice(sbuf, pack[:ns], (0, off))
+        out_e = jax.lax.dynamic_update_slice(ebuf, pack[ns:], (0, off))
+        return out_s, out_e
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _accum_gather_fn(ncols, W):
+    def f(ebuf, cols):
+        return jnp.take(ebuf, cols, axis=1)
+    return jax.jit(f)
+
+
+class _DevAccum:
+    """Accumulates (ns+nc, w) uint16 result packs into (ns, W)/(nc, W)
+    device buffers.  add() returns (group_idx, col_off); fetch_scores()
+    downloads every score buffer; gather() downloads selected columns
+    of one group's coordinate buffer."""
+
+    def __init__(self, ns, nc, width=ACCUM_W):
+        self.ns, self.nc, self.W = ns, nc, width
+        self.done = []            # finalized (sbuf, ebuf)
+        self.sbuf = self.ebuf = None
+        self.off = 0
+
+    def _open(self):
+        self.sbuf = jnp.zeros((max(self.ns, 1), self.W), jnp.uint16)
+        self.ebuf = jnp.zeros((self.nc, self.W), jnp.uint16)
+        self.off = 0
+
+    def add(self, pack):
+        w = int(pack.shape[1])
+        if self.ebuf is None or self.off + w > self.W:
+            if self.ebuf is not None:
+                self.done.append((self.sbuf, self.ebuf))
+            self._open()
+        fn = _accum_add_fn(self.ns, self.nc, w, self.W)
+        self.sbuf, self.ebuf = fn(self.sbuf, self.ebuf, pack,
+                                  jnp.int32(self.off))
+        gidx, off = len(self.done), self.off
+        self.off += w
+        return gidx, off
+
+    def _groups(self):
+        if self.ebuf is not None:
+            self.done.append((self.sbuf, self.ebuf))
+            self.sbuf = self.ebuf = None
+        return self.done
+
+    def fetch_scores(self):
+        """[(ns, W) np.uint16 per group]; transfers pipeline."""
+        groups = self._groups()
+        for s, _ in groups:
+            try:
+                s.copy_to_host_async()
+            except AttributeError:
+                pass
+        from ..utils import log as _log
+        prog = _log.progress(len(groups), "align fetch scores", step=1)
+        outs = []
+        for s, _ in groups:
+            outs.append(np.asarray(s))
+            prog.update()
+        prog.finish()
+        return outs
+
+    def fetch_coords(self):
+        """[(nc, W) np.uint16 per group] — the whole coordinate buffers
+        (the reverse pass wants every submitted row)."""
+        groups = self._groups()
+        for _s, e in groups:
+            try:
+                e.copy_to_host_async()
+            except AttributeError:
+                pass
+        return [np.asarray(e) for _s, e in groups]
+
+    def gather(self, per_group_cols):
+        """per_group_cols: {gidx: int32 np array of columns} -> {gidx:
+        (nc, len(cols)) np.uint16}.  Columns are padded to power-of-2
+        buckets so the gather executables stay few."""
+        groups = self._groups()
+        devs = {}
+        for gidx, cols in per_group_cols.items():
+            n = len(cols)
+            if n == 0:
+                continue
+            npad = 1 << max(10, (n - 1).bit_length())
+            cols_p = np.zeros(npad, np.int32)
+            cols_p[:n] = cols
+            fn = _accum_gather_fn(npad, self.W)
+            devs[gidx] = (n, fn(groups[gidx][1], jnp.asarray(cols_p)))
+        for _n, d in devs.values():
+            try:
+                d.copy_to_host_async()
+            except AttributeError:
+                pass
+        return {g: np.asarray(d)[:, :n] for g, (n, d) in devs.items()}
+
+
 def _fetch_parts(parts):
     """Fetch many deferred (k, w) device arrays as one host-concatenated
     (k, sum w) array. Async device->host copies are issued up front so
@@ -601,7 +724,21 @@ class SearchDriver:
         from ..utils import log as _log
         prog = _log.progress(n_pairs, "align submit")
         buckets = []
-        fwd_parts = []  # (kind, mapping, deferred (score, q_end, t_end))
+        # at scale, packs accumulate into device buffers and cross the
+        # link as a few large transfers (see _DevAccum); below the
+        # threshold the per-part fetch path keeps things simple
+        accum = _DevAccum(1, 2) \
+            if (n_pairs >= ACCUM_MIN_PAIRS
+                and jax.default_backend() != "cpu") else None
+        fwd_parts = []  # (kind, mapping, deferred pack | (g, off, w))
+
+        def _part(parts, kind, mapping, outs, acc):
+            if acc is not None:
+                gidx, off = acc.add(outs)
+                parts.append((kind, mapping,
+                              (gidx, off, int(outs.shape[1]))))
+            else:
+                parts.append((kind, mapping, outs))
         for (Lq, Lt) in sorted(set(zip(lq_b.tolist(), lt_b.tolist()))):
             sel = np.flatnonzero((lq_b == Lq) & (lt_b == Lt))
             # both sides come from the persistent per-tier staging
@@ -620,12 +757,12 @@ class SearchDriver:
             qm_rows, pair_rows = self._split_qm(ctx, sel, li_sel, qm_on)
             for rows, li, lj, outs in self._submit_pair(
                     ctx, pair_rows, oi, ti, "pair_ends", None):
-                fwd_parts.append(("rows", rows, outs))
+                _part(fwd_parts, "rows", rows, outs, accum)
                 prog.update(len(rows))
             for lane_pair, outs in self._submit_qm(
                     ctx, qm_rows, oi, ti, "qm_ends", None, None,
                     qm_interp):
-                fwd_parts.append(("lanes", lane_pair, outs))
+                _part(fwd_parts, "lanes", lane_pair, outs, accum)
                 prog.update(int((lane_pair >= 0).sum()))
         prog.finish()
         _mark("fwd_submit")
@@ -635,33 +772,48 @@ class SearchDriver:
         if not fwd_parts:
             return np.zeros(0, dtype=HIT_DTYPE)
 
-        # ---- phase 2: fetch the uint16 result packs ----
-        # 6 bytes per padded lane; async copies are issued for every
-        # part first so the transfers pipeline behind each other (and
-        # behind remaining device work), then concatenated on HOST — a
-        # device-side concat would compile an N-operand op whose compile
-        # time explodes for tens of thousands of dispatches.
-        cat = _fetch_parts([pp[2] for pp in fwd_parts])
-        _mark("fwd_fetch")
+        # ---- phase 2: fetch forward results ----
         score_all = np.zeros(n_pairs, np.int32)
         qe_all = np.zeros(n_pairs, np.int32)
         te_all = np.full(n_pairs, -1, np.int32)
-        off = 0
-        for kind, mapping, dev in fwd_parts:
-            w = int(dev.shape[1])
-            seg = cat[:, off:off + w]
-            off += w
-            if kind == "rows":
-                m = len(mapping)
-                score_all[mapping] = seg[0, :m].astype(np.int32)
-                qe_all[mapping] = _u16_coords(seg[1, :m])
-                te_all[mapping] = _u16_coords(seg[2, :m])
-            else:
-                lanes = mapping.reshape(-1)
-                ok = lanes >= 0
-                score_all[lanes[ok]] = seg[0][ok].astype(np.int32)
-                qe_all[lanes[ok]] = _u16_coords(seg[1][ok])
-                te_all[lanes[ok]] = _u16_coords(seg[2][ok])
+        if accum is not None:
+            # score rows only (2 B/pair); coordinates stay on device
+            # until the gate has shrunk the set
+            sgroups = accum.fetch_scores()
+            _mark("fwd_fetch")
+            for kind, mapping, (gidx, off, w) in fwd_parts:
+                seg0 = sgroups[gidx][0, off:off + w]
+                if kind == "rows":
+                    m = len(mapping)
+                    score_all[mapping] = seg0[:m].astype(np.int32)
+                else:
+                    lanes = mapping.reshape(-1)
+                    ok = lanes >= 0
+                    score_all[lanes[ok]] = seg0[ok].astype(np.int32)
+        else:
+            # per-part fetch: async copies are issued for every part
+            # first so the transfers pipeline, then concatenated on
+            # HOST — a device-side concat would compile an N-operand op
+            # whose compile time explodes for tens of thousands of
+            # dispatches
+            cat = _fetch_parts([pp[2] for pp in fwd_parts])
+            _mark("fwd_fetch")
+            off = 0
+            for kind, mapping, dev in fwd_parts:
+                w = int(dev.shape[1])
+                seg = cat[:, off:off + w]
+                off += w
+                if kind == "rows":
+                    m = len(mapping)
+                    score_all[mapping] = seg[0, :m].astype(np.int32)
+                    qe_all[mapping] = _u16_coords(seg[1, :m])
+                    te_all[mapping] = _u16_coords(seg[2, :m])
+                else:
+                    lanes = mapping.reshape(-1)
+                    ok = lanes >= 0
+                    score_all[lanes[ok]] = seg[0][ok].astype(np.int32)
+                    qe_all[lanes[ok]] = _u16_coords(seg[1][ok])
+                    te_all[lanes[ok]] = _u16_coords(seg[2][ok])
         _mark("fwd_assemble")
 
         # ---- phase 3: E-value gate on host (exact float64 semantics) ----
@@ -681,14 +833,36 @@ class SearchDriver:
         q_len_pairs = orf_lens[oi]
         cutoffs = self._gate_cutoffs(q_len_pairs, p.search_evalue_thr)
         if cutoffs is not None:
-            surv = ((te_all >= 0) & (score_all > 0)
-                    & (score_all >= cutoffs))
+            surv = (score_all > 0) & (score_all >= cutoffs)
         else:  # monotonicity verification failed: dense fallback
             ev_gate = self.evaluer.compute_evalue(
                 score_all.astype(np.float64),
                 q_len_pairs.astype(np.float64))
-            surv = ((te_all >= 0) & (score_all > 0)
-                    & (ev_gate <= p.search_evalue_thr))
+            surv = (score_all > 0) & (ev_gate <= p.search_evalue_thr)
+        if accum is not None:
+            # download coordinates for the score-gate survivors only,
+            # gathered on device (surv is a superset of the final gate:
+            # the te >= 0 condition below completes it)
+            per_cols, per_gids = {}, {}
+            for kind, mapping, (gidx, off, w) in fwd_parts:
+                if kind == "rows":
+                    loc = np.flatnonzero(surv[mapping])
+                    gids = mapping[loc]
+                else:
+                    lanes = mapping.reshape(-1)
+                    loc = np.flatnonzero((lanes >= 0)
+                                         & surv[np.maximum(lanes, 0)])
+                    gids = lanes[loc]
+                if len(loc):
+                    per_cols.setdefault(gidx, []).append(off + loc)
+                    per_gids.setdefault(gidx, []).append(gids)
+            got = accum.gather({g: np.concatenate(c)
+                                for g, c in per_cols.items()})
+            for g, arr in got.items():
+                gids = np.concatenate(per_gids[g])
+                qe_all[gids] = _u16_coords(arr[0])
+                te_all[gids] = _u16_coords(arr[1])
+        surv &= te_all >= 0
         CELLS["fwd"] += int((q_len_pairs.astype(np.int64)
                              * self.target_lens[ti]).sum())
         CELLS["rev"] += int(((qe_all[surv].astype(np.int64) + 1)
@@ -698,6 +872,7 @@ class SearchDriver:
         # ---- phase 4: reverse pass on survivors only ----
         qs_all = np.full(n_pairs, -1, np.int32)
         ts_all = np.full(n_pairs, -1, np.int32)
+        rev_accum = _DevAccum(0, 2) if accum is not None else None
         rev_parts = []
         for ctx in buckets:
             sel = ctx["sel"]
@@ -709,13 +884,26 @@ class SearchDriver:
             for rows, li, lj, outs in self._submit_pair(
                     ctx, pair_rows, oi, ti, "pair_starts",
                     (qe_all, te_all)):
-                rev_parts.append(("rows", rows, outs))
+                _part(rev_parts, "rows", rows, outs, rev_accum)
             for lane_pair, outs in self._submit_qm(
                     ctx, qm_rows, oi, ti, "qm_starts", qe_all, te_all,
                     qm_interp):
-                rev_parts.append(("lanes", lane_pair, outs))
+                _part(rev_parts, "lanes", lane_pair, outs, rev_accum)
         _mark("rev_submit")
-        if rev_parts:
+        if rev_parts and rev_accum is not None:
+            cgroups = rev_accum.fetch_coords()
+            for kind, mapping, (gidx, off, w) in rev_parts:
+                seg = cgroups[gidx][:, off:off + w]
+                if kind == "rows":
+                    m = len(mapping)
+                    qs_all[mapping] = _u16_coords(seg[0, :m])
+                    ts_all[mapping] = _u16_coords(seg[1, :m])
+                else:
+                    lanes = mapping.reshape(-1)
+                    ok = lanes >= 0
+                    qs_all[lanes[ok]] = _u16_coords(seg[0][ok])
+                    ts_all[lanes[ok]] = _u16_coords(seg[1][ok])
+        elif rev_parts:
             cat = _fetch_parts([pp[2] for pp in rev_parts])
             off = 0
             for kind, mapping, dev in rev_parts:

@@ -99,6 +99,54 @@ def _simulate(scores, pback, gap_open, gap_extend, seed, n_pairs, length,
     return S, len_i, len_j
 
 
+def _simulate_islands(scores, pback, gap_open, gap_extend, seed,
+                      n_pairs, length, margin, c_min):
+    """Island peak scores (int64 array) from n_pairs random (length,
+    length) comparisons via the native affine-gap island scan
+    (host_ops.cpp sw_islands).  Deterministic in all inputs; islands
+    with anchors within margin of the right/bottom edges are excluded
+    by the native side so truncation cannot bias the tail."""
+    import ctypes
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        raise RuntimeError("island simulation requires the native library")
+    if not getattr(lib, "_isl_bound", False):
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.sw_islands.restype = ctypes.c_int64
+        lib.sw_islands.argtypes = [u8p, u8p, ctypes.c_int64,
+                                   ctypes.c_int64, i32p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   i32p, ctypes.c_int64]
+        lib._isl_bound = True
+    a = len(pback) - 1
+    sub = np.ascontiguousarray(np.asarray(scores)[:a, :a], np.int32)
+    rng = np.random.default_rng(seed)
+    q = np.ascontiguousarray(
+        _sample_codes(rng, pback, n_pairs, length).astype(np.uint8))
+    t = np.ascontiguousarray(
+        _sample_codes(rng, pback, n_pairs, length).astype(np.uint8))
+    cap = max(1 << 22, 4 * n_pairs * length)
+    out = np.empty(cap, np.int32)
+    # ALP charges a length-L gap open + L*extend (see _simulate)
+    n = lib.sw_islands(q.reshape(-1), t.reshape(-1), n_pairs, length,
+                       sub.reshape(-1), a,
+                       int(gap_open) + int(gap_extend), int(gap_extend),
+                       int(margin), int(c_min), out, cap)
+    if n > cap:
+        out2 = np.empty(int(n), np.int32)
+        n = lib.sw_islands(q.reshape(-1), t.reshape(-1), n_pairs, length,
+                           sub.reshape(-1), a,
+                           int(gap_open) + int(gap_extend),
+                           int(gap_extend), int(margin), int(c_min),
+                           out2, int(n))
+        out = out2
+    return np.sort(out[:n].astype(np.int64))
+
+
 def _ols(x, y):
     """(slope, intercept) float64 least squares."""
     x = np.asarray(x, np.float64)
@@ -110,11 +158,25 @@ def _ols(x, y):
 
 
 def fit_gapped(scores, pback, gap_open, gap_extend, seed=42,
-               n_pairs=262144, length=384, chunk=4096):
+               n_pairs=262144, length=384, chunk=4096,
+               isl_pairs=256, isl_length=1024, isl_margin=192,
+               isl_cmin=14, isl_tail=10000):
     """Fit the 12 ALP parameters for an integer substitution matrix
     (alph x alph, last letter = X/N wildcard), background frequencies
     and affine gap costs (gap of length L costs open + (L-1)*extend —
-    the ALP model, sls_alp.cpp:1147).  Deterministic in all inputs."""
+    the ALP model, sls_alp.cpp:1147).  Deterministic in all inputs.
+
+    The finite-size parameters (a/b/alpha/beta/sigma/tau) come from
+    extent-vs-score regressions over n_pairs maxima aligned on the
+    accelerator; (lambda, K) come from the island method (Altschul et
+    al. 2001, "The estimation of statistical parameters for local
+    alignment score distributions"): every maximal positive excursion
+    of the SW matrix contributes a peak score, lambda is the lattice
+    maximum-likelihood fit of the island tail above an adaptive
+    threshold c (the largest keeping >= isl_tail islands), and K
+    follows from the island count n(>=c) = K * area * e^{-lambda c}
+    — thousands of islands per pair give far tighter estimates than
+    one maximum per pair."""
     scores = np.asarray(scores, np.int64)
     S, len_i, len_j = _simulate(scores, pback, gap_open, gap_extend,
                                 seed, n_pairs, length, chunk)
@@ -135,65 +197,34 @@ def fit_gapped(scores, pback, gap_open, gap_extend, seed=42,
     sigma = max(min(sigma, math.sqrt(alpha_I * alpha_J)
                     if alpha_I * alpha_J > 0 else sigma), 0.0)
 
-    # --- (lambda, K) by lattice ML under the downstream area model ---
-    lam_up = lambda_ungapped(scores, pback)
-
-    uniq, counts = np.unique(S, return_counts=True)
-
-    def nll(lam, k):
-        p = dict(lam=lam, K=k, a_J=a_J, b_J=b_J, a_I=a_I, b_I=b_I,
-                 alpha_J=alpha_J, beta_J=beta_J, alpha_I=alpha_I,
-                 beta_I=beta_I, sigma=sigma, tau=tau)
-        ev = EvalueComputation(float(length), params=p)
-        # Lattice convention: K e^{-lam s} counts islands with score
-        # >= s (the BLAST E-value convention ALP fits), so
-        # P(S <= s) = P(no island >= s+1) = exp(-g(s+1)) and
-        # P(S = s) = exp(-g(s+1)) - exp(-g(s))
-        hi = np.asarray(uniq, np.float64) + 1.0
-        lo = hi - 1.0
-        g_hi = ev.area(hi, float(length)) * np.exp(-lam * hi) * k
-        g_lo = ev.area(lo, float(length)) * np.exp(-lam * lo) * k
-        pr = np.exp(-np.maximum(g_hi, 0.0)) - np.exp(-np.maximum(g_lo, 0.0))
-        pr = np.maximum(pr, 1e-300)
-        return -float((counts * np.log(pr)).sum())
-
-    # profile optimization: golden-section on lambda, inner closed-form-
-    # ish search on K (log-grid refine) — fully deterministic
-    def best_k(lam):
-        # moment start: K0 from Gumbel location of the sample
-        k = math.exp(lam * float(np.median(S))) / (length * length)
-        f = nll(lam, k)
-        step = 2.0
-        for _ in range(60):
-            f_up, f_dn = nll(lam, k * step), nll(lam, k / step)
-            if f_up < f:
-                k, f = k * step, f_up
-            elif f_dn < f:
-                k, f = k / step, f_dn
-            else:
-                step = math.sqrt(step)
-                if step < 1.0005:
-                    break
-        return k, f
-
-    lo, hi = 0.35 * lam_up, 0.999 * lam_up
-    gr = (math.sqrt(5.0) - 1.0) / 2.0
-    c = hi - gr * (hi - lo)
-    d = lo + gr * (hi - lo)
-    fc, fd = best_k(c)[1], best_k(d)[1]
-    for _ in range(40):
-        if fc < fd:
-            hi, d, fd = d, c, fc
-            c = hi - gr * (hi - lo)
-            fc = best_k(c)[1]
-        else:
-            lo, c, fc = c, d, fd
-            d = lo + gr * (hi - lo)
-            fd = best_k(d)[1]
-        if hi - lo < 1e-5:
-            break
-    lam = 0.5 * (lo + hi)
-    k, _ = best_k(lam)
+    # --- (lambda, K) by the island method ---
+    isl_margin = min(int(isl_margin), int(isl_length) // 4)
+    isl = _simulate_islands(scores, pback, gap_open, gap_extend, seed + 1,
+                            isl_pairs, isl_length, isl_margin, isl_cmin)
+    # adaptive threshold: the island tail is only asymptotically
+    # geometric, so the estimate at fixed c carries a finite-c bias
+    # that falls with c while the sampling error grows — take the
+    # LARGEST c that still keeps >= isl_tail_target islands (measured:
+    # lambda within ~0.1% and K within ~3% of the vendored ALP at
+    # ~10k islands on the validated combos)
+    c = int(isl_cmin) + 2
+    tail = isl[isl >= c]
+    while len(isl[isl >= c + 1]) >= int(isl_tail):
+        c += 1
+        tail = isl[isl >= c]
+    exc = tail - c
+    # lattice span of the excess distribution (scores with a common
+    # divisor d have islands on a d-lattice)
+    pos = np.unique(exc[exc > 0])
+    g = int(np.gcd.reduce(pos)) if len(pos) else 1
+    # geometric ML on the span-g lattice: lambda = ln(1 + g*n/sum)/g
+    lam = math.log1p(g * len(exc) / float(exc.sum())) / g \
+        if exc.sum() > 0 else lambda_ungapped(scores, pback)
+    # island count n(>=c) = K * pairs * area * e^{-lambda c}
+    # (P(no island >= s) = exp(-K A e^{-lambda s}), the convention the
+    # downstream tail-area formula uses)
+    area = float(isl_length - isl_margin) ** 2
+    k = len(tail) * math.exp(lam * c) / (isl_pairs * area)
 
     return dict(lam=float(lam), K=float(k),
                 a_J=float(a_J), b_J=float(b_J),

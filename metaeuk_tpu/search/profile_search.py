@@ -135,6 +135,45 @@ class ProfileSearchDriver:
         self.profiles = profile_db
         self.profile_lens = np.array([len(p) for p in profile_db.pssms], np.int64)
 
+    def _candidate_pairs(self, orfs_enc, orf_lens, n_orfs, n_prof):
+        """(profile_idx, orf_idx) candidate pairs.
+
+        Default mode mirrors the reference's sliced workflow
+        (searchslicedtargetprofile.sh:108-110 runs the k-mer PREFILTER
+        with the profiles as queries against the fragment DB, with
+        maxResListLen = max(300, #fragments), Search.cpp:373): the
+        native profile-query prefilter (pf_match_profile, byte-parity
+        verified via the iterative-search goldens) generates the
+        candidate set, and only candidates are aligned on the device —
+        the path that scales to the published 88k-profile MERC regime.
+        METAEUK_PROFILE_PREF=exhaustive restores the full cross
+        product (aligns every (profile, fragment) pair; equivalent
+        output whenever every E-value survivor also passes the k-mer
+        gate, but O(n_prof*n_orfs) device work)."""
+        import os
+        mode = os.environ.get("METAEUK_PROFILE_PREF", "kmer")
+        raws = getattr(self.profiles, "raw_scores", None)
+        if mode == "kmer" and raws is not None and n_orfs > 0:
+            from .prefilter_kmer import (KmerPrefilter,
+                                         profile_kmer_threshold)
+            pf = KmerPrefilter(orfs_enc, kmer_score=0,
+                               max_res_list_len=max(300, n_orfs))
+            prof_thr = profile_kmer_threshold(self.params.sensitivity)
+            pi_parts, oi_parts = [], []
+            for pid in range(n_prof):
+                ids, _scs, _dgs = pf.match_profile(
+                    raws[pid], self.profiles.query_seqs[pid],
+                    kmer_thr=prof_thr)
+                if len(ids):
+                    pi_parts.append(np.full(len(ids), pid, np.int64))
+                    oi_parts.append(ids.astype(np.int64))
+            if not pi_parts:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return np.concatenate(pi_parts), np.concatenate(oi_parts)
+        pi = np.repeat(np.arange(n_prof, dtype=np.int64), n_orfs)
+        oi = np.tile(np.arange(n_orfs, dtype=np.int64), n_prof)
+        return pi, oi
+
     def search(self, orf_aa_seqs):
         p = self.params
         orfs_enc = [encode_aa(s) for s in orf_aa_seqs]
@@ -152,8 +191,7 @@ class ProfileSearchDriver:
         scaled_thr = p.search_evalue_thr * float(
             np.float32(np.float32(n_orfs) / np.float32(n_prof)))
 
-        pi = np.repeat(np.arange(n_prof, dtype=np.int64), n_orfs)
-        oi = np.tile(np.arange(n_orfs, dtype=np.int64), n_prof)
+        pi, oi = self._candidate_pairs(orfs_enc, orf_lens, n_orfs, n_prof)
         keep = (orf_lens[oi] > 0) & (self.profile_lens[pi] > 0)
         pi, oi = pi[keep], oi[keep]
 

@@ -576,3 +576,128 @@ void rcp_nr(const float *x, float *out, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Smith-Waterman island scan for Gumbel-parameter estimation
+// (search/gumbel.py).  The island method (Altschul et al. 2001) records
+// the peak score of every maximal positive excursion ("island") of the
+// affine-gap SW matrix over random sequence pairs: thousands of islands
+// per pair give far tighter (lambda, K) estimates than one maximum per
+// pair.  The reference reaches the same parameters through the vendored
+// ALP library's importance-sampling simulation
+// (lib/alp/sls_alignment_evaluer.cpp:989 initGapped) whose realization
+// counts are wall-clock-sized — this scan is deterministic instead.
+//
+// Gap model: a gap of length L costs go + (L-1)*ge where the caller
+// passes go = open + extend (ALP's d_open1 = open1_ + epen1_ model,
+// matching the convention used for the max-score simulation).
+//
+// Island bookkeeping: H/E/F each carry the id of the island their
+// positive path originated from (diagonal step out of a zero cell).
+// On merges the max-scoring predecessor's id wins (diag > E > F on
+// ties); the absorbed island keeps the peak it already recorded —
+// the standard island-method convention.  Islands whose anchor lies
+// outside [0, len-margin)^2 are discarded so right/bottom edge
+// truncation cannot bias the tail.
+// ---------------------------------------------------------------------------
+#include <vector>
+#include <cstdint>
+
+extern "C" {
+
+// qdata/tdata: (n_pairs, len) uint8 letter codes (< alph); submat:
+// alph*alph int32.  Appends island peak scores >= c_min with in-bounds
+// anchors to out (capacity cap); returns the total count (callers must
+// check count <= cap).
+int64_t sw_islands(const uint8_t *qdata, const uint8_t *tdata,
+                   int64_t n_pairs, int64_t len,
+                   const int32_t *submat, int64_t alph,
+                   int64_t go, int64_t ge,
+                   int64_t margin, int64_t c_min,
+                   int32_t *out, int64_t cap) {
+    const int32_t NEG = INT32_MIN / 4;
+    const int64_t lim = len - margin;
+    int64_t total = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> H(len + 1), E(len + 1);
+        std::vector<uint32_t> oH(len + 1), oE(len + 1);
+        std::vector<int32_t> peak;        // per-island running peak
+        std::vector<uint8_t> anchOk;      // anchor inside the core area
+        std::vector<int32_t> local;       // this thread's emitted scores
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+        for (int64_t p = 0; p < n_pairs; p++) {
+            const uint8_t *q = qdata + p * len;
+            const uint8_t *t = tdata + p * len;
+            peak.clear();
+            anchOk.clear();
+            for (int64_t j = 0; j <= len; j++) {
+                H[j] = 0; E[j] = NEG; oH[j] = 0; oE[j] = 0;
+            }
+            for (int64_t i = 0; i < len; i++) {
+                const int32_t *srow = submat + (int64_t)q[i] * alph;
+                int32_t Hdiag = 0;        // H(i-1, j-1), j=0 border
+                uint32_t oDiag = 0;
+                int32_t F = NEG;
+                uint32_t oF = 0;
+                for (int64_t j = 0; j < len; j++) {
+                    // E/F updated from the PREVIOUS row/column H first
+                    const int32_t e_open = H[j + 1] - (int32_t)go;
+                    const int32_t e_ext = E[j + 1] - (int32_t)ge;
+                    int32_t e;
+                    uint32_t oe;
+                    if (e_open >= e_ext) { e = e_open; oe = oH[j + 1]; }
+                    else { e = e_ext; oe = oE[j + 1]; }
+                    const int32_t f_open = H[j] - (int32_t)go;
+                    const int32_t f_ext = F - (int32_t)ge;
+                    if (f_open >= f_ext) { F = f_open; oF = oH[j]; }
+                    else { F = f_ext; }
+                    const int32_t diag = Hdiag + srow[t[j]];
+                    int32_t h = diag;
+                    uint32_t oh = oDiag;
+                    bool fresh = (Hdiag == 0);
+                    if (e > h) { h = e; oh = oe; fresh = false; }
+                    if (F > h) { h = F; oh = oF; fresh = false; }
+                    Hdiag = H[j + 1];
+                    oDiag = oH[j + 1];
+                    if (h <= 0) {
+                        h = 0;
+                        oh = 0;
+                    } else if (fresh) {
+                        // new island anchored at (i, j)
+                        peak.push_back(h);
+                        anchOk.push_back(i < lim && j < lim);
+                        oh = (uint32_t)peak.size();  // 0 = no island
+                    } else if (oh != 0 && h > peak[oh - 1]) {
+                        peak[oh - 1] = h;
+                    }
+                    H[j + 1] = h;
+                    oH[j + 1] = oh;
+                    E[j + 1] = e;
+                    oE[j + 1] = oe;
+                }
+            }
+            for (size_t k = 0; k < peak.size(); k++) {
+                if (anchOk[k] && peak[k] >= (int32_t)c_min) {
+                    local.push_back(peak[k]);
+                }
+            }
+        }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        {
+            for (size_t k = 0; k < local.size(); k++) {
+                if (total < cap) out[total] = local[k];
+                total++;
+            }
+        }
+    }
+    return total;
+}
+
+}  // extern "C"
