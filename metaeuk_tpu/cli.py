@@ -406,7 +406,9 @@ def cmd_msa2profile(args):
                          comp_bias_correction=bool(args.comp_bias_corr),
                          filter_msa=bool(args.filter_msa),
                          pcmode=args.pseudo_cnt_mode,
-                         context_lib=args.context_lib)
+                         context_lib=args.context_lib,
+                         msa_type=args.msa_type,
+                         skip_query=bool(args.skip_query))
     print(f"wrote {args.out_db} ({len(entries)} profiles)")
     return 0
 
@@ -1157,7 +1159,8 @@ def cmd_dbtool5(args):
         d5.recoverlongestorf(a[0], a[1], a[2])
     elif t == "tar2db":
         d5.tar2db(a[:-1], a[-1], tar_include=args.tar_include,
-                  tar_exclude=args.tar_exclude)
+                  tar_exclude=args.tar_exclude,
+                  output_dbtype=args.output_dbtype)
     elif t == "db2tar":
         d5.db2tar(a[0], a[1])
     if t != "countkmer":
@@ -1605,6 +1608,11 @@ def main(argv=None):
     mp.add_argument("--context-lib", default=None,
                     help="CRF context library file (required for "
                          "--pseudo-cnt-mode 1)")
+    mp.add_argument("--msa-type", type=int, default=2, choices=[1, 2],
+                    help="1 = A3M (lowercase insert states skipped, "
+                         "ss_ entries dropped — the PDB70 chain)")
+    mp.add_argument("--skip-query", action="store_true",
+                    help="drop the first MSA record (the CDD chain)")
     mp.set_defaults(fn=cmd_msa2profile)
 
     rp = sub.add_parser("result2profile",
@@ -2029,6 +2037,7 @@ def main(argv=None):
         elif tool == "tar2db":
             dp5.add_argument("--tar-include", type=str, default=".*")
             dp5.add_argument("--tar-exclude", type=str, default="^$")
+            dp5.add_argument("--output-dbtype", type=int, default=12)
         dp5.add_argument("--threads", type=int, default=1)
         dp5.add_argument("-v", type=int, default=3)
         dp5.set_defaults(fn=cmd_dbtool5, tool=tool)

@@ -108,6 +108,59 @@ def list_table():
     return "\n".join(lines) + "\n"
 
 
+def _sed_lookup(lookup_path, suffix):
+    """databases.sh:344-346 SED_FIX_LOOKUP: strip a member-name suffix
+    from every lookup entry (sed 's|<suffix>||g')."""
+    if not os.path.exists(lookup_path):
+        return
+    with open(lookup_path) as f:
+        text = f.read()
+    with open(lookup_path, "w") as f:
+        f.write(text.replace(suffix, ""))
+
+
+def _pdb70_tar_to_msadb(tar_path, msa_db):
+    """The PDB70 awk repack (databases.sh:167): extract
+    pdb70_a3m.ffdata from the tar, strip NULs, split a3m entries at
+    their >ss_* records (the ss_ header and its ONE sequence line are
+    dropped; msa2profile re-drops any remaining ss_ members), keep only
+    the first whitespace token of each entry's first header, and write
+    an MSA DB whose keys start at 2 (the awk increments before the
+    first write)."""
+    import tarfile
+    from ..io import mmseqsdb
+
+    with tarfile.open(tar_path) as tf:
+        member = next(m for m in tf.getmembers()
+                      if m.name.endswith("pdb70_a3m.ffdata"))
+        data = tf.extractfile(member).read().replace(b"\x00", b"")
+    entries = []
+    cur = None
+    inss = False
+    entry_open = False
+    for line in data.splitlines():
+        if line.startswith(b">ss_"):
+            inss = True
+            entry_open = False
+            continue
+        if inss:
+            inss = False
+            continue
+        if line.startswith(b">") and not entry_open:
+            if cur is not None:
+                entries.append(bytes(cur))
+            cur = bytearray(b">" + line[1:].split()[0] + b"\n")
+            entry_open = True
+            continue
+        if entry_open and cur is not None:
+            cur.extend(line + b"\n")
+    if cur is not None:
+        entries.append(bytes(cur))
+    payloads = [(k + 2, e) for k, e in enumerate(entries)]
+    mmseqsdb.write_db(msa_db, payloads, 11)  # DBTYPE_MSA_DB
+    return msa_db
+
+
 def download(name, out_db, tmp, local_file=None, taxdump_dir=None,
              tax_mapping=None):
     """Build a catalog database. With `local_file` (an already-fetched
@@ -139,13 +192,28 @@ def download(name, out_db, tmp, local_file=None, taxdump_dir=None,
             args = ["msa2profile", msa_db, str(out_db),
                     "--match-mode", "1", "--match-ratio", "0.5"]
         elif name in a3m:
-            args = ["msa2profile", str(local_file), str(out_db),
+            # PDB70: the tar's pdb70_a3m.ffdata is repacked into an MSA
+            # DB (databases.sh:167's awk: NULs stripped, each a3m entry
+            # begins at its >ss_ record, ss_ records dropped by
+            # msa2profile later, keys start at 2), then
+            # msa2profile --msa-type 1
+            src = str(local_file)
+            if src.endswith((".tar.gz", ".tgz", ".tar")):
+                _pdb70_tar_to_msadb(src, msa_db)
+                src = msa_db
+            args = ["msa2profile", src, str(out_db),
                     "--match-mode", "1", "--match-ratio", "0.5",
                     "--msa-type", "1"]
         else:  # FASTA_MSA tarballs
             if main(["tar2db", str(local_file), msa_db,
                      "--output-dbtype", "11"]) != 0:
                 raise RuntimeError("tar2db failed")
+            # databases.sh SED_FIX_LOOKUP per catalog entry: strip the
+            # tar member suffix from the lookup names
+            suffix = {"CDD": ".FASTA", "dbCAN2": ".aln",
+                      "VOGDB": ".msa"}.get(name)
+            if suffix:
+                _sed_lookup(msa_db + ".lookup", suffix)
             args = ["msa2profile", msa_db, str(out_db),
                     "--match-mode", "1", "--match-ratio", "0.5"]
             if name == "CDD":

@@ -402,7 +402,7 @@ def recoverlongestorf(orf_db, result_db, out_file):
 
 
 def tar2db(tar_files, out_db, tar_include=".*", tar_exclude="^$",
-           compressed=False):
+           compressed=False, output_dbtype=None):
     """tar2db.cpp: every regular tar member matching the filters becomes
     an entry (keys sequential), with .lookup (key -> member name) and
     .source (file number -> tar name)."""
@@ -427,7 +427,9 @@ def tar2db(tar_files, out_db, tar_include=".*", tar_exclude="^$",
                 entries.append((key, tf.extractfile(member).read()))
                 lookup.append(f"{key}\t{name}\t{fileno}\n")
                 key += 1
-    mmseqsdb.write_db(out_db, entries, mmseqsdb.DBTYPE_GENERIC,
+    mmseqsdb.write_db(out_db, entries,
+                      mmseqsdb.DBTYPE_GENERIC if output_dbtype is None
+                      else int(output_dbtype),
                       compressed=compressed)
     with open(f"{out_db}.lookup", "w") as f:
         f.writelines(lookup)

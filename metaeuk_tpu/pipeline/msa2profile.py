@@ -35,17 +35,69 @@ def _parse_msa_fasta(text):
     return out
 
 
+def _a3m_matrix(entries, match_mode):
+    """A3M (msa_type 1) row building with the reference's exact flat
+    msaContent layout (msa2profile.cpp:275-320): per member, iterate the
+    first centerLengthWithGaps RAW characters, skip lowercase (a3m
+    insert states), append '-'->GAP else the residue code, then pad the
+    row to a 16-byte boundary (VECSIZE_INT*4 of the SSE4.1 parity
+    build).  Rows whose lowercase skips shrink them below the window
+    are later READ and WRITTEN through their padding into the next
+    row's head by the reference's mask/compress loops — replicated here
+    by returning views over one flat buffer (K, L_gaps) strided by the
+    true row starts.  A 16-aligned GAP tail bounds the last row (the
+    reference reads heap bytes there; see PARITY_DEVIATIONS.md)."""
+    L_gaps = len(entries[0][1])
+    starts = []
+    buf = bytearray()
+    masked_first = None
+    if match_mode == 0:
+        first = entries[0][1][:L_gaps]
+        masked_first = np.array([c == "-" for c in first], bool)
+    for _, seq in entries:
+        starts.append(len(buf))
+        raw = seq[:L_gaps]
+        for i, ch in enumerate(raw):
+            if match_mode == 0 and masked_first[i]:
+                continue
+            if ch.islower():
+                continue
+            buf.append(GAP if ch == "-" else int(AA2NUM[ord(ch)]))
+        while len(buf) % 16:
+            buf.append(GAP)
+    buf.extend([GAP] * L_gaps)
+    flat = np.frombuffer(bytearray(buf), np.uint8).copy()
+    rows = [flat[s:s + L_gaps] for s in starts]
+    return rows, flat, L_gaps, masked_first
+
+
 def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
                    comp_bias_correction=True, filter_msa=False,
                    cov_msa_thr=0.0, qid=(0,), qsc=-20.0,
                    filter_max_seq_id=0.9, ndiff=1000, filter_min_enable=0,
-                   pcmode=0, context_lib=None):
+                   pcmode=0, context_lib=None, msa_type=2,
+                   skip_query=False):
     """One MSA -> (profile_payload_bytes, header_str).
 
     entries: [(name, aligned_seq)] — first sequence is the query.
+    msa_type 1 = A3M (lowercase insert states skipped, ss_ entries
+    dropped — the PDB70 chain, databases.sh:323-325); skip_query drops
+    the first record before anything else (the CDD chain,
+    msa2profile.cpp:229).
     """
+    if skip_query:
+        entries = entries[1:]
+    if msa_type in (0, 1):
+        entries = [(n, s) for n, s in entries
+                   if not n.split()[0].startswith("ss_")] if entries else []
     if not entries:
         raise ValueError("empty MSA")
+    if msa_type == 1:
+        msa_m = _a3m_compress(entries, match_mode, match_ratio)
+        return _profile_tail(msa_m, comp_bias_correction, filter_msa,
+                             cov_msa_thr, qid, qsc, filter_max_seq_id,
+                             ndiff, filter_min_enable, pcmode,
+                             context_lib, entries[0][0])
     L_gaps = len(entries[0][1])
     K = len(entries)
     msa = np.zeros((K, L_gaps), np.uint8)
@@ -90,6 +142,17 @@ def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
 
     kept = ~masked
     msa_m = np.ascontiguousarray(msa[:, kept])
+    return _profile_tail(msa_m, comp_bias_correction, filter_msa,
+                         cov_msa_thr, qid, qsc, filter_max_seq_id, ndiff,
+                         filter_min_enable, pcmode, context_lib,
+                         entries[0][0])
+
+
+def _profile_tail(msa_m, comp_bias_correction, filter_msa, cov_msa_thr,
+                  qid, qsc, filter_max_seq_id, ndiff, filter_min_enable,
+                  pcmode, context_lib, header):
+    """Shared filter -> PSSM -> payload back half (msa2profile.cpp:
+    402-424) over the column-compressed MSA matrix."""
     if filter_msa:
         from ..ops.msafilter import msa_filter
         _, order, _ = msa_filter(
@@ -103,13 +166,62 @@ def msa_to_profile(entries, match_mode=1, match_ratio=0.5,
     if comp_bias_correction:
         pssm = global_aa_bias_correction(pssm)
     payload = profile_to_buffer(pssm, msa_m[0], res["consensus"], res["neff"])
-    header = entries[0][0]
     return payload, header
+
+
+def _a3m_compress(entries, match_mode, match_ratio):
+    """A3M entries -> column-compressed (K, centerLength) MSA matrix,
+    replicating the reference's in-place endgap/mask/compress loops
+    over the flat msaContent buffer (msa2profile.cpp:334-378) —
+    including the row-aliasing reads/writes through the 16-byte SIMD
+    padding when lowercase skips shrink a row below the query window
+    (see _a3m_matrix)."""
+    rows, flat, L_gaps, masked_first = _a3m_matrix(entries, match_mode)
+    K = len(rows)
+    if match_mode == 0:
+        center = L_gaps - int(masked_first.sum())
+        return np.stack([np.asarray(r[:center]).copy() for r in rows])
+    w = compute_sequence_weights(np.stack([np.asarray(r).copy()
+                                           for r in rows]))
+    for r in rows:
+        i = 0
+        while i < L_gaps and r[i] == GAP:
+            r[i] = ENDGAP
+            i += 1
+        i = L_gaps - 1
+        while i >= 0 and r[i] == GAP:
+            r[i] = ENDGAP
+            i -= 1
+    masked = np.zeros(L_gaps, bool)
+    for col in range(L_gaps):
+        res = np.float32(0.0)
+        gap = np.float32(0.0)
+        for k in range(K):
+            v = rows[k][col]
+            if v < GAP:
+                res = np.float32(res + w[k])
+            elif v != ENDGAP:
+                gap = np.float32(gap + w[k])
+            else:
+                rows[k][col] = GAP
+        masked[col] = bool(gap / (res + gap) > np.float32(match_ratio)) \
+            if (res + gap) != 0 else False
+    for k in range(K):
+        r = rows[k]
+        cur = 0
+        for l in range(L_gaps):
+            if not masked[l]:
+                r[cur] = r[l]
+                cur += 1
+        r[cur:L_gaps] = GAP
+    center = L_gaps - int(masked.sum())
+    return np.stack([np.asarray(r[:center]).copy() for r in rows])
 
 
 def msa_db_to_profile_db(msa_entries, out_path, match_mode=1, match_ratio=0.5,
                          comp_bias_correction=True, filter_msa=False,
-                         pcmode=0, context_lib=None, **filter_kw):
+                         pcmode=0, context_lib=None, msa_type=2,
+                         skip_query=False, **filter_kw):
     if isinstance(context_lib, str):
         from ..ops.csprofile import ContextLibrary
         context_lib = ContextLibrary.from_file(context_lib)
@@ -122,6 +234,8 @@ def msa_db_to_profile_db(msa_entries, out_path, match_mode=1, match_ratio=0.5,
                                          filter_msa=filter_msa,
                                          pcmode=pcmode,
                                          context_lib=context_lib,
+                                         msa_type=msa_type,
+                                         skip_query=skip_query,
                                          **filter_kw)
         payloads.append((key, payload))
         headers.append((key, (header + "\n").encode()))

@@ -151,7 +151,9 @@ class ProfileSearchDriver:
         output whenever every E-value survivor also passes the k-mer
         gate, but O(n_prof*n_orfs) device work)."""
         import os
-        mode = os.environ.get("METAEUK_PROFILE_PREF", "kmer")
+        mode = os.environ.get(
+            "METAEUK_PROFILE_PREF",
+            getattr(self.params, "prefilter_mode", "kmer"))
         raws = getattr(self.profiles, "raw_scores", None)
         if mode == "kmer" and raws is not None and n_orfs > 0:
             from .prefilter_kmer import (KmerPrefilter,

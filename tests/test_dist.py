@@ -137,19 +137,45 @@ def test_two_process_distributed_bench_config(tmp_path):
         port = s.getsockname()[1]
     out = str(tmp_path / "preds")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    import time
+    t0 = time.perf_counter()
     procs = [subprocess.Popen(
         [sys.executable, str(repo / "tools" / "dist_worker.py"), str(i),
          "2", f"127.0.0.1:{port}", str(tmp_path / "c.fna"),
          str(tmp_path / "p.faa"), out, str(golden["split"])],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=dict(env, OMP_NUM_THREADS="1"),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     logs = [p.communicate(timeout=3000)[0] for p in procs]
+    wall_2proc = time.perf_counter() - t0
     for p, lg in zip(procs, logs):
         assert p.returncode == 0, lg.decode(errors="replace")[-2000:]
     for s_ in ("fas", "codon.fas", "headersMap.tsv", "gff"):
         digest = hashlib.sha256(
             pathlib.Path(f"{out}.{s_}").read_bytes()).hexdigest()
         assert digest == golden["sha256"][s_], s_
+    # measured scaling-efficiency datapoint (SCALING.md): each process
+    # is pinned to ONE OpenMP thread so a process emulates a host with
+    # fixed resources on this 2-core machine — wall_1proc(full work,
+    # 1 thread) vs wall_2proc(half the target splits each, 1 thread
+    # each); efficiency = wall_1 / (2 * wall_2)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port1 = s.getsockname()[1]
+    out1 = str(tmp_path / "preds1")
+    t0 = time.perf_counter()
+    p1 = subprocess.Popen(
+        [sys.executable, str(repo / "tools" / "dist_worker.py"), "0",
+         "1", f"127.0.0.1:{port1}", str(tmp_path / "c.fna"),
+         str(tmp_path / "p.faa"), out1, str(golden["split"])],
+        env=dict(env, OMP_NUM_THREADS="1"),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    lg1 = p1.communicate(timeout=3000)[0]
+    wall_1proc = time.perf_counter() - t0
+    assert p1.returncode == 0, lg1.decode(errors="replace")[-2000:]
+    eff = wall_1proc / (2 * wall_2proc)
+    print(f"\n[dist-efficiency] wall_1proc={wall_1proc:.1f}s "
+          f"wall_2proc={wall_2proc:.1f}s efficiency={eff:.3f}")
 
 
 def test_dist_prefilter_single_process_equals_sequential(tmp_path):
