@@ -98,6 +98,15 @@ def _bind(lib):
     lib.pf_match_profile.argtypes = [
         ctypes.c_void_p, u8p, ctypes.c_int64, i16p, i8p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32, u32p, i32p, i16op]
+    lib.pf_scratch_new.restype = ctypes.c_void_p
+    lib.pf_scratch_new.argtypes = [ctypes.c_void_p]
+    lib.pf_scratch_free.restype = None
+    lib.pf_scratch_free.argtypes = [ctypes.c_void_p]
+    lib.pf_match_profile_sc.restype = ctypes.c_int64
+    lib.pf_match_profile_sc.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, u8p, ctypes.c_int64, i16p, i8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+        u32p, i32p, i16op]
     lib._pf_bound = True
 
 
@@ -293,8 +302,27 @@ class KmerPrefilter:
         self.stats = run_stats
         return counts, ids, scs, dgs
 
+    def new_scratch(self):
+        """An opaque per-thread native scratch: concurrent
+        match_profile(..., scratch=) calls against this shared index
+        are safe when each thread owns one (the index is read-only
+        during matching)."""
+        import ctypes
+
+        class _Scratch:
+            def __init__(self, lib, handle):
+                self._lib, self._h = lib, handle
+
+            def __del__(self):
+                try:
+                    self._lib.pf_scratch_free(self._h)
+                except Exception:
+                    pass
+
+        return _Scratch(self._lib, self._lib.pf_scratch_new(self._h))
+
     def match_profile(self, raw_scores, query_seq, kmer_thr=None,
-                      identity_id=None):
+                      identity_id=None, scratch=None):
         """Hits for one HMM-profile query (the blastpgp/profile-query
         prefilter role). The index must have been built with
         kmer_score=0 (Prefiltering.cpp:525-527: localKmerThr=0 for
@@ -319,11 +347,17 @@ class KmerPrefilter:
         out_id = np.empty(cap, np.uint32)
         out_sc = np.empty(cap, np.int32)
         out_dg = np.empty(cap, np.int16)
-        n = self._lib.pf_match_profile(
-            self._h, qn, L, rs.reshape(-1), qprof.reshape(-1),
-            int(kmer_thr), self.max_hits, self.min_diag_score,
-            0xFFFFFFFF if identity_id is None else int(identity_id),
-            out_id, out_sc, out_dg)
+        ident = 0xFFFFFFFF if identity_id is None else int(identity_id)
+        if scratch is not None:
+            n = self._lib.pf_match_profile_sc(
+                self._h, scratch._h, qn, L, rs.reshape(-1),
+                qprof.reshape(-1), int(kmer_thr), self.max_hits,
+                self.min_diag_score, ident, out_id, out_sc, out_dg)
+        else:
+            n = self._lib.pf_match_profile(
+                self._h, qn, L, rs.reshape(-1), qprof.reshape(-1),
+                int(kmer_thr), self.max_hits, self.min_diag_score,
+                ident, out_id, out_sc, out_dg)
         if n < 0:
             raise RuntimeError("prefilter match overflow (db too large for "
                                "the non-overflow path)")

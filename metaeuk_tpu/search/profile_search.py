@@ -158,14 +158,40 @@ class ProfileSearchDriver:
         if mode == "kmer" and raws is not None and n_orfs > 0:
             from .prefilter_kmer import (KmerPrefilter,
                                          profile_kmer_threshold)
+            import concurrent.futures as cf
+
+            from ..utils import log
             pf = KmerPrefilter(orfs_enc, kmer_score=0,
                                max_res_list_len=max(300, n_orfs))
             prof_thr = profile_kmer_threshold(self.params.sensitivity)
-            pi_parts, oi_parts = [], []
-            for pid in range(n_prof):
+            # one native scratch per worker thread: the ctypes call
+            # releases the GIL and every mutable buffer lives in the
+            # scratch, so per-profile matches run on all host cores
+            # against the shared read-only index (the reference
+            # prefilter is OpenMP across queries)
+            import threading
+            nw = max(1, min(os.cpu_count() or 1, 8))
+            tls = threading.local()
+            prog = log.progress(n_prof, "profile prefilter")
+
+            def one(pid):
+                sc = getattr(tls, "sc", None)
+                if sc is None:
+                    sc = tls.sc = pf.new_scratch()
                 ids, _scs, _dgs = pf.match_profile(
                     raws[pid], self.profiles.query_seqs[pid],
-                    kmer_thr=prof_thr)
+                    kmer_thr=prof_thr, scratch=sc)
+                prog.update()
+                return ids
+
+            if nw > 1:
+                with cf.ThreadPoolExecutor(nw) as ex:
+                    per = list(ex.map(one, range(n_prof), chunksize=64))
+            else:
+                per = [one(pid) for pid in range(n_prof)]
+            prog.finish()
+            pi_parts, oi_parts = [], []
+            for pid, ids in enumerate(per):
                 if len(ids):
                     pi_parts.append(np.full(len(ids), pid, np.int64))
                     oi_parts.append(ids.astype(np.int64))

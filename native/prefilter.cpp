@@ -1662,19 +1662,34 @@ int64_t pf_match_count(void *h, const uint8_t *q, int64_t qlen,
 //   kmer_thr:   the profile k-mer list threshold (profile branch of
 //               Prefiltering::getKmerThreshold); composition bias is
 //               zero for profiles (QueryMatcher.cpp:92-99)
-int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
-                         const int16_t *raw_scores, const int8_t *qprof,
-                         int64_t kmer_thr, int64_t max_hits,
-                         int64_t min_diag_thr, uint32_t identity_id,
-                         uint32_t *out_id, int32_t *out_score,
-                         int16_t *out_diag) {
+// per-thread scratch management: pf_match_profile_sc lets callers run
+// concurrent profile matches against one shared index (the sliced
+// profile search fans profiles over host threads; every mutable buffer
+// lives in the Scratch, the PF index is read-only during matching)
+void *pf_scratch_new(void *h) {
+    PF *pf = static_cast<PF *>(h);
+    Scratch *sc = new Scratch();
+    sc->ensure_dup(pf->dup_bytes);
+    return sc;
+}
+
+void pf_scratch_free(void *s) {
+    delete static_cast<Scratch *>(s);
+}
+
+int64_t pf_match_profile_sc(void *h, void *scr, const uint8_t *qnum,
+                            int64_t qlen, const int16_t *raw_scores,
+                            const int8_t *qprof, int64_t kmer_thr,
+                            int64_t max_hits, int64_t min_diag_thr,
+                            uint32_t identity_id, uint32_t *out_id,
+                            int32_t *out_score, int16_t *out_diag) {
     PF *pf = static_cast<PF *>(h);
     const size_t maxDbMatches = std::max((size_t)1000000, (size_t)pf->nseq) * 2;
     max_hits = std::min(max_hits, pf->nseq);
 
     // sorted PSSM rows (Sequence::mapProfile kmerSize!=0 branch:
     // rankedDescSort20 per position)
-    Scratch &sc = pf->scr;
+    Scratch &sc = *static_cast<Scratch *>(scr);
     sc.ensure_dup(pf->dup_bytes);
     sc.psort_s.resize((size_t)qlen * 20);
     sc.psort_i.resize((size_t)qlen * 20);
@@ -1732,6 +1747,18 @@ int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
                             min_diag_thr, identity_id, out_id, out_score,
                             out_diag);
     }
+}
+
+int64_t pf_match_profile(void *h, const uint8_t *qnum, int64_t qlen,
+                         const int16_t *raw_scores, const int8_t *qprof,
+                         int64_t kmer_thr, int64_t max_hits,
+                         int64_t min_diag_thr, uint32_t identity_id,
+                         uint32_t *out_id, int32_t *out_score,
+                         int16_t *out_diag) {
+    PF *pf = static_cast<PF *>(h);
+    return pf_match_profile_sc(h, &pf->scr, qnum, qlen, raw_scores, qprof,
+                               kmer_thr, max_hits, min_diag_thr,
+                               identity_id, out_id, out_score, out_diag);
 }
 
 }  // extern "C"

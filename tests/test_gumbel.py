@@ -39,6 +39,10 @@ ALP_GOLD = {
     ("blosum80.out", 9, 1): (0.29324274403818607, 0.061475643948420207),
     ("blosum62.out", 8, 2): (0.26921621780494986, 0.051702500472119196),
     ("blosum45.out", 13, 2): (0.35575136286833492, 0.10259003508922594),
+    # round-5 additions (same seed-42 alpfit methodology)
+    ("PAM30.out", 9, 1): (0.30666302111776467, 0.13481275039924145),
+    ("VTML40.out", 13, 2): (0.34108491436421284, 0.27414359983031422),
+    ("blosum50.out", 10, 2): (0.32771470513030798, 0.079951009050250516),
 }
 
 
@@ -102,11 +106,21 @@ def test_fit_gapped_smoke_tolerance():
 @pytest.mark.skipif(os.environ.get("METAEUK_GUMBEL_FULL") != "1",
                     reason="full-sample validation needs accelerator "
                            "time; run with METAEUK_GUMBEL_FULL=1")
-@pytest.mark.parametrize("matrix,go,ge", list(ALP_GOLD))
-def test_fit_gapped_full_alp_tolerance(matrix, go, ge):
-    with open(os.path.join(REFDATA, matrix)) as f:
-        scores, pback, _, _ = build_scores(parse_matrix_file(f.read()))
-    p = fit_gapped(scores, pback, go, ge)
-    lam_r, k_r = ALP_GOLD[(matrix, go, ge)]
-    assert abs(p["lam"] / lam_r - 1.0) < 0.015
-    assert abs(p["K"] / k_r - 1.0) < 0.15
+def test_fit_gapped_full_alp_tolerance():
+    """All seven (matrix, gap) combos within lambda 1.2% / K 6% of the
+    vendored ALP (its own tolerance band 1%/5% plus Monte-Carlo
+    allowance on both sides).  Runs tools/gumbel_validate.py in a
+    SUBPROCESS so the 262k-pair SW simulations escape the conftest CPU
+    pinning and use the real accelerator (seconds vs tens of minutes —
+    the in-process form ran past a 40-minute timeout on this host)."""
+    import pathlib
+    import subprocess
+    import sys
+    repo = pathlib.Path(__file__).parent.parent
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS",)}
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gumbel_validate.py")],
+        capture_output=True, timeout=3600, env=env)
+    sys.stdout.write(r.stdout.decode())
+    assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()[-1000:]
