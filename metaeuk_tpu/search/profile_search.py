@@ -272,15 +272,27 @@ class ProfileSearchDriver:
                 plens_dev = jnp.asarray(p_lens)
                 p_remap = np.zeros(int(p_ids.max()) + 1, np.int32)
                 p_remap[p_ids] = np.arange(len(p_ids), dtype=np.int32)
-                cap = max(8, CELL_BUDGET // (Lq * Lt))
+                # the fused Pallas PSSM kernel streams tiles through
+                # VMEM (no (B, Lq, Lt) tensor exists), so its launches
+                # can be ~64x larger than the XLA fallback's — fewer
+                # dispatches means fewer per-dispatch RTTs and a small
+                # result-concat operand count (at 50k-profile scale the
+                # 1<<24 budget shattered 440k candidate pairs into
+                # thousands of dispatches)
+                budget = (1 << 30) if use_pallas else CELL_BUDGET
+                cap = min(max(8, budget // (Lq * Lt)), 32768)
                 for s in range(0, len(sel), cap):
                     chunk = sel[s:s + cap]
-                    fixed = cap if len(sel) > cap else None
                     li = p_remap[pi[chunk]]
                     lj = o_remap[oi[chunk]]
                     mult = 128 if use_pallas else 8
-                    Bp = ((max(len(li), fixed or 0) + mult - 1) // mult) \
-                        * mult
+                    # pad rows to a power-of-4 ladder capped at cap:
+                    # every distinct jit shape costs a compile + an
+                    # executable load, and exact-size padding gave each
+                    # (Lq, Lt) combo's final chunk its own shape (the
+                    # dominant cost of the 50k-profile run)
+                    Bp = min(cap, _bucket(max(len(li), 1), lo=mult))
+                    Bp = ((Bp + mult - 1) // mult) * mult
                     li_p = np.full(Bp, -1, np.int32)
                     lj_p = np.zeros(Bp, np.int32)
                     li_p[:len(li)] = li

@@ -31,7 +31,7 @@ print(f"prefix: {min(cnt, n)} contigs")
 PY
 
 echo "== OURS =="
-/usr/bin/time -v python tools/run_scale.py "$OUT/prefix.fna" "$BIG" \
+python tools/run_scale.py "$OUT/prefix.fna" "$BIG" \
     "$OUT/ours" --tmp "$OUT/ours_tmp" --split-memory-limit 16G \
     --json "$OUT/ours.json" > "$OUT/ours.log" 2>&1
 tail -1 "$OUT/ours.json"
