@@ -44,8 +44,15 @@ if [ ! -f "$OUT/bigDB.dbtype" ]; then
 fi
 
 echo "== REFERENCE (easy-predict, --split $SPLITS) =="
+# pre-build the contig DB unshuffled so numeric keys (headersMap
+# columns) line up with ours — easy-predict's internal createdb
+# shuffles by default, which permutes keys without changing content
+# (verified: 0 per-accession set-diffs on all four outputs either way)
+if [ ! -f "$OUT/prefixDB.dbtype" ]; then
+    $REF createdb "$OUT/prefix.fna" "$OUT/prefixDB" --shuffle 0 -v 0
+fi
 rm -rf "$OUT/ref_tmp"
-{ time $REF easy-predict "$OUT/prefix.fna" "$OUT/bigDB" "$OUT/ref" \
+{ time $REF easy-predict "$OUT/prefixDB" "$OUT/bigDB" "$OUT/ref" \
     "$OUT/ref_tmp" --split "$SPLITS" --split-memory-limit 16G \
     --threads 2 -v 1 > "$OUT/ref.log" 2>&1 ; } 2> "$OUT/ref.time"
 tail -3 "$OUT/ref.time"
